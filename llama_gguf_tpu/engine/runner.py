@@ -1,0 +1,126 @@
+"""ModelRunner: compiled prefill/decode steps over a functional model.
+
+This is the TPU-native replacement for the reference's GPU-resident engine
+template (/root/reference/src/backend/cuda/gpu_only.rs:24-792,
+docs/GPU_ONLY_ENGINE_ANALYSIS.md): one jitted step function
+
+    step(params, tokens[B,T], positions[B,T], lengths[B], kv) -> (logits, kv)
+
+with the KV cache donated, so decode runs with zero host<->device traffic
+besides the token ids in and the sampled token out. Prefill uses the same
+function at bucketed T (powers of two), so a handful of compilations cover
+all prompt lengths — unlike the reference, prefill is batched over tokens.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import kv as KV
+from ..models.config import ModelConfig
+from ..models.transformer import forward
+
+PREFILL_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucket_len(t: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if t <= b:
+            return b
+    return int(2 ** math.ceil(math.log2(t)))
+
+
+class ModelRunner:
+    def __init__(self, params: dict, cfg: ModelConfig, max_batch: int = 1,
+                 max_seq: int | None = None, kv_dtype=jnp.float32,
+                 matmul_precision: str = "highest"):
+        """``matmul_precision``: "highest" gives f32-accurate MXU matmuls for
+        llama.cpp parity; "default" allows bf16 passes for speed."""
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_seq = max_seq or cfg.max_seq_len
+        self.kv_dtype = kv_dtype
+        self.matmul_precision = matmul_precision
+        self._steps: dict[tuple[int, int], Any] = {}
+
+    # -- state ---------------------------------------------------------------
+
+    def init_kv(self, batch: int | None = None) -> dict:
+        b = batch or self.max_batch
+        cache = KV.init_cache(
+            self.cfg.num_layers, b, self.max_seq, self.cfg.num_kv_heads,
+            self.cfg.head_dim, dtype=self.kv_dtype,
+            v_head_dim=self.cfg.value_length or self.cfg.head_dim,
+        )
+        if any(k == "deltanet" for k in (self.cfg.layer_kinds or ())):
+            from ..models.deltanet import init_deltanet_state
+            cache["deltanet"] = init_deltanet_state(
+                self.cfg, b, self.cfg.num_layers
+            )
+        return cache
+
+    # -- compiled steps ------------------------------------------------------
+
+    def _get_step(self, b: int, t: int):
+        key = (b, t)
+        fn = self._steps.get(key)
+        if fn is None:
+            cfg = self.cfg
+            prec = self.matmul_precision
+
+            def _step(params, tokens, positions, lengths, kv):
+                with jax.default_matmul_precision(prec):
+                    return forward(params, cfg, tokens, positions, kv, lengths)
+
+            fn = jax.jit(_step, donate_argnums=(4,))
+            self._steps[key] = fn
+        return fn
+
+    def step(self, tokens: jnp.ndarray, positions: jnp.ndarray,
+             lengths: jnp.ndarray, kv: dict) -> tuple[jnp.ndarray, dict]:
+        """Run one step. tokens/positions [B, T], lengths [B]."""
+        b, t = tokens.shape
+        fn = self._get_step(b, t)
+        return fn(self.params, tokens, positions, lengths, kv)
+
+    # -- convenience: single-sequence prefill + decode -----------------------
+
+    def prefill(self, token_ids: list[int], kv: dict,
+                batch_idx: int = 0) -> tuple[jnp.ndarray, dict, int]:
+        """Prefill one sequence (padded to a bucket). Returns (last-token
+        logits [V], kv, seq_len)."""
+        t = len(token_ids)
+        bt = bucket_len(t)
+        b = KV.cache_shape(kv)[1]
+        toks = np.zeros((b, bt), np.int32)
+        toks[batch_idx, :t] = token_ids
+        pos = np.full((b, bt), self.max_seq, np.int32)  # OOB -> dropped
+        pos[batch_idx, :t] = np.arange(t)
+        lengths = np.zeros((b,), np.int32)
+        lengths[batch_idx] = t
+        logits, kv = self.step(
+            jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(lengths), kv
+        )
+        return logits[batch_idx, t - 1], kv, t
+
+    def decode_one(self, token_id: int, pos: int, kv: dict,
+                   batch_idx: int = 0) -> tuple[jnp.ndarray, dict]:
+        """Single-token decode for one sequence. Returns (logits [V], kv)."""
+        b = KV.cache_shape(kv)[1]
+        toks = np.zeros((b, 1), np.int32)
+        toks[batch_idx, 0] = token_id
+        posa = np.full((b, 1), self.max_seq, np.int32)
+        posa[batch_idx, 0] = pos
+        lengths = np.zeros((b,), np.int32)
+        lengths[batch_idx] = pos + 1
+        logits, kv = self.step(
+            jnp.asarray(toks), jnp.asarray(posa), jnp.asarray(lengths), kv
+        )
+        return logits[batch_idx, 0], kv

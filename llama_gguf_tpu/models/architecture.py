@@ -1,0 +1,211 @@
+"""Architecture registry: GGUF `general.architecture` string -> model quirks.
+
+Data-driven re-expression of the reference's 140-variant enum + predicate
+methods (/root/reference/src/model/architecture.rs:7-673). Instead of an enum
+with match-arms, each predicate is a set of architecture names; `ArchInfo`
+bundles the answers for one architecture.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Canonical names (the GGUF string after alias folding). Aliases below.
+KNOWN_ARCHITECTURES = {
+    "llama", "llama2", "llama3", "llama4", "mistral", "mistral3", "mixtral",
+    "qwen", "qwen2", "qwen2moe", "qwen2vl", "qwen3", "qwen35", "qwen35moe",
+    "qwen3moe", "qwen3next", "qwen3vl", "qwen3vlmoe", "phi", "phi2", "phi3",
+    "phimoe", "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
+    "falcon", "falcon-h1", "starcoder", "starcoder2", "mpt", "gptneox",
+    "gpt2", "gptj", "bloom", "opt", "baichuan", "internlm", "internlm2",
+    "yi", "deepseek", "deepseek2", "codellama", "orion", "olmo", "olmo2",
+    "olmoe", "dbrx", "command", "command-r", "jamba", "mamba", "mamba2",
+    "deci", "grok", "refact", "bert", "modern-bert", "nomic-bert",
+    "nomic-bert-moe", "neo-bert", "jina-bert-v2", "jina-bert-v3", "eurobert",
+    "stablelm", "plamo", "plamo2", "plamo3", "codeshell", "minicpm",
+    "minicpm3", "xverse", "cohere2", "openelm", "arctic", "chatglm", "glm4",
+    "glm4moe", "glm-dsa", "bitnet", "t5", "t5encoder", "jais", "jais2",
+    "nemotron", "nemotron_h", "nemotron_h_moe", "exaone", "exaone4",
+    "exaone-moe", "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7", "granite",
+    "granitemoe", "granitehybrid", "chameleon", "wavtokenizer-dec", "plm",
+    "bailingmoe", "bailingmoe2", "dots1", "arcee", "afmoe", "ernie4_5",
+    "ernie4_5-moe", "hunyuan-moe", "hunyuan-dense", "smollm3", "gpt-oss",
+    "lfm2", "lfm2moe", "dream", "smallthinker", "llada", "llada-moe",
+    "seed_oss", "grovemoe", "apertus", "minimax-m2", "cogvlm", "rnd1",
+    "pangu-embedded", "paddleocr", "mimo2", "step35", "llama-embed",
+    "maincoder", "kimi-linear",
+}
+
+_ALIASES = {
+    "qwen3_5": "qwen35", "qwen3.5": "qwen35",
+    "gpt-neox": "gptneox", "gpt-j": "gptj",
+    "deepseekv2": "deepseek2",
+    "code-llama": "codellama",
+    "commandr": "command-r",
+}
+
+MOE = {
+    "mixtral", "qwen2moe", "qwen3moe", "qwen3next", "deepseek2", "dbrx",
+    "phimoe", "qwen35moe", "qwen3vlmoe", "olmoe", "arctic", "glm4moe",
+    "nemotron_h_moe", "exaone-moe", "granitemoe", "nomic-bert-moe",
+    "bailingmoe", "bailingmoe2", "afmoe", "ernie4_5-moe", "hunyuan-moe",
+    "gpt-oss", "lfm2moe", "llada-moe", "grovemoe",
+}
+
+QK_NORM = {
+    "qwen3", "qwen35", "qwen35moe", "qwen3moe", "qwen3next",
+    "gemma2", "gemma3", "gemma3n", "cohere2", "olmo2",
+}
+
+COMBINED_QKV = {
+    "phi2", "phi3", "phimoe", "gptneox", "gptj", "falcon", "falcon-h1",
+    "stablelm", "refact", "codeshell", "bloom", "mpt",
+}
+
+POST_FFN_NORM = {"gemma2", "gemma3", "gemma3n", "cohere2", "olmo2"}
+
+LOGIT_SOFTCAP = {"gemma2"}
+
+GEMMA_FAMILY = {"gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding"}
+
+LAYER_NORM = {
+    "gpt2", "bloom", "gptj", "gptneox", "falcon", "mpt", "opt", "phi2",
+    "bert", "modern-bert", "nomic-bert", "jina-bert-v2", "jina-bert-v3",
+    "eurobert", "t5", "t5encoder", "stablelm",
+}
+
+GELU = {
+    "phi2", "phi3", "phimoe", "gpt2", "gptj", "gptneox", "bloom", "opt",
+    "falcon", "stablelm", "bert", "modern-bert", "starcoder", "starcoder2",
+    "codeshell", "refact",
+}
+
+ENCODER_ONLY = {
+    "bert", "modern-bert", "nomic-bert", "nomic-bert-moe", "neo-bert",
+    "jina-bert-v2", "jina-bert-v3", "eurobert", "gemma-embedding",
+    "llama-embed", "pangu-embedded",
+}
+
+RECURRENT = {"mamba", "mamba2", "rwkv6", "rwkv7", "arwkv7", "rwkv6qwen2"}
+
+NO_GATE_FFN = {
+    "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
+    "phi3", "phimoe", "stablelm", "codeshell", "bert", "modern-bert",
+    "nomic-bert", "t5", "t5encoder",
+}
+
+NEOX_ROPE = {
+    "qwen2", "qwen2moe", "qwen3", "qwen35", "qwen35moe", "qwen3moe",
+    "qwen3next", "gptneox", "falcon", "phi", "phi2", "phi3", "phimoe",
+    "gptj", "stablelm",
+}
+
+ATTENTION_BIAS = {
+    "qwen", "qwen2", "qwen2moe", "phi2", "phi3", "phimoe", "gptneox",
+    "gptj", "falcon", "bloom", "mpt", "opt", "gpt2", "stablelm", "baichuan",
+}
+
+MLP_BIAS = {
+    "gpt2", "gptj", "gptneox", "bloom", "opt", "stablelm", "phi2", "phi3",
+}
+
+PARALLEL_RESIDUAL = {"gptneox", "gptj", "stablelm", "phi", "phi2", "codeshell"}
+
+# Qwen3Next hybrid: DeltaNet linear-attention layers interleaved with GQA.
+DELTANET = {"qwen3next", "qwen35", "qwen35moe", "kimi-linear"}
+
+# [nope | rope] head-dim layout instead of [rope | nope] for partial RoPE.
+ROPE_PARTIAL_AT_END = {"qwen3next"}
+
+
+@dataclass(frozen=True)
+class ArchInfo:
+    """Quirk flags for one architecture (answers to the reference's
+    per-arch predicate methods, architecture.rs:435-673)."""
+
+    name: str
+    known: bool
+
+    @property
+    def is_moe(self) -> bool:
+        return self.name in MOE
+
+    @property
+    def uses_qk_norm(self) -> bool:
+        return self.name in QK_NORM
+
+    @property
+    def has_combined_qkv(self) -> bool:
+        return self.name in COMBINED_QKV
+
+    @property
+    def has_post_ffn_norm(self) -> bool:
+        return self.name in POST_FFN_NORM
+
+    @property
+    def has_logit_softcap(self) -> bool:
+        return self.name in LOGIT_SOFTCAP
+
+    @property
+    def is_gemma(self) -> bool:
+        return self.name in GEMMA_FAMILY
+
+    @property
+    def uses_layer_norm(self) -> bool:
+        return self.name in LAYER_NORM
+
+    @property
+    def uses_gelu(self) -> bool:
+        return self.name in GELU
+
+    @property
+    def is_encoder_only(self) -> bool:
+        return self.name in ENCODER_ONLY
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.name in RECURRENT
+
+    @property
+    def has_no_gate_ffn(self) -> bool:
+        return self.name in NO_GATE_FFN
+
+    @property
+    def uses_neox_rope(self) -> bool:
+        return self.name in NEOX_ROPE
+
+    @property
+    def default_attention_bias(self) -> bool:
+        return self.name in ATTENTION_BIAS
+
+    @property
+    def default_mlp_bias(self) -> bool:
+        return self.name in MLP_BIAS
+
+    @property
+    def uses_parallel_residual(self) -> bool:
+        return self.name in PARALLEL_RESIDUAL
+
+    @property
+    def has_deltanet_layers(self) -> bool:
+        return self.name in DELTANET
+
+    @property
+    def rope_partial_at_end(self) -> bool:
+        return self.name in ROPE_PARTIAL_AT_END
+
+    @property
+    def is_llama_like(self) -> bool:
+        return (
+            self.known
+            and not self.is_encoder_only
+            and not self.is_recurrent
+            and self.name not in ("t5", "t5encoder")
+        )
+
+
+def resolve(arch_str: str) -> ArchInfo:
+    """Map a GGUF `general.architecture` string to its quirks."""
+    name = arch_str.lower()
+    name = _ALIASES.get(name, name)
+    return ArchInfo(name=name, known=name in KNOWN_ARCHITECTURES)

@@ -1,0 +1,241 @@
+"""Model configuration parsed from GGUF metadata.
+
+Mirrors the semantics of the reference's parse_config
+(/root/reference/src/model/loader.rs:62-301) and ModelConfig/RopeConfig
+(/root/reference/src/model/config.rs:17-126), plus rope-scaling parsing.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+from .architecture import ArchInfo, resolve
+
+
+class RopeType(enum.Enum):
+    NORMAL = "normal"  # consecutive pairs (x[2i], x[2i+1])
+    NEOX = "neox"  # first half paired with second half (x[i], x[i+d/2])
+
+
+class RopeScalingType(enum.Enum):
+    NONE = "none"
+    LINEAR = "linear"
+    YARN = "yarn"
+    DYNAMIC_NTK = "dynamic_ntk"
+
+
+class Activation(enum.Enum):
+    SILU = "silu"
+    GELU = "gelu"
+
+
+@dataclass
+class RopeConfig:
+    freq_base: float = 10000.0
+    freq_scale: float = 1.0
+    n_dims: int = 0  # dims RoPE applies to (<= head_dim for partial RoPE)
+    scaling_type: RopeScalingType = RopeScalingType.NONE
+    original_max_position_embeddings: int = 2048
+    rope_type: RopeType = RopeType.NORMAL
+    # YaRN parameters (parsed when present)
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    yarn_ext_factor: float = 0.0
+    yarn_attn_factor: float = 1.0
+    partial_at_end: bool = False  # Qwen3Next: [nope | rope] layout
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    max_seq_len: int = 2048
+    norm_eps: float = 1e-5
+    rope: RopeConfig = field(default_factory=RopeConfig)
+    use_parallel_residual: bool = False
+    hidden_act: Activation = Activation.SILU
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    tie_word_embeddings: bool = False
+    num_experts: int = 0
+    num_experts_per_token: int = 0
+    expert_intermediate_size: int = 0
+    expert_shared_count: int = 0
+    expert_weights_norm: bool = False
+    key_length: int = 0
+    value_length: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_n_group: int = 0
+    ssm_dt_rank: int = 0
+    ssm_conv_kernel: int = 0
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    sliding_window: int = 0
+    has_combined_qkv: bool = False
+    uses_layer_norm: bool = False
+    uses_gelu: bool = False
+    has_ffn_gate: bool = True
+    uses_qk_norm: bool = False
+    has_post_ffn_norm: bool = False
+    embedding_scale: float = 1.0  # Gemma: sqrt(hidden_size)
+    arch_info: ArchInfo | None = None
+    # per-layer kind for hybrid models ("attn" | "deltanet" | "mamba");
+    # empty tuple = all attention. Static — used to specialize the jitted step.
+    layer_kinds: tuple = ()
+
+    @property
+    def n_rep(self) -> int:
+        """GQA group size: query heads per KV head."""
+        return self.num_heads // max(self.num_kv_heads, 1)
+
+
+def _get_int(md: Mapping[str, Any], key: str, default: int | None = None) -> int | None:
+    v = md.get(key)
+    if v is None:
+        return default
+    return int(v)
+
+
+def _get_float(md: Mapping[str, Any], key: str, default: float) -> float:
+    v = md.get(key)
+    if v is None:
+        return default
+    return float(v)
+
+
+def parse_config(metadata: Mapping[str, Any],
+                 tensors: Mapping[str, Any] | None = None) -> ModelConfig:
+    """Build a ModelConfig from GGUF metadata (`{arch}.*` keys)."""
+    arch_str = str(metadata.get("general.architecture", "llama"))
+    info = resolve(arch_str)
+    arch = arch_str.lower()
+
+    def gi(suffix: str, default: int | None = None) -> int | None:
+        return _get_int(metadata, f"{arch}.{suffix}", default)
+
+    def gf(suffix: str, default: float) -> float:
+        return _get_float(metadata, f"{arch}.{suffix}", default)
+
+    # vocab size fallback chain: {arch}.vocab_size -> tokenizer vocab ->
+    # token_embd shape -> 32000 (loader.rs:78-97)
+    vocab_size = gi("vocab_size")
+    if vocab_size is None:
+        vocab_size = _get_int(metadata, "tokenizer.ggml.vocab_size")
+    if vocab_size is None:
+        toks = metadata.get("tokenizer.ggml.tokens")
+        if toks is not None:
+            vocab_size = len(toks)
+    if vocab_size is None and tensors and "token_embd.weight" in tensors:
+        shape = tensors["token_embd.weight"].shape  # GGUF order
+        if len(shape) == 2:
+            vocab_size = int(shape[1])
+    if vocab_size is None:
+        vocab_size = 32000
+
+    hidden_size = gi("embedding_length")
+    if hidden_size is None:
+        raise KeyError(f"missing {arch}.embedding_length")
+    num_layers = gi("block_count")
+    if num_layers is None:
+        raise KeyError(f"missing {arch}.block_count")
+
+    is_mamba = arch in ("mamba", "mamba2")
+    num_heads = gi("attention.head_count", 1 if is_mamba else None)
+    if num_heads is None:
+        raise KeyError(f"missing {arch}.attention.head_count")
+    num_kv_heads = gi("attention.head_count_kv", num_heads)
+    head_dim = gi("attention.key_length", hidden_size // max(num_heads, 1))
+
+    intermediate_size = gi(
+        "feed_forward_length",
+        hidden_size if is_mamba else hidden_size * 4 * 2 // 3,
+    )
+    max_seq_len = gi("context_length", 2048)
+
+    norm_eps = metadata.get(f"{arch}.attention.layer_norm_rms_epsilon")
+    if norm_eps is None:
+        norm_eps = metadata.get(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    norm_eps = float(norm_eps)
+
+    # RoPE
+    freq_base = gf("rope.freq_base", 10000.0)
+    freq_scale = gf("rope.scale_linear", 1.0)
+    scaling_type = RopeScalingType.NONE
+    st = metadata.get(f"{arch}.rope.scaling.type")
+    if st is not None:
+        try:
+            scaling_type = RopeScalingType(str(st))
+        except ValueError:
+            scaling_type = RopeScalingType.NONE
+    factor = metadata.get(f"{arch}.rope.scaling.factor")
+    if factor is not None and scaling_type == RopeScalingType.LINEAR:
+        freq_scale = 1.0 / float(factor)
+    orig_ctx = gi(
+        "rope.scaling.original_context_length", max_seq_len
+    )
+
+    rope = RopeConfig(
+        freq_base=freq_base,
+        freq_scale=freq_scale,
+        n_dims=gi("rope.dimension_count", head_dim),
+        scaling_type=scaling_type,
+        original_max_position_embeddings=orig_ctx,
+        rope_type=RopeType.NEOX if info.uses_neox_rope else RopeType.NORMAL,
+        partial_at_end=info.rope_partial_at_end,
+    )
+
+    tie = metadata.get("general.tie_word_embeddings", False)
+    if isinstance(tie, str):
+        tie = tie == "true"
+
+    cfg = ModelConfig(
+        arch=arch,
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_layers=num_layers,
+        num_heads=num_heads,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        max_seq_len=max_seq_len,
+        norm_eps=norm_eps,
+        rope=rope,
+        use_parallel_residual=info.uses_parallel_residual,
+        hidden_act=Activation.GELU if info.uses_gelu else Activation.SILU,
+        attention_bias=info.default_attention_bias,
+        mlp_bias=info.default_mlp_bias,
+        tie_word_embeddings=bool(tie),
+        num_experts=gi("expert_count", 0),
+        num_experts_per_token=gi("expert_used_count", 0),
+        expert_intermediate_size=gi("expert_feed_forward_length", 0),
+        expert_shared_count=gi("expert_shared_count", 0),
+        expert_weights_norm=bool(metadata.get(f"{arch}.expert_weights_norm", False)),
+        key_length=gi("attention.key_length", head_dim),
+        value_length=gi("attention.value_length", head_dim),
+        ssm_d_inner=gi("ssm.inner_size", 0),
+        ssm_d_state=gi("ssm.state_size", 0),
+        ssm_n_group=gi("ssm.group_count", 1 if is_mamba else 0),
+        ssm_dt_rank=gi("ssm.time_step_rank", 0),
+        ssm_conv_kernel=gi("ssm.conv_kernel", 0),
+        attn_logit_softcap=gf("attn_logit_softcapping", 0.0),
+        final_logit_softcap=gf("final_logit_softcapping", 0.0),
+        sliding_window=gi("attention.sliding_window", 0),
+        has_combined_qkv=info.has_combined_qkv,
+        uses_layer_norm=info.uses_layer_norm,
+        uses_gelu=info.uses_gelu,
+        has_ffn_gate=not info.has_no_gate_ffn,
+        uses_qk_norm=info.uses_qk_norm,
+        has_post_ffn_norm=info.has_post_ffn_norm,
+        embedding_scale=float(hidden_size) ** 0.5 if info.is_gemma else 1.0,
+        arch_info=info,
+    )
+    return cfg

@@ -1,0 +1,254 @@
+"""GGUF -> JAX params pytree.
+
+TPU-native re-design of the reference ModelLoader
+(/root/reference/src/model/loader.rs:25-1371): instead of building a tree of
+layer objects holding quantized Tensors, we build a pure pytree of arrays /
+QuantLinear leaves consumed by the functional forward
+(models/transformer.py). Two weight modes:
+
+  * "dequant": weights dequantized to f32/bf16 on host (correctness oracle)
+  * "quant":   matmul weights repacked to fused-kernel layouts
+               (quant/repack.py) — norms/biases/embeddings stay dense,
+               mirroring the reference's dual GPU weight store
+               (src/backend/cuda/dequant_weights.rs:19)
+
+Tensor names follow the llama.cpp convention (loader.rs:318-1371):
+token_embd.weight, blk.N.attn_{q,k,v,output,qkv}[.weight|.bias],
+blk.N.attn_{q,k}_norm.weight, blk.N.{attn,ffn}_norm.*, blk.N.post_{attention,
+ffw}_norm.*, blk.N.ffn_{gate,up,down}[_exps|_shexp].*, blk.N.ffn_gate_inp.*,
+output_norm.*, output.weight (tied embeddings when absent).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFFile
+from ..ops.linear import DenseLinear, QuantLinear
+from ..quant.dequant import dequantize
+from ..quant.repack import repack
+from .config import ModelConfig, parse_config
+
+log = logging.getLogger(__name__)
+
+# formats worth keeping quantized on device (block formats)
+_QUANTIZED_KEEP = {
+    GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+    GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+    GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K, GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
+}
+
+
+class ModelLoader:
+    def __init__(self, gguf: GGUFFile, mode: str = "quant",
+                 param_dtype: str = "float32", to_device=None):
+        """mode: "quant" keeps matmul weights in fused-kernel layouts;
+        "dequant" materializes everything as dense arrays.
+
+        ``to_device``: optional fn(np_array_or_leaf, name) -> device array,
+        used by the sharded loader to place shards; defaults to jnp.asarray.
+        """
+        self.gguf = gguf
+        self.mode = mode
+        self.param_dtype = jnp.bfloat16 if param_dtype == "bfloat16" else jnp.float32
+        self.config = parse_config(gguf.metadata, gguf.tensors)
+        self._put = to_device or (lambda arr, name: jnp.asarray(arr))
+
+    # -- tensor access -------------------------------------------------------
+
+    def has(self, name: str) -> bool:
+        return name in self.gguf.tensors
+
+    def dense(self, name: str, dtype=None) -> np.ndarray:
+        """Dequantized f32 numpy tensor in np (row-major) shape."""
+        info = self.gguf.tensors[name]
+        arr = dequantize(self.gguf.tensor_bytes(name), info.ggml_type,
+                         shape=info.np_shape)
+        return arr
+
+    def norm(self, prefix: str, required: bool = True) -> dict | None:
+        wname = f"{prefix}.weight"
+        if not self.has(wname):
+            if required:
+                raise KeyError(f"missing tensor {wname}")
+            return None
+        out = {"weight": self._put(self.dense(wname), wname)}
+        bname = f"{prefix}.bias"
+        if self.has(bname):
+            out["bias"] = self._put(self.dense(bname), bname)
+        return out
+
+    def linear(self, name: str, bias_name: str | None = None,
+               required: bool = True):
+        """Load a matmul weight as DenseLinear or QuantLinear.
+
+        GGUF stores W as [N_out, K_in] (np shape); we produce the [K, N]
+        layout used by x @ W.
+        """
+        wname = f"{name}.weight"
+        if not self.has(wname):
+            if required:
+                raise KeyError(f"missing tensor {wname}")
+            return None
+        info = self.gguf.tensors[wname]
+        bias = None
+        bname = bias_name or f"{name}.bias"
+        if self.has(bname):
+            bias = self._put(self.dense(bname).astype(np.float32), bname)
+
+        t = info.ggml_type
+        nk = info.np_shape
+        if self.mode == "quant" and t in _QUANTIZED_KEEP and len(nk) == 2 \
+                and nk[1] % 256 == 0:
+            rw = repack(self.gguf.tensor_bytes(wname), t, nk)
+            return QuantLinear(
+                packed=self._put(rw.packed, wname),
+                scales=self._put(rw.scales, wname),
+                mins=self._put(rw.mins, wname) if rw.mins is not None else None,
+                bias=bias,
+                fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
+                source_type=t.name,
+            )
+        w = self.dense(wname)
+        if len(nk) != 2:
+            raise ValueError(f"{wname}: expected 2D, got {nk}")
+        w = np.ascontiguousarray(w.T)  # [K, N]
+        return DenseLinear(self._put(w.astype(self._np_dtype()), wname), bias)
+
+    def _np_dtype(self):
+        return np.float32 if self.param_dtype == jnp.float32 else np.float32
+
+    # -- model building ------------------------------------------------------
+
+    def load_layer(self, i: int, cfg: ModelConfig) -> dict:
+        p = f"blk.{i}"
+        layer: dict[str, Any] = {}
+
+        if self.has(f"{p}.ssm_in.weight") or self.has(f"{p}.ssm_beta.weight"):
+            from .deltanet import load_deltanet_layer
+            return load_deltanet_layer(self, i, cfg)
+
+        layer["attn_norm"] = self.norm(f"{p}.attn_norm")
+        attn: dict[str, Any] = {}
+        if self.has(f"{p}.attn_qkv.weight"):
+            attn.update(self._split_qkv(i, cfg))
+        else:
+            attn["wq"] = self.linear(f"{p}.attn_q")
+            attn["wk"] = self.linear(f"{p}.attn_k")
+            attn["wv"] = self.linear(f"{p}.attn_v")
+        attn["wo"] = self.linear(f"{p}.attn_output")
+        if self.has(f"{p}.attn_q_norm.weight"):
+            attn["q_norm"] = self._put(self.dense(f"{p}.attn_q_norm.weight"),
+                                       f"{p}.attn_q_norm.weight")
+            attn["k_norm"] = self._put(self.dense(f"{p}.attn_k_norm.weight"),
+                                       f"{p}.attn_k_norm.weight")
+        if self.has(f"{p}.attn_gate.weight"):
+            attn["gate"] = self.linear(f"{p}.attn_gate")
+        if self.has(f"{p}.attn_sinks.weight"):
+            attn["sinks"] = self._put(self.dense(f"{p}.attn_sinks.weight"),
+                                      f"{p}.attn_sinks.weight")
+        layer["attn"] = attn
+
+        ffn_norm = self.norm(f"{p}.ffn_norm", required=False)
+        if ffn_norm is not None:
+            layer["ffn_norm"] = ffn_norm
+
+        layer["ffn"] = self._load_ffn(i, cfg)
+
+        post_attn = self.norm(f"{p}.post_attention_norm", required=False)
+        if post_attn is not None:
+            layer["post_attn_norm"] = post_attn
+        post_ffw = self.norm(f"{p}.post_ffw_norm", required=False)
+        if post_ffw is not None:
+            layer["post_ffn_norm"] = post_ffw
+        return layer
+
+    def _load_ffn(self, i: int, cfg: ModelConfig) -> dict:
+        p = f"blk.{i}"
+        if self.has(f"{p}.ffn_gate_inp.weight"):  # MoE
+            ffn: dict[str, Any] = {"router": self.linear(f"{p}.ffn_gate_inp")}
+            ffn["experts"] = {
+                "gate": self._expert_stack(f"{p}.ffn_gate_exps.weight", transpose=True),
+                "up": self._expert_stack(f"{p}.ffn_up_exps.weight", transpose=True),
+                "down": self._expert_stack(f"{p}.ffn_down_exps.weight", transpose=True),
+            }
+            if self.has(f"{p}.ffn_gate_shexp.weight"):
+                ffn["shared"] = {
+                    "gate": self.linear(f"{p}.ffn_gate_shexp"),
+                    "up": self.linear(f"{p}.ffn_up_shexp"),
+                    "down": self.linear(f"{p}.ffn_down_shexp"),
+                }
+                if self.has(f"{p}.ffn_gate_inp_shexp.weight"):
+                    ffn["shared_gate"] = self.linear(f"{p}.ffn_gate_inp_shexp")
+            return ffn
+        ffn = {}
+        if cfg.has_ffn_gate and self.has(f"{p}.ffn_gate.weight"):
+            ffn["gate"] = self.linear(f"{p}.ffn_gate")
+        ffn["up"] = self.linear(f"{p}.ffn_up")
+        ffn["down"] = self.linear(f"{p}.ffn_down")
+        return ffn
+
+    def _expert_stack(self, name: str, transpose: bool) -> Any:
+        """Stacked expert weights [E, in, out] for gathered-expert einsum."""
+        info = self.gguf.tensors[name]
+        w = self.dense(name)  # np shape [E, out, in]
+        if w.ndim != 3:
+            raise ValueError(f"{name}: expected 3D expert stack, got {w.shape}")
+        w = np.ascontiguousarray(np.swapaxes(w, 1, 2))  # [E, in, out]
+        del info, transpose
+        return self._put(w.astype(self._np_dtype()), name)
+
+    def _split_qkv(self, i: int, cfg: ModelConfig) -> dict:
+        """Split a combined QKV tensor into three DenseLinears
+        (loader.rs:857: rows [q | k | v])."""
+        p = f"blk.{i}"
+        name = f"{p}.attn_qkv.weight"
+        w = self.dense(name)  # [q+k+v rows, H]
+        nq = cfg.num_heads * cfg.head_dim
+        nkv = cfg.num_kv_heads * cfg.head_dim
+        wq, wk, wv = np.split(w, [nq, nq + nkv], axis=0)
+        bq = bk = bv = None
+        bname = f"{p}.attn_qkv.bias"
+        if self.has(bname):
+            bfull = self.dense(bname)
+            bq, bk, bv = np.split(bfull, [nq, nq + nkv], axis=0)
+        mk = lambda ww, bb, tag: DenseLinear(
+            self._put(np.ascontiguousarray(ww.T), f"{name}.{tag}"),
+            self._put(bb, f"{bname}.{tag}") if bb is not None else None,
+        )
+        return {"wq": mk(wq, bq, "q"), "wk": mk(wk, bk, "k"), "wv": mk(wv, bv, "v")}
+
+    def build(self) -> tuple[dict, ModelConfig]:
+        cfg = self.config
+        params: dict[str, Any] = {}
+        emb = self.dense("token_embd.weight")  # [V, H]
+        params["embed"] = self._put(emb.astype(self._np_dtype()), "token_embd.weight")
+        params["layers"] = [self.load_layer(i, cfg) for i in range(cfg.num_layers)]
+        cfg.layer_kinds = tuple(
+            "deltanet"
+            if (self.has(f"blk.{i}.ssm_in.weight")
+                or self.has(f"blk.{i}.ssm_beta.weight"))
+            else "attn"
+            for i in range(cfg.num_layers)
+        )
+        params["final_norm"] = self.norm("output_norm")
+        if self.has("output.weight"):
+            params["output"] = self.linear("output")
+        else:
+            params["output"] = None  # tied embeddings (loader.rs:348-355)
+            cfg.tie_word_embeddings = True
+        return params, cfg
+
+
+def load_model(path: str, mode: str = "quant",
+               param_dtype: str = "float32") -> tuple[dict, ModelConfig, GGUFFile]:
+    gguf = GGUFFile.open(path)
+    loader = ModelLoader(gguf, mode=mode, param_dtype=param_dtype)
+    params, cfg = loader.build()
+    return params, cfg, gguf

@@ -1,0 +1,239 @@
+"""Functional decoder-only transformer: one pure forward for prefill and
+decode.
+
+TPU-first re-design of the reference's trait-object model stack
+(/root/reference/src/model/llama.rs:269-371, layers.rs:409-1392): instead of
+per-op Backend dispatch with host round-trips, the whole step is a single
+pure function
+
+    forward(params, cfg, tokens[B,T], positions[B,T], kv, lengths) ->
+        (logits[B,T,V], kv')
+
+jitted once per (B, T) bucket with the KV cache donated. T=1 is the decode
+step; larger T is (bucketed) batched prefill — the reference has no batched
+prefill at all (engine.rs:897-902 feeds tokens one at a time).
+
+Supported architecture quirks (parity with layers.rs attention forward
+:409-704): GQA, QK-RMSNorm per head, Normal/NeoX/partial RoPE, attention
+logit softcap (Gemma2), sliding-window attention, attention sinks, sigmoid
+attention gate (Qwen3Next), SwiGLU / GELU / no-gate FFN, MoE with shared
+experts, parallel residual, post-attn/post-ffn norms, tied embeddings,
+Gemma embedding scaling + final logit softcap.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linear as L
+from ..ops.norms import apply_norm, rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+from .config import Activation, ModelConfig
+from . import kv as KV
+
+NEG_INF = -1e30
+
+
+def _act(x: jnp.ndarray, act: Activation) -> jnp.ndarray:
+    if act == Activation.GELU:
+        return jax.nn.gelu(x, approximate=False)
+    return jax.nn.silu(x)
+
+
+def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
+              positions: jnp.ndarray, kv: dict, layer_idx: int,
+              lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    """Attention with KV cache.
+
+    x: [B, T, H]; positions: [B, T]; lengths: [B] (valid cache length AFTER
+    this step's tokens are written). Returns ([B, T, H], kv').
+    """
+    b, t, _ = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    vd = cfg.value_length or hd
+
+    q = L.apply(layer["wq"], x).reshape(b, t, nh, hd)
+    k = L.apply(layer["wk"], x).reshape(b, t, nkv, hd)
+    v = L.apply(layer["wv"], x).reshape(b, t, nkv, vd)
+
+    if "q_norm" in layer:  # per-head QK RMSNorm before RoPE (Qwen3, Gemma2…)
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+
+    cos, sin = rope_cos_sin(positions, cfg.rope)  # [B, T, nd/2]
+    q = apply_rope(q, cos, sin, cfg.rope)
+    k = apply_rope(k, cos, sin, cfg.rope)
+
+    kv = KV.write(kv, layer_idx, k, v, positions)
+    keys = kv["k"][layer_idx]  # [B, S, nkv, hd]
+    vals = kv["v"][layer_idx]  # [B, S, nkv, vd]
+    s = keys.shape[1]
+
+    rep = nh // nkv
+    qg = q.reshape(b, t, nkv, rep, hd)
+    scale = hd**-0.5
+    scores = jnp.einsum(
+        "btkrd,bskd->btkrs", qg.astype(jnp.float32), keys.astype(jnp.float32)
+    ) * scale
+
+    if cfg.attn_logit_softcap > 0.0:
+        c = cfg.attn_logit_softcap
+        scores = jnp.tanh(scores / c) * c
+
+    # mask: key position s_idx visible iff s_idx <= q_pos, s_idx < length,
+    # and within the sliding window if enabled
+    s_idx = jnp.arange(s)
+    q_pos = positions  # [B, T]
+    valid = (s_idx[None, None, :] <= q_pos[:, :, None]) & (
+        s_idx[None, None, :] < lengths[:, None, None]
+    )
+    if cfg.sliding_window > 0:
+        valid &= s_idx[None, None, :] > (q_pos[:, :, None] - cfg.sliding_window)
+    scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
+
+    if "sinks" in layer:  # attention sinks (gpt-oss): extra logit per head
+        sinks = layer["sinks"].reshape(1, 1, nkv, rep, 1).astype(jnp.float32)
+        sinks = jnp.broadcast_to(sinks, (b, t, nkv, rep, 1))
+        probs = jax.nn.softmax(jnp.concatenate([scores, sinks], axis=-1), axis=-1)
+        probs = probs[..., :-1]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+
+    ctx = jnp.einsum("btkrs,bskd->btkrd", probs, vals.astype(jnp.float32))
+    ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
+
+    if "gate" in layer:  # Qwen3Next sigmoid attention gate
+        g = L.apply(layer["gate"], x)
+        ctx = ctx * jax.nn.sigmoid(g.astype(jnp.float32)).astype(ctx.dtype)
+
+    out = L.apply(layer["wo"], ctx)
+    return out, kv
+
+
+def feed_forward(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if "gate" in ffn:
+        g = _act(L.apply(ffn["gate"], x).astype(jnp.float32), cfg.hidden_act)
+        u = L.apply(ffn["up"], x).astype(jnp.float32)
+        return L.apply(ffn["down"], (g * u).astype(x.dtype))
+    h = _act(L.apply(ffn["up"], x).astype(jnp.float32), cfg.hidden_act)
+    return L.apply(ffn["down"], h.astype(x.dtype))
+
+
+def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Mixture-of-experts FFN via gathered expert weights.
+
+    Expert weights are stacked [E, ...]; for each token the top-k experts'
+    weights are gathered and applied — reads only the selected experts'
+    parameters (the TPU analogue of the reference streaming active experts,
+    /root/reference/src/model/moe.rs:321-416). Top-k softmax routing with
+    optional renormalization and DeepSeek-style shared experts.
+    """
+    b, t, h = x.shape
+    xf = x.reshape(b * t, h)
+    router_logits = L.apply(ffn["router"], xf).astype(jnp.float32)  # [N, E]
+    k = cfg.num_experts_per_token
+    if ffn.get("router_softmax_before_topk", True):
+        probs = jax.nn.softmax(router_logits, axis=-1)
+        topv, topi = jax.lax.top_k(probs, k)  # [N, k]
+        if cfg.expert_weights_norm:
+            topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
+    else:
+        topv, topi = jax.lax.top_k(router_logits, k)
+        topv = jax.nn.softmax(topv, axis=-1)
+
+    wg = ffn["experts"]["gate"]  # [E, H, F]
+    wu = ffn["experts"]["up"]
+    wd = ffn["experts"]["down"]  # [E, F, H]
+    gsel = jnp.take(wg, topi, axis=0)  # [N, k, H, F]
+    usel = jnp.take(wu, topi, axis=0)
+    dsel = jnp.take(wd, topi, axis=0)
+    g = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32), gsel.astype(jnp.float32))
+    u = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32), usel.astype(jnp.float32))
+    act = _act(g, cfg.hidden_act) * u
+    y = jnp.einsum(
+        "nkf,nkfh->nh", act * topv[:, :, None], dsel.astype(jnp.float32)
+    )
+
+    if "shared" in ffn:  # DeepSeek/Qwen2Moe shared experts (+ optional gate)
+        sh = feed_forward(ffn["shared"], cfg, xf[None])[0]
+        if "shared_gate" in ffn:
+            sg = jax.nn.sigmoid(L.apply(ffn["shared_gate"], xf).astype(jnp.float32))
+            sh = sh * sg
+        y = y + sh.astype(y.dtype)
+    return y.reshape(b, t, h).astype(x.dtype)
+
+
+def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
+                      positions: jnp.ndarray, kv: dict, layer_idx: int,
+                      lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    gemma = cfg.arch_info.is_gemma if cfg.arch_info else False
+
+    def norm(p, xx):
+        return apply_norm(xx, p, cfg.norm_eps, cfg.uses_layer_norm, gemma)
+
+    h = norm(layer["attn_norm"], x)
+    attn_out, kv = attention(layer["attn"], cfg, h, positions, kv, layer_idx, lengths)
+    if "post_attn_norm" in layer:  # Gemma2/3: norm applied to attn output
+        attn_out = norm(layer["post_attn_norm"], attn_out)
+
+    if cfg.use_parallel_residual:
+        ffn_out = (
+            moe_layer(layer["ffn"], cfg, h)
+            if "router" in layer["ffn"]
+            else feed_forward(layer["ffn"], cfg, h)
+        )
+        return x + attn_out + ffn_out, kv
+
+    x = x + attn_out
+    h2 = norm(layer["ffn_norm"], x)
+    ffn_out = (
+        moe_layer(layer["ffn"], cfg, h2)
+        if "router" in layer["ffn"]
+        else feed_forward(layer["ffn"], cfg, h2)
+    )
+    if "post_ffn_norm" in layer:
+        ffn_out = norm(layer["post_ffn_norm"], ffn_out)
+    return x + ffn_out, kv
+
+
+def embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.embedding_scale != 1.0:
+        x = x * jnp.asarray(cfg.embedding_scale, x.dtype)
+    return x
+
+
+def compute_logits(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    gemma = cfg.arch_info.is_gemma if cfg.arch_info else False
+    x = apply_norm(x, params["final_norm"], cfg.norm_eps, cfg.uses_layer_norm, gemma)
+    if params.get("output") is not None:
+        logits = L.apply(params["output"], x)
+    else:  # tied embeddings
+        logits = jnp.dot(
+            x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcap > 0.0:
+        c = cfg.final_logit_softcap
+        logits = jnp.tanh(logits / c) * c
+    return logits
+
+
+def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
+            positions: jnp.ndarray, kv: dict,
+            lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    """Full forward. tokens/positions: [B, T]; lengths: [B] valid KV length
+    after writing this step. Returns (logits [B, T, V], kv')."""
+    x = embed(params, cfg, tokens)
+    kinds = cfg.layer_kinds or ("attn",) * len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        if kinds[i] == "deltanet":
+            from .deltanet import deltanet_layer  # hybrid models (Qwen3Next)
+            x, kv = deltanet_layer(layer, cfg, x, positions, kv, i)
+        else:
+            x, kv = transformer_layer(layer, cfg, x, positions, kv, i, lengths)
+    logits = compute_logits(params, cfg, x)
+    return logits, kv
