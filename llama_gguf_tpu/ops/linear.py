@@ -5,10 +5,10 @@ dequant-matvec kernels (/root/reference/src/model/layers.rs:56-96,
 src/backend/cuda/kernels.rs:443+). The TPU-native equivalent: weights are
 repacked at load time into two canonical device layouts
 
-  * "q4": nibbles packed two-per-byte in a split-K layout, uint8 [K/2, N].
-          Byte (k, n) holds q[k, n] (low nibble) and q[k + K/2, n] (high
-          nibble), so unpacking yields two contiguous K/2 panels and no
-          interleave is needed on the VPU.
+  * "q4": nibbles packed two-per-byte in a group-local split layout,
+          uint8 [K/2, N]: within each scale group, byte j holds elements j
+          and j+group/2 — unpacking yields two contiguous panels per group
+          (no sublane interleave) and every K-tile is self-contained.
   * "q8": int8 [K, N].
 
 plus per-group scale (and optional min) panels [K/group, N]. The affine "min"
@@ -86,10 +86,12 @@ class DenseLinear:
 
 
 def unpack_q4(ql: QuantLinear) -> jnp.ndarray:
-    """Unpack split-K nibbles to integer values [K, N] (uint8, 0..15)."""
-    lo = ql.packed & 0x0F
-    hi = ql.packed >> 4
-    return jnp.concatenate([lo, hi], axis=0)
+    """Unpack group-split nibbles to integer values [K, N] (uint8, 0..15).
+    See quant/repack.py pack_q4_group_split for the layout."""
+    k2, n = ql.packed.shape
+    h = ql.group // 2
+    p3 = ql.packed.reshape(k2 // h, h, n)
+    return jnp.concatenate([p3 & 0x0F, p3 >> 4], axis=1).reshape(2 * k2, n)
 
 
 def dequantize_weight(ql: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:

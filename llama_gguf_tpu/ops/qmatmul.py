@@ -1,0 +1,215 @@
+"""Fused dequant-matmul Pallas kernels.
+
+The TPU analogue of the reference's fused CUDA dequant-matvec family
+(/root/reference/src/backend/cuda/kernels.rs:443-700): quantized weights are
+DMA'd from HBM as packed integers, dequantized in VMEM and fed straight to
+the MXU — HBM traffic stays at the quantized bit-width (the decode-phase
+bottleneck). Unlike the reference's matvec-only kernels, these are batched
+matmuls (x is [B, K]) for continuous batching.
+
+Two canonical layouts (see quant/repack.py):
+  q4: packed uint8 [K/2, N] in GROUP-LOCAL split order: within each scale
+      group of ``group`` elements, byte j holds q[j] | q[j + group/2] << 4.
+      Unpack is one mask + one shift at i32 width; the caller rearranges x
+      so that each K-tile's columns are [lo-plane | hi-plane] and the kernel
+      does two column-sliced dots — pure lane slicing, no sublane shuffles.
+  q8: int8 [K, N], tiled directly.
+
+Per-group scales s [K/g, N] multiply in VMEM; the affine "min" term is a
+factored-out [B, K/g] @ [K/g, N] matmul done in XLA outside the kernel:
+
+    y = kernel(x, packed, s)  -  group_sums(x) @ m
+
+The K axis is tiled on the grid with an f32 VMEM accumulator so arbitrarily
+large K fits in VMEM. Measured on v5e at B=8, 4096x4096: ~16-17us for both
+layouts (≈500-1000 GB/s effective — memory-bound roofline regime).
+
+Precision: Mosaic's MXU dot defaults to a single bf16 pass (~2e-3 rel err).
+``precision="highest"`` (default) uses the f32-accurate multi-pass mode for
+llama.cpp greedy-token parity; pass "default" to trade parity for speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .linear import QuantLinear
+
+DEFAULT_TK = 2048  # logical K elements per grid step
+DEFAULT_TN = 256
+
+_PREC = {
+    "default": None,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _repeat_rows(s: jnp.ndarray, rep: int) -> jnp.ndarray:
+    """np.repeat along axis 0 ([G, N] -> [G*rep, N]) via broadcast+reshape
+    (pltpu.repeat is tile-style and unsuitable for per-group scales)."""
+    g, n = s.shape
+    return jnp.broadcast_to(s[:, None, :], (g, rep, n)).reshape(g * rep, n)
+
+
+def _q4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, group: int, tk: int,
+               prec):
+    """One (n, k) grid step for the group-split q4 layout.
+
+    x_ref: [B, TK] — tile-arranged so columns [0, TK/2) hold the lo-plane
+    elements (j < group/2 of each scale group) and [TK/2, TK) the hi-plane;
+    p_ref: [TK//2, TN] uint8; s_ref: [TK//group, TN] f32; o_ref: [B, TN].
+    Packed row r belongs to scale group r // (group/2).
+    """
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Mosaic can't shift at 8-bit vector width; widen to i32 first
+    w32 = p_ref[:].astype(jnp.int32)
+    lo = (w32 & 0x0F).astype(jnp.float32)
+    hi = ((w32 >> 4) & 0x0F).astype(jnp.float32)
+    srep = _repeat_rows(s_ref[:].astype(jnp.float32), group // 2)  # [TK/2, TN]
+    x = x_ref[:].astype(jnp.float32)
+    acc_ref[:] += jnp.dot(x[:, : tk // 2], lo * srep,
+                          preferred_element_type=jnp.float32, precision=prec)
+    acc_ref[:] += jnp.dot(x[:, tk // 2 :], hi * srep,
+                          preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _q8_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, group: int, tk: int,
+               prec):
+    k_idx = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = p_ref[:].astype(jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    w = q * _repeat_rows(s, group)
+    x = x_ref[:].astype(jnp.float32)
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32,
+                          precision=prec)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
+    """Rearrange x so each TK-column block is [lo-plane | hi-plane] for that
+    K-tile, matching the group-split packed nibble order."""
+    b, k = x.shape
+    h = group // 2
+    nk = k // tk
+    gpt = tk // group
+    x4 = x.reshape(b, nk, gpt, group)
+    return jnp.concatenate(
+        [x4[:, :, :, :h].reshape(b, nk, tk // 2),
+         x4[:, :, :, h:].reshape(b, nk, tk // 2)],
+        axis=-1,
+    ).reshape(b, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "group", "k", "n", "tk", "tn", "interpret",
+                     "precision"),
+)
+def _qmatmul_call(x, packed, scales, *, fmt, group, k, n, tk, tn, interpret,
+                  precision="highest"):
+    b = x.shape[0]
+    nk = k // tk
+    nn = n // tn
+    grid = (nn, nk)
+    prec = _PREC[precision]
+
+    if fmt == "q4":
+        kernel = functools.partial(_q4_kernel, group=group, tk=tk, prec=prec)
+        in_specs = [
+            pl.BlockSpec((b, tk), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // 2, tn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // group, tn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = (_arrange_x_q4(x, group, tk), packed, scales)
+    else:
+        kernel = functools.partial(_q8_kernel, group=group, tk=tk, prec=prec)
+        in_specs = [
+            pl.BlockSpec((b, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk // group, tn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = (x, packed, scales)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (b, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
+def _pick_tiles(fmt: str, group: int, k: int, n: int) -> tuple[int, int]:
+    tn = DEFAULT_TN if n % DEFAULT_TN == 0 else 128
+    tk = min(DEFAULT_TK, k)
+    while k % tk != 0 or tk % (2 * group) != 0:
+        tk //= 2
+        if tk < 2 * group:
+            return 0, 0
+    return tk, tn
+
+
+def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
+            precision: str = "highest") -> jnp.ndarray:
+    """x [B, K] @ quantized W [K, N] -> [B, N] float32 (bias NOT applied)."""
+    b, k = x.shape
+    assert k == lin.k, (k, lin.k)
+    n = lin.n
+    tk, tn = _pick_tiles(lin.fmt, lin.group, k, n)
+    if tk == 0 or n % tn != 0 or n % 128 != 0:
+        from .linear import _apply_quant_xla
+        return _apply_quant_xla(x, lin)
+
+    # pad batch to the f32 sublane tile
+    pad_b = (-b) % 8
+    xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
+    y = _qmatmul_call(
+        xp, lin.packed, lin.scales,
+        fmt=lin.fmt, group=lin.group, k=k, n=n, tk=tk, tn=tn,
+        interpret=interpret, precision=precision,
+    )
+    if pad_b:
+        y = y[:b]
+    if lin.mins is not None:
+        xg = x.astype(jnp.float32).reshape(b, k // lin.group, lin.group).sum(-1)
+        y = y - jnp.dot(xg, lin.mins.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    return y

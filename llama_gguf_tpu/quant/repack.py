@@ -222,19 +222,41 @@ def repack(raw: np.ndarray | memoryview | bytes, ggml_type: GGMLType | int,
     mins = np.ascontiguousarray(m.T, dtype=F32) if m is not None else None
     if fmt == "q4":
         qt = np.ascontiguousarray(q.T).astype(np.uint8)  # [K, N], 0..15
-        half = k // 2
-        packed = qt[:half] | (qt[half:] << 4)
+        packed = pack_q4_group_split(qt, group)
     else:
         packed = np.ascontiguousarray(q.T).astype(np.int8)
     return RepackedWeight(packed, scales, mins, fmt, group, k, n, t)
 
 
+def pack_q4_group_split(q: np.ndarray, group: int) -> np.ndarray:
+    """Group-local split packing: within each scale group of ``group``
+    elements along K, byte j holds q[g*group + j] (low nibble) and
+    q[g*group + j + group/2] (high nibble). Any K-tile that is a multiple of
+    ``group`` is then self-contained — the fused kernel's unpack needs no
+    global K/2 addressing. q: uint8 [K, N] (0..15) -> uint8 [K/2, N]."""
+    k, n = q.shape
+    h = group // 2
+    q3 = q.reshape(k // group, group, n)
+    return np.ascontiguousarray(
+        (q3[:, :h, :] | (q3[:, h:, :] << 4)).reshape(k // 2, n)
+    )
+
+
+def unpack_q4_group_split(packed: np.ndarray, group: int) -> np.ndarray:
+    """Inverse of pack_q4_group_split -> uint8 [K, N]."""
+    k2, n = packed.shape
+    h = group // 2
+    p3 = packed.reshape(k2 // h, h, n)
+    out = np.empty((k2 // h, group, n), np.uint8)
+    out[:, :h, :] = p3 & 0x0F
+    out[:, h:, :] = p3 >> 4
+    return out.reshape(2 * k2, n)
+
+
 def dequantize_repacked(rw: RepackedWeight) -> np.ndarray:
     """Reference reconstruction of the repacked weight -> [K, N] float32."""
     if rw.fmt == "q4":
-        lo = rw.packed & 0x0F
-        hi = rw.packed >> 4
-        q = np.concatenate([lo, hi], axis=0).astype(F32)
+        q = unpack_q4_group_split(rw.packed, rw.group).astype(F32)
     else:
         q = rw.packed.astype(F32)
     s = np.repeat(rw.scales, rw.group, axis=0)

@@ -1,0 +1,55 @@
+"""Fused Pallas qmatmul vs XLA dequant-matmul oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llama_gguf_tpu.gguf.constants import GGMLType
+from llama_gguf_tpu.ops.linear import QuantLinear, _apply_quant_xla
+from llama_gguf_tpu.ops.qmatmul import qmatmul
+from llama_gguf_tpu.quant.quantize import quantize
+from llama_gguf_tpu.quant.repack import repack
+
+CASES = [
+    (GGMLType.Q4_K, 4, 512, 256),
+    (GGMLType.Q4_0, 8, 512, 128),
+    (GGMLType.Q2_K, 8, 512, 128),
+    (GGMLType.Q8_0, 8, 512, 256),
+    (GGMLType.Q6_K, 1, 512, 128),
+    (GGMLType.Q5_K, 16, 1024, 128),
+    (GGMLType.Q3_K, 3, 768, 128),
+]
+
+
+def make_lin(t, n, k, rng):
+    w = rng.standard_normal((n, k)).astype(np.float32) * 0.1
+    raw = quantize(w, t)
+    rw = repack(raw, t, (n, k))
+    return QuantLinear(
+        packed=jnp.asarray(rw.packed),
+        scales=jnp.asarray(rw.scales),
+        mins=jnp.asarray(rw.mins) if rw.mins is not None else None,
+        bias=None,
+        fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n, source_type=t.name,
+    )
+
+
+@pytest.mark.parametrize("t,b,k,n", CASES, ids=lambda c: str(c))
+def test_qmatmul_matches_xla(t, b, k, n, rng):
+    lin = make_lin(t, n, k, rng)
+    x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32))
+    want = np.asarray(_apply_quant_xla(x, lin))
+    got = np.asarray(qmatmul(x, lin, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_qmatmul_fallback_on_odd_shapes(rng):
+    # N not multiple of 128 -> falls back to XLA path, still correct
+    t = GGMLType.Q8_0
+    lin = make_lin(t, 96, 512, rng)
+    x = jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32))
+    want = np.asarray(_apply_quant_xla(x, lin))
+    got = np.asarray(qmatmul(x, lin, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
