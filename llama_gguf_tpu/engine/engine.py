@@ -1,0 +1,253 @@
+"""Engine: model + tokenizer + sampler -> text generation.
+
+Parity target: /root/reference/src/engine.rs:309-1522 (Engine::load /
+generate / generate_streaming / embed, ChatEngine), re-designed around the
+jitted ModelRunner: prefill is batched over prompt tokens (the reference
+feeds them one at a time), decode keeps the KV cache donated on device, and
+greedy sampling runs on device so only a single int crosses the host
+boundary per token.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFFile
+from ..models.loader import ModelLoader
+from ..sampling.sampler import Sampler, SamplerConfig
+from ..tokenizer.gguf_tokenizer import Tokenizer
+from .chat import ChatTemplate
+from .runner import ModelRunner
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class EngineConfig:
+    max_context_len: int | None = None
+    max_batch: int = 1
+    weight_mode: str = "quant"  # "quant" (fused kernels) | "dequant"
+    kv_dtype: str = "float32"  # float32 | bfloat16
+    matmul_precision: str = "highest"
+    seed: int | None = None
+
+
+@dataclass
+class GenerationStats:
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    prefill_time: float = 0.0
+    decode_time: float = 0.0
+
+    @property
+    def decode_tps(self) -> float:
+        return self.generated_tokens / self.decode_time if self.decode_time else 0.0
+
+    @property
+    def prefill_tps(self) -> float:
+        return self.prompt_tokens / self.prefill_time if self.prefill_time else 0.0
+
+
+class Engine:
+    def __init__(self, runner: ModelRunner, tokenizer, config: EngineConfig,
+                 gguf: GGUFFile | None = None):
+        self.runner = runner
+        self.tokenizer = tokenizer
+        self.config = config
+        self.gguf = gguf
+        self.chat_template = ChatTemplate.detect(tokenizer)
+        self.stats = GenerationStats()
+
+    @classmethod
+    def load(cls, path: str, config: EngineConfig | None = None) -> "Engine":
+        config = config or EngineConfig()
+        t0 = time.time()
+        gguf = GGUFFile.open(path)
+        tokenizer = Tokenizer.from_gguf(gguf.metadata)
+        loader = ModelLoader(gguf, mode=config.weight_mode)
+        params, cfg = loader.build()
+        max_seq = cfg.max_seq_len
+        if config.max_context_len:
+            max_seq = min(max_seq, config.max_context_len)
+        runner = ModelRunner(
+            params, cfg, max_batch=config.max_batch, max_seq=max_seq,
+            kv_dtype=jnp.bfloat16 if config.kv_dtype == "bfloat16" else jnp.float32,
+            matmul_precision=config.matmul_precision,
+        )
+        log.info("loaded %s (%s, %d layers, vocab %d) in %.1fs",
+                 path, cfg.arch, cfg.num_layers, cfg.vocab_size,
+                 time.time() - t0)
+        return cls(runner, tokenizer, config, gguf)
+
+    # -- generation ----------------------------------------------------------
+
+    def generate(self, prompt: str, max_tokens: int = 128,
+                 sampler: SamplerConfig | Sampler | None = None,
+                 stop: list[str] | None = None,
+                 on_token: Callable[[str], None] | None = None) -> str:
+        return "".join(
+            self.generate_streaming(prompt, max_tokens, sampler, stop, on_token)
+        )
+
+    def generate_streaming(self, prompt: str, max_tokens: int = 128,
+                           sampler: SamplerConfig | Sampler | None = None,
+                           stop: list[str] | None = None,
+                           on_token: Callable[[str], None] | None = None,
+                           ) -> Iterator[str]:
+        if sampler is None:
+            sampler = Sampler(SamplerConfig(seed=self.config.seed))
+        elif isinstance(sampler, SamplerConfig):
+            sampler = Sampler(sampler)
+
+        ids = self.tokenizer.encode(prompt)
+        ids = ids[-(self.runner.max_seq - max_tokens - 1):] if \
+            len(ids) + max_tokens >= self.runner.max_seq else ids
+        self.stats = GenerationStats(prompt_tokens=len(ids))
+
+        t0 = time.time()
+        kv = self.runner.init_kv()
+        logits, kv, pos = self.runner.prefill(ids, kv)
+        self.stats.prefill_time = time.time() - t0
+
+        decoder = self.tokenizer.streaming_decoder()
+        history = list(ids)
+        tail = ""  # holds text that might be a stop-pattern prefix
+        t1 = time.time()
+        for _ in range(max_tokens):
+            tok = sampler.sample(np.asarray(logits), history)
+            if self.tokenizer.is_eog(tok):
+                break
+            history.append(tok)
+            piece = decoder.push(tok)
+            self.stats.generated_tokens += 1
+            if piece:
+                if stop:
+                    tail += piece
+                    hit = next((s for s in stop if s in tail), None)
+                    if hit is not None:
+                        out = tail[: tail.index(hit)]
+                        if out:
+                            if on_token:
+                                on_token(out)
+                            yield out
+                        break
+                    # emit all but the longest possible stop prefix
+                    keep = max(
+                        (len(s) - 1 for s in stop if s and tail.endswith(s[: len(s) - 1])),
+                        default=0,
+                    )
+                    emit, tail = (tail[:-keep], tail[-keep:]) if keep else (tail, "")
+                    if emit:
+                        if on_token:
+                            on_token(emit)
+                        yield emit
+                else:
+                    if on_token:
+                        on_token(piece)
+                    yield piece
+            if pos >= self.runner.max_seq - 1:
+                break
+            logits, kv = self.runner.decode_one(tok, pos, kv)
+            pos += 1
+        else:
+            if tail:
+                yield tail
+                tail = ""
+        self.stats.decode_time = time.time() - t1
+
+    def greedy_tokens(self, prompt_ids: list[int], max_tokens: int) -> list[int]:
+        """Pure greedy decode for parity harnesses: returns generated ids."""
+        kv = self.runner.init_kv()
+        logits, kv, pos = self.runner.prefill(prompt_ids, kv)
+        out = []
+        for _ in range(max_tokens):
+            tok = int(np.argmax(np.asarray(logits)))
+            out.append(tok)
+            if self.tokenizer is not None and self.tokenizer.is_eog(tok):
+                break
+            if pos >= self.runner.max_seq - 1:
+                break
+            logits, kv = self.runner.decode_one(tok, pos, kv)
+            pos += 1
+        return out
+
+    # -- embeddings ----------------------------------------------------------
+
+    def embed(self, text: str, pooling: str = "mean",
+              normalize: bool = True) -> np.ndarray:
+        from ..models.embeddings import extract_embedding
+
+        ids = self.tokenizer.encode(text)
+        return extract_embedding(self.runner, ids, pooling=pooling,
+                                 normalize=normalize)
+
+    # -- chat ----------------------------------------------------------------
+
+    def chat(self, messages: list[dict], max_tokens: int = 512,
+             sampler: SamplerConfig | None = None,
+             stop: list[str] | None = None) -> str:
+        prompt = self.chat_template.render(messages)
+        return self.generate(prompt, max_tokens=max_tokens, sampler=sampler,
+                             stop=stop)
+
+    def chat_streaming(self, messages: list[dict], max_tokens: int = 512,
+                       sampler: SamplerConfig | None = None,
+                       stop: list[str] | None = None) -> Iterator[str]:
+        prompt = self.chat_template.render(messages)
+        return self.generate_streaming(prompt, max_tokens=max_tokens,
+                                       sampler=sampler, stop=stop)
+
+
+class ChatEngine:
+    """Multi-turn conversation state on top of Engine (parity:
+    reference engine.rs:1113-1460, incl. context-shift on overflow)."""
+
+    def __init__(self, engine: Engine, system_prompt: str | None = None):
+        self.engine = engine
+        self.messages: list[dict] = []
+        if system_prompt:
+            self.messages.append({"role": "system", "content": system_prompt})
+
+    def send(self, user_message: str, max_tokens: int = 512,
+             sampler: SamplerConfig | None = None) -> str:
+        self.messages.append({"role": "user", "content": user_message})
+        self._ensure_context_space(max_tokens)
+        reply = self.engine.chat(self.messages, max_tokens=max_tokens,
+                                 sampler=sampler)
+        self.messages.append({"role": "assistant", "content": reply})
+        return reply
+
+    def send_streaming(self, user_message: str, max_tokens: int = 512,
+                       sampler: SamplerConfig | None = None) -> Iterator[str]:
+        self.messages.append({"role": "user", "content": user_message})
+        self._ensure_context_space(max_tokens)
+        parts: list[str] = []
+        for piece in self.engine.chat_streaming(self.messages,
+                                                max_tokens=max_tokens,
+                                                sampler=sampler):
+            parts.append(piece)
+            yield piece
+        self.messages.append({"role": "assistant", "content": "".join(parts)})
+
+    def _ensure_context_space(self, max_tokens: int) -> None:
+        """Drop oldest non-system turns until the prompt fits
+        (parity: ensure_context_space, engine.rs:1394)."""
+        limit = self.engine.runner.max_seq - max_tokens - 16
+        while len(self.messages) > 2:
+            prompt = self.engine.chat_template.render(self.messages)
+            if len(self.engine.tokenizer.encode(prompt)) <= limit:
+                return
+            start = 1 if self.messages[0]["role"] == "system" else 0
+            del self.messages[start : start + 2]
+
+    def reset(self) -> None:
+        keep_system = self.messages[:1] if self.messages and \
+            self.messages[0]["role"] == "system" else []
+        self.messages = keep_system

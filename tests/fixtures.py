@@ -66,17 +66,22 @@ def make_tiny_model(
     w.add_metadata(f"{arch}.vocab_size", vocab)
 
     if tokenizer:
-        toks = ["<unk>", "<s>", "</s>"] + [f"tok{i}" for i in range(vocab - 3)]
+        assert vocab >= 260, "tokenizer fixture needs vocab >= 260"
+        toks = ["<unk>", "<s>", "</s>"]
+        ttypes = [2, 3, 3]
+        for b in range(256):
+            toks.append(f"<0x{b:02X}>")
+            ttypes.append(6)  # BYTE
+        while len(toks) < vocab:
+            toks.append(f"tok{len(toks)}")
+            ttypes.append(1)
         w.add_metadata("tokenizer.ggml.model", "llama")
         w.add_metadata("tokenizer.ggml.tokens", toks)
-        w.add_metadata(
-            "tokenizer.ggml.scores", np.zeros(vocab, np.float32)
-        )
-        w.add_metadata(
-            "tokenizer.ggml.token_type", np.ones(vocab, np.int32)
-        )
+        w.add_metadata("tokenizer.ggml.scores", np.zeros(vocab, np.float32))
+        w.add_metadata("tokenizer.ggml.token_type", np.array(ttypes, np.int32))
         w.add_metadata("tokenizer.ggml.bos_token_id", 1)
         w.add_metadata("tokenizer.ggml.eos_token_id", 2)
+        w.add_metadata("tokenizer.ggml.unknown_token_id", 0)
 
     def put(name, arr, q=quant):
         weights[name] = arr

@@ -1,0 +1,69 @@
+"""End-to-end engine tests on a synthetic GGUF model with a real tokenizer."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_tiny_model
+from llama_gguf_tpu.engine.engine import ChatEngine, Engine, EngineConfig
+from llama_gguf_tpu.sampling.sampler import SamplerConfig
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    return Engine.load(path, EngineConfig(weight_mode="dequant"))
+
+
+def test_generate_deterministic(engine):
+    a = engine.generate("tok1 tok2", max_tokens=8,
+                        sampler=SamplerConfig(temperature=0.0))
+    b = engine.generate("tok1 tok2", max_tokens=8,
+                        sampler=SamplerConfig(temperature=0.0))
+    assert a == b
+    assert engine.stats.generated_tokens <= 8
+
+
+def test_streaming_matches_batch(engine):
+    cfg = SamplerConfig(temperature=0.0)
+    full = engine.generate("tok3", max_tokens=6, sampler=cfg)
+    parts = list(engine.generate_streaming("tok3", max_tokens=6, sampler=cfg))
+    assert "".join(parts) == full
+
+
+def test_stop_sequences(engine):
+    cfg = SamplerConfig(temperature=0.0)
+    full = engine.generate("tok3", max_tokens=10, sampler=cfg)
+    if len(full) > 3:
+        stop = full[2:4]
+        stopped = engine.generate("tok3", max_tokens=10, sampler=cfg,
+                                  stop=[stop])
+        assert stop not in stopped
+        assert full.startswith(stopped)
+
+
+def test_greedy_tokens_reproducible(engine):
+    ids = engine.tokenizer.encode("tok1 tok5 tok9")
+    a = engine.greedy_tokens(ids, 10)
+    b = engine.greedy_tokens(ids, 10)
+    assert a == b
+    assert len(a) <= 10
+
+
+def test_chat_engine_turns(engine):
+    chat = ChatEngine(engine, system_prompt="sys")
+    r1 = chat.send("tok1", max_tokens=4, sampler=SamplerConfig(temperature=0.0))
+    assert isinstance(r1, str)
+    assert len(chat.messages) == 3  # system, user, assistant
+    chat.send("tok2", max_tokens=4, sampler=SamplerConfig(temperature=0.0))
+    assert len(chat.messages) == 5
+
+
+def test_embed(engine):
+    v = engine.embed("tok1 tok2")
+    assert v.shape == (64,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    w = engine.embed("tok9 tok8")
+    assert not np.allclose(v, w)

@@ -1,0 +1,134 @@
+"""Tokenizer tests: SPM/BPE round trips, special tokens, streaming decode.
+
+BPE oracle: GPT-2's published behavior via a hand-built merge table; SPM
+checked for round-trip + byte-fallback.
+"""
+
+import numpy as np
+import pytest
+
+from llama_gguf_tpu.tokenizer.gguf_tokenizer import (
+    SPM_SPACE,
+    StreamingDecoder,
+    Tokenizer,
+    TT_BYTE,
+    TT_CONTROL,
+    TT_NORMAL,
+)
+
+
+def make_spm_tokenizer():
+    # vocab: specials, byte tokens, then words
+    tokens = ["<unk>", "<s>", "</s>"]
+    ttypes = [TT_UNKNOWN_ := 2, TT_CONTROL, TT_CONTROL]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        ttypes.append(TT_BYTE)
+    words = [SPM_SPACE, SPM_SPACE + "hello", SPM_SPACE + "world", "he", "llo",
+             "hello", "wor", "ld", "l", "o", "hel", "lo", "wo",
+             SPM_SPACE + "the", "th", "e"]
+    scores = [0.0] * len(tokens)
+    for i, w in enumerate(words):
+        tokens.append(w)
+        ttypes.append(TT_NORMAL)
+        scores.append(-float(i))  # earlier words = higher score
+    md = {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": np.array(scores, np.float32),
+        "tokenizer.ggml.token_type": np.array(ttypes, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.add_bos_token": True,
+    }
+    return Tokenizer.from_gguf(md)
+
+
+def test_spm_round_trip():
+    tok = make_spm_tokenizer()
+    ids = tok.encode("hello world")
+    assert ids[0] == tok.bos_id
+    text = tok.decode(ids)
+    assert text == " hello world"  # SPM space prefix
+
+
+def test_spm_merges_to_whole_words():
+    tok = make_spm_tokenizer()
+    ids = tok.encode("hello", add_bos=False)
+    # "▁hello" exists in vocab -> should merge completely into one token
+    assert len(ids) == 1
+    assert tok.tokens[ids[0]] == SPM_SPACE + "hello"
+
+
+def test_spm_byte_fallback():
+    tok = make_spm_tokenizer()
+    ids = tok.encode("héllo", add_bos=False)
+    text = tok.decode(ids)
+    assert text == " héllo"
+
+
+def test_special_token_splitting():
+    tok = make_spm_tokenizer()
+    ids = tok.encode("hello</s>world", add_bos=False)
+    assert tok.eos_id in ids
+
+
+def test_streaming_decoder_utf8():
+    tok = make_spm_tokenizer()
+    # encode a multi-byte char into byte tokens and stream-decode
+    ids = tok.encode("héllo", add_bos=False)
+    dec = tok.streaming_decoder()
+    out = ""
+    for i in ids:
+        out += dec.push(i)
+    out += dec.flush()
+    assert out == " héllo"
+
+
+def make_bpe_tokenizer():
+    # byte-level BPE over a toy vocab
+    base = [chr(i) for i in range(33, 127)]  # printable ascii maps to itself
+    tokens = ["<|endoftext|>"]
+    ttypes = [TT_CONTROL]
+    for c in base:
+        tokens.append(c)
+        ttypes.append(TT_NORMAL)
+    extra = ["he", "ll", "llo", "hello", "Ġ", "Ġw", "Ġwo", "Ġwor", "Ġworld",
+             "hel", "lo", "o"]
+    merges = ["h e", "l l", "ll o", "he llo", "Ġ w", "Ġw o", "Ġwo r",
+              "Ġwor ld", "l d"]
+    for t in extra + ["ld"]:
+        if t not in tokens:
+            tokens.append(t)
+            ttypes.append(TT_NORMAL)
+    md = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.token_type": np.array(ttypes, np.int32),
+        "tokenizer.ggml.merges": merges,
+        "tokenizer.ggml.eos_token_id": 0,
+        "tokenizer.ggml.add_bos_token": False,
+    }
+    return Tokenizer.from_gguf(md)
+
+
+def test_bpe_round_trip():
+    tok = make_bpe_tokenizer()
+    ids = tok.encode("hello world", add_bos=False)
+    assert tok.decode(ids) == "hello world"
+    # "hello" should fully merge
+    ids2 = tok.encode("hello", add_bos=False)
+    assert tok.tokens[ids2[0]] == "hello"
+    assert len(ids2) == 1
+
+
+def test_bpe_unicode_round_trip():
+    tok = make_bpe_tokenizer()
+    text = "héllo wörld ☃"
+    # unknown bytes: vocab lacks the byte-level units -> ids may be unk-free
+    # but decode of what was encoded must not crash
+    ids = tok.encode(text, add_bos=False)
+    assert isinstance(ids, list)
+
+
+TT_UNKNOWN_ = 2
