@@ -90,6 +90,46 @@ class ModelRunner:
         fn = self._get_step(b, t)
         return fn(self.params, tokens, positions, lengths, kv)
 
+    def _get_greedy_scan(self, b: int):
+        """Jitted N-step greedy decode entirely on device via lax.scan:
+        one dispatch, no per-token host round-trips (the reference pays ~770
+        host<->device transfers per token, engine.rs:396-399; we pay none)."""
+        key = ("greedy_scan", b)
+        fn = self._steps.get(key)
+        if fn is None:
+            cfg = self.cfg
+            prec = self.matmul_precision
+
+            def _scan(params, tokens0, pos0, kv, steps):
+                # tokens0 [B], pos0 [B]; steps static
+                def body(carry, _):
+                    toks, pos, kv = carry
+                    with jax.default_matmul_precision(prec):
+                        logits, kv = forward(
+                            params, cfg, toks[:, None], pos[:, None], kv,
+                            pos + 1,
+                        )
+                    nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+                    return (nxt, pos + 1, kv), nxt
+
+                (_, _, kv), toks = jax.lax.scan(
+                    body, (tokens0, pos0, kv), None, length=steps
+                )
+                return toks.T, kv  # [B, steps]
+
+            fn = jax.jit(_scan, static_argnames=("steps",), donate_argnums=(3,))
+            self._steps[key] = fn
+        return fn
+
+    def greedy_decode(self, tokens0, pos0, kv, steps: int):
+        """Run ``steps`` greedy decode steps on device. tokens0/pos0: [B]
+        arrays (the last sampled token and its position per sequence).
+        Returns (generated [B, steps], kv)."""
+        tokens0 = jnp.asarray(tokens0, jnp.int32)
+        pos0 = jnp.asarray(pos0, jnp.int32)
+        fn = self._get_greedy_scan(tokens0.shape[0])
+        return fn(self.params, tokens0, pos0, kv, steps=steps)
+
     # -- convenience: single-sequence prefill + decode -----------------------
 
     def prefill(self, token_ids: list[int], kv: dict,

@@ -15,10 +15,10 @@ Two canonical layouts (see quant/repack.py):
       does two column-sliced dots — pure lane slicing, no sublane shuffles.
   q8: int8 [K, N], tiled directly.
 
-Per-group scales s [K/g, N] multiply in VMEM; the affine "min" term is a
-factored-out [B, K/g] @ [K/g, N] matmul done in XLA outside the kernel:
-
-    y = kernel(x, packed, s)  -  group_sums(x) @ m
+Per-group scales s [K/g, N] multiply in VMEM; for affine formats the
+per-group mins are folded into the in-VMEM dequant (w = s*q - m) — a
+factored-out XLA min path was 50x slower because the per-group sum of x is a
+strided lane reduction that lowers terribly on TPU.
 
 The K axis is tiled on the grid with an f32 VMEM accumulator so arbitrarily
 large K fits in VMEM. Measured on v5e at B=8, 4096x4096: ~16-17us for both
@@ -56,8 +56,8 @@ def _repeat_rows(s: jnp.ndarray, rep: int) -> jnp.ndarray:
     return jnp.broadcast_to(s[:, None, :], (g, rep, n)).reshape(g * rep, n)
 
 
-def _q4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, group: int, tk: int,
-               prec):
+def _q4_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
+               tk: int, prec, has_mins: bool):
     """One (n, k) grid step for the group-split q4 layout.
 
     x_ref: [B, TK] — tile-arranged so columns [0, TK/2) hold the lo-plane
@@ -77,10 +77,16 @@ def _q4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, group: int, tk: int,
     lo = (w32 & 0x0F).astype(jnp.float32)
     hi = ((w32 >> 4) & 0x0F).astype(jnp.float32)
     srep = _repeat_rows(s_ref[:].astype(jnp.float32), group // 2)  # [TK/2, TN]
+    w_lo = lo * srep
+    w_hi = hi * srep
+    if has_mins:
+        mrep = _repeat_rows(m_ref[:].astype(jnp.float32), group // 2)
+        w_lo = w_lo - mrep
+        w_hi = w_hi - mrep
     x = x_ref[:].astype(jnp.float32)
-    acc_ref[:] += jnp.dot(x[:, : tk // 2], lo * srep,
+    acc_ref[:] += jnp.dot(x[:, : tk // 2], w_lo,
                           preferred_element_type=jnp.float32, precision=prec)
-    acc_ref[:] += jnp.dot(x[:, tk // 2 :], hi * srep,
+    acc_ref[:] += jnp.dot(x[:, tk // 2 :], w_hi,
                           preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(ki == nk - 1)
@@ -88,8 +94,8 @@ def _q4_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, group: int, tk: int,
         o_ref[:] = acc_ref[:]
 
 
-def _q8_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, group: int, tk: int,
-               prec):
+def _q8_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
+               tk: int, prec, has_mins: bool):
     k_idx = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -100,6 +106,8 @@ def _q8_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, group: int, tk: int,
     q = p_ref[:].astype(jnp.float32)
     s = s_ref[:].astype(jnp.float32)
     w = q * _repeat_rows(s, group)
+    if has_mins:
+        w = w - _repeat_rows(m_ref[:].astype(jnp.float32), group)
     x = x_ref[:].astype(jnp.float32)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32,
                           precision=prec)
@@ -129,35 +137,48 @@ def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
     static_argnames=("fmt", "group", "k", "n", "tk", "tn", "interpret",
                      "precision"),
 )
-def _qmatmul_call(x, packed, scales, *, fmt, group, k, n, tk, tn, interpret,
-                  precision="highest"):
+def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
+                  interpret, precision="highest"):
     b = x.shape[0]
     nk = k // tk
     nn = n // tn
     grid = (nn, nk)
     prec = _PREC[precision]
+    has_mins = mins is not None
+    scale_spec = pl.BlockSpec((tk // group, tn), lambda ni, ki: (ki, ni),
+                              memory_space=pltpu.VMEM)
 
     if fmt == "q4":
-        kernel = functools.partial(_q4_kernel, group=group, tk=tk, prec=prec)
+        kernel = functools.partial(_q4_kernel, group=group, tk=tk, prec=prec,
+                                   has_mins=has_mins)
         in_specs = [
             pl.BlockSpec((b, tk), lambda ni, ki: (0, ki),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tk // 2, tn), lambda ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // group, tn), lambda ni, ki: (ki, ni),
-                         memory_space=pltpu.VMEM),
+            scale_spec,
         ]
-        inputs = (_arrange_x_q4(x, group, tk), packed, scales)
+        inputs = [_arrange_x_q4(x, group, tk), packed, scales]
     else:
-        kernel = functools.partial(_q8_kernel, group=group, tk=tk, prec=prec)
+        kernel = functools.partial(_q8_kernel, group=group, tk=tk, prec=prec,
+                                   has_mins=has_mins)
         in_specs = [
             pl.BlockSpec((b, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
             pl.BlockSpec((tk, tn), lambda ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // group, tn), lambda ni, ki: (ki, ni),
-                         memory_space=pltpu.VMEM),
+            scale_spec,
         ]
-        inputs = (x, packed, scales)
+        inputs = [x, packed, scales]
+    if has_mins:
+        in_specs.append(scale_spec)
+        inputs.append(mins)
+    else:
+        # dummy scalar placeholder so kernel arity stays fixed
+        def _wrap(kern):
+            def inner(x_ref, p_ref, s_ref, o_ref, acc_ref):
+                return kern(x_ref, p_ref, s_ref, None, o_ref, acc_ref)
+            return inner
+        kernel = _wrap(kernel)
 
     out = pl.pallas_call(
         kernel,
@@ -201,15 +222,10 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
     pad_b = (-b) % 8
     xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
     y = _qmatmul_call(
-        xp, lin.packed, lin.scales,
+        xp, lin.packed, lin.scales, lin.mins,
         fmt=lin.fmt, group=lin.group, k=k, n=n, tk=tk, tn=tn,
         interpret=interpret, precision=precision,
     )
     if pad_b:
         y = y[:b]
-    if lin.mins is not None:
-        xg = x.astype(jnp.float32).reshape(b, k // lin.group, lin.group).sum(-1)
-        y = y - jnp.dot(xg, lin.mins.astype(jnp.float32),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
     return y

@@ -1,0 +1,100 @@
+"""Multi-chip sharding validation on the 8-device virtual CPU mesh.
+
+Mirrors the reference's localhost-shard distributed tests
+(/root/reference/tests/distributed_integration_test.rs) — but instead of
+gRPC servers, the assertion is that a GSPMD-sharded forward matches the
+single-device forward bit-for-bit-close."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fixtures import make_tiny_model
+from llama_gguf_tpu.engine.runner import ModelRunner
+from llama_gguf_tpu.models.loader import load_model
+from llama_gguf_tpu.parallel.sharding import (
+    make_mesh,
+    replicate_inputs,
+    shard_kv,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=97, hidden=64, layers=2,
+                    heads=8, kv_heads=4, ffn=128, ctx=64, seed=5)
+    return load_model(path, mode="dequant")
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(n_model=4, n_data=2)
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def test_tp_forward_matches_single_device(model, rng):
+    params, cfg, _ = model
+    tokens = rng.integers(0, 97, size=(1, 8)).astype(np.int32)
+    positions = np.arange(8, dtype=np.int32)[None, :]
+    lengths = np.array([8], np.int32)
+
+    # single device
+    runner = ModelRunner(params, cfg, max_batch=1, max_seq=64)
+    kv = runner.init_kv()
+    want, _ = runner.step(jnp.asarray(tokens), jnp.asarray(positions),
+                          jnp.asarray(lengths), kv)
+    want = np.asarray(want)
+
+    # 4-way tensor parallel over the virtual mesh
+    mesh = make_mesh(n_model=4, n_data=1)
+    sp = shard_params(params, mesh)
+    runner_tp = ModelRunner(sp, cfg, max_batch=1, max_seq=64)
+    kv_tp = shard_kv(runner_tp.init_kv(), mesh, cfg.num_kv_heads)
+    t, p, l = replicate_inputs(mesh, jnp.asarray(tokens),
+                               jnp.asarray(positions), jnp.asarray(lengths))
+    with mesh:
+        got, _ = runner_tp.step(t, p, l, kv_tp)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_dp_tp_hybrid(model, rng):
+    params, cfg, _ = model
+    b = 2
+    tokens = rng.integers(0, 97, size=(b, 8)).astype(np.int32)
+    positions = np.tile(np.arange(8, dtype=np.int32), (b, 1))
+    lengths = np.full((b,), 8, np.int32)
+
+    runner = ModelRunner(params, cfg, max_batch=b, max_seq=64)
+    kv = runner.init_kv()
+    want, _ = runner.step(jnp.asarray(tokens), jnp.asarray(positions),
+                          jnp.asarray(lengths), kv)
+    want = np.asarray(want)
+
+    mesh = make_mesh(n_model=4, n_data=2)
+    sp = shard_params(params, mesh)
+    runner_h = ModelRunner(sp, cfg, max_batch=b, max_seq=64)
+    kv_h = shard_kv(runner_h.init_kv(), mesh, cfg.num_kv_heads)
+    t, p, l = replicate_inputs(mesh, jnp.asarray(tokens),
+                               jnp.asarray(positions), jnp.asarray(lengths))
+    with mesh:
+        got, kv_out = runner_h.step(t, p, l, kv_h)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+    # decode continues from the sharded cache
+    tok2 = np.array([[1], [2]], np.int32)
+    pos2 = np.full((b, 1), 8, np.int32)
+    len2 = np.full((b,), 9, np.int32)
+    kv_s = runner.init_kv()
+    _, kv_s = runner.step(jnp.asarray(tokens), jnp.asarray(positions),
+                          jnp.asarray(lengths), kv_s)
+    want2, _ = runner.step(jnp.asarray(tok2), jnp.asarray(pos2),
+                           jnp.asarray(len2), kv_s)
+    t2, p2, l2 = replicate_inputs(mesh, jnp.asarray(tok2), jnp.asarray(pos2),
+                                  jnp.asarray(len2))
+    with mesh:
+        got2, _ = runner_h.step(t2, p2, l2, kv_out)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-5)
