@@ -91,16 +91,28 @@ class Engine:
     def generate(self, prompt: str, max_tokens: int = 128,
                  sampler: SamplerConfig | Sampler | None = None,
                  stop: list[str] | None = None,
-                 on_token: Callable[[str], None] | None = None) -> str:
+                 on_token: Callable[[str], None] | None = None,
+                 grammar=None) -> str:
         return "".join(
-            self.generate_streaming(prompt, max_tokens, sampler, stop, on_token)
+            self.generate_streaming(prompt, max_tokens, sampler, stop,
+                                    on_token, grammar=grammar)
         )
+
+    def make_grammar_sampler(self, machine) -> "GrammarSampler":
+        """Bind a grammar machine (json_grammar()/gbnf_grammar()/...) to this
+        model's vocab for constrained decoding."""
+        from ..sampling.grammar import GrammarSampler
+
+        vocab = [self.tokenizer.decode([i]) for i in
+                 range(self.tokenizer.vocab_size)]
+        return GrammarSampler(machine, vocab,
+                              eos_token_id=self.tokenizer.eos_id)
 
     def generate_streaming(self, prompt: str, max_tokens: int = 128,
                            sampler: SamplerConfig | Sampler | None = None,
                            stop: list[str] | None = None,
                            on_token: Callable[[str], None] | None = None,
-                           ) -> Iterator[str]:
+                           grammar=None) -> Iterator[str]:
         if sampler is None:
             sampler = Sampler(SamplerConfig(seed=self.config.seed))
         elif isinstance(sampler, SamplerConfig):
@@ -121,11 +133,21 @@ class Engine:
         tail = ""  # holds text that might be a stop-pattern prefix
         t1 = time.time()
         for _ in range(max_tokens):
-            tok = sampler.sample(np.asarray(logits), history)
+            mask = grammar.get_token_mask() if grammar is not None else None
+            tok = sampler.sample(np.asarray(logits), history, mask=mask)
             if self.tokenizer.is_eog(tok):
                 break
             history.append(tok)
             piece = decoder.push(tok)
+            if grammar is not None:
+                grammar.record_token(self.tokenizer.decode([tok]))
+                if grammar.is_complete and grammar.state is not None and \
+                        grammar.machine.exhausted(grammar.state):
+                    if piece:
+                        if on_token:
+                            on_token(piece)
+                        yield piece
+                    break
             self.stats.generated_tokens += 1
             if piece:
                 if stop:
