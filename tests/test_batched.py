@@ -1,0 +1,121 @@
+"""Continuous-batching engine tests: batched decode must match sequential
+greedy decode exactly, plus scheduler mechanics (streaming, stop patterns,
+admission control)."""
+
+import numpy as np
+import pytest
+
+from llama_gguf_tpu.engine.batched import BatchedEngine, _StopBuffer
+from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+from llama_gguf_tpu.engine.runner import ModelRunner
+from llama_gguf_tpu.sampling.sampler import SamplerConfig
+
+from fixtures import make_tiny_model
+
+
+GREEDY = SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bm") / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    return path
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_model_path):
+    return Engine.load(tiny_model_path,
+                       EngineConfig(weight_mode="dequant", max_batch=1))
+
+
+@pytest.fixture(scope="module")
+def batched(tiny_model_path):
+    eng = Engine.load(tiny_model_path,
+                      EngineConfig(weight_mode="dequant", max_batch=4))
+    be = BatchedEngine(eng.runner, eng.tokenizer, max_queue=16)
+    yield be
+    be.shutdown()
+
+
+def test_batched_matches_sequential_greedy(engine, batched):
+    prompts = ["Hello there", "The quick brown fox", "A"]
+    seq_out = [engine.generate(p, max_tokens=12, sampler=GREEDY)
+               for p in prompts]
+    handles = [batched.submit(p, max_tokens=12, sampler=GREEDY)
+               for p in prompts]
+    bat_out = [h.text(timeout=120) for h in handles]
+    assert bat_out == seq_out
+
+
+def test_batched_streaming_pieces(batched):
+    h = batched.submit("Stream me", max_tokens=8, sampler=GREEDY)
+    pieces = list(h.stream(timeout=120))
+    assert "".join(pieces) == "".join(pieces)  # stream drains
+    assert h.done and h.finish_reason in ("stop", "length")
+    assert h.completion_tokens <= 8
+
+
+def test_batched_more_requests_than_slots(batched):
+    handles = [batched.submit(f"req {i}", max_tokens=6, sampler=GREEDY)
+               for i in range(9)]  # > 4 slots: forces queue + slot reuse
+    outs = [h.text(timeout=240) for h in handles]
+    assert all(h.finish_reason in ("stop", "length") for h in handles)
+    assert len(outs) == 9
+    # determinism: same prompt resubmitted gives the same output
+    again = batched.submit("req 0", max_tokens=6, sampler=GREEDY).text(timeout=120)
+    assert again == outs[0]
+
+
+def test_admission_control(tiny_model_path):
+    eng = Engine.load(tiny_model_path,
+                      EngineConfig(weight_mode="dequant", max_batch=1))
+    be = BatchedEngine(eng.runner, eng.tokenizer, max_queue=2)
+    try:
+        h1 = be.submit("a", max_tokens=64, sampler=GREEDY)
+        h2 = be.submit("b", max_tokens=64, sampler=GREEDY)
+        with pytest.raises(RuntimeError, match="queue full"):
+            for _ in range(8):
+                be.submit("c", max_tokens=64, sampler=GREEDY)
+        h1.text(timeout=240)
+        h2.text(timeout=240)
+        assert be.stats.rejected >= 1
+    finally:
+        be.shutdown()
+
+
+def test_stop_pattern_in_batched(batched):
+    # force a stop pattern hit by stopping on a piece of the greedy output
+    ref = batched.submit("Hello there", max_tokens=12, sampler=GREEDY).text(timeout=120)
+    if len(ref) > 4:
+        stop = ref[2:5]
+        out = batched.submit("Hello there", max_tokens=12, sampler=GREEDY,
+                             stop=[stop]).text(timeout=120)
+        assert stop not in out
+        assert out == ref[: ref.index(stop)]
+
+
+def test_stats(batched):
+    assert batched.stats.decode_tokens > 0
+    assert batched.stats.decode_tps >= 0
+
+
+# -- _StopBuffer unit ---------------------------------------------------------
+
+def test_stop_buffer_exact_and_split():
+    sb = _StopBuffer(["END"])
+    out, hit = sb.push("hello E")
+    assert out == "hello " and not hit
+    out, hit = sb.push("N")
+    assert out == "" and not hit
+    out, hit = sb.push("D tail")
+    assert hit and out == ""
+
+
+def test_stop_buffer_no_false_hold():
+    sb = _StopBuffer(["xyz"])
+    out, hit = sb.push("abc")
+    assert out == "abc" and not hit
+    assert sb.flush() == ""
