@@ -36,10 +36,39 @@ class ChatTemplate:
             return cls("llama2")
         return cls("plain")
 
+    @property
+    def stop(self) -> tuple[str, ...]:
+        """Style-specific stop strings (safety net on top of EOG tokens)."""
+        return {
+            "chatml": ("<|im_end|>",),
+            "llama3": ("<|eot_id|>",),
+            "gemma": ("<end_of_turn>",),
+            "phi": ("<|end|>",),
+            "plain": ("\nUser:",),
+        }.get(self.style, ())
+
     def render(self, messages: Sequence[dict[str, Any]],
-               add_generation_prompt: bool = True) -> str:
+               add_generation_prompt: bool = True,
+               tools: Sequence[dict] | None = None) -> str:
         if self.style == "jinja":
-            return self._render_jinja(messages, add_generation_prompt)
+            return self._render_jinja(messages, add_generation_prompt, tools)
+        if tools:
+            # non-jinja fallback: describe tools in a system message
+            # (parity: format_chat_messages tool handling, handlers.rs:707+)
+            import json as _json
+
+            desc = (
+                "You have access to the following tools. To call one, "
+                "respond ONLY with JSON of the form "
+                '{"name": <tool name>, "arguments": <args object>}.\n'
+                + "\n".join(
+                    f"- {t['function']['name']}: "
+                    f"{t['function'].get('description', '')} "
+                    f"parameters: {_json.dumps(t['function'].get('parameters', {}))}"
+                    for t in tools
+                )
+            )
+            messages = [{"role": "system", "content": desc}] + list(messages)
         if self.style == "chatml":
             out = []
             for m in messages:
@@ -96,7 +125,8 @@ class ChatTemplate:
             out.append("Assistant:")
         return "".join(out)
 
-    def _render_jinja(self, messages, add_generation_prompt: bool) -> str:
+    def _render_jinja(self, messages, add_generation_prompt: bool,
+                      tools=None) -> str:
         import jinja2
 
         env = jinja2.Environment(
@@ -110,7 +140,7 @@ class ChatTemplate:
             messages=list(messages),
             add_generation_prompt=add_generation_prompt,
             bos_token="", eos_token="",
-            tools=None,
+            tools=list(tools) if tools else None,
         )
 
 

@@ -1,0 +1,515 @@
+"""OpenAI-compatible HTTP server (aiohttp) over the continuous-batching engine.
+
+Parity target: /root/reference/src/server/ (api.rs:36 run_server,
+handlers.rs:163-1306, types.rs:8-318): /v1/chat/completions (tools +
+tool_choice + streaming), /v1/completions, /v1/embeddings, /v1/models,
+/health, queue status, model hot-load + SIGHUP reload. Two deliberate
+improvements over the reference:
+
+  * requests share the BatchedEngine's batched decode step (the reference
+    runs N independent sequential generations behind a semaphore,
+    handlers.rs:58-97), and
+  * streaming is TRUE token streaming over SSE — the reference generates the
+    whole completion first and replays it as chunks (handlers.rs:352-361).
+
+Tool calls are grammar-constrained: when tool_choice forces a call, decoding
+runs under a JSON-schema grammar built from the tool's parameters, so the
+arguments always parse.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import signal
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ..engine.batched import BatchedEngine, RequestHandle
+from ..engine.engine import Engine, EngineConfig
+from ..sampling.sampler import SamplerConfig
+
+log = logging.getLogger(__name__)
+
+try:
+    from aiohttp import web
+except ImportError:  # pragma: no cover
+    web = None
+
+
+@dataclass
+class ServerConfig:
+    host: str = "127.0.0.1"
+    port: int = 8080
+    model_path: str | None = None
+    max_batch: int = 8
+    max_queue: int = 64
+    max_tokens_default: int = 512
+    weight_mode: str = "quant"
+    api_keys: list[str] = field(default_factory=list)
+    served_model_name: str | None = None
+
+
+class ServerState:
+    """Model + scheduler, swappable under a lock for hot reload
+    (parity: AppState RwLocks + SIGHUP task, api.rs:92-105)."""
+
+    def __init__(self, config: ServerConfig):
+        self.config = config
+        self.engine: Engine | None = None
+        self.batched: BatchedEngine | None = None
+        self.model_name = config.served_model_name or "unloaded"
+        self.loaded_at = 0.0
+        self.lock = threading.RLock()
+        if config.model_path:
+            self.load_model(config.model_path)
+
+    def load_model(self, path: str) -> None:
+        cfg = EngineConfig(max_batch=self.config.max_batch,
+                           weight_mode=self.config.weight_mode)
+        engine = Engine.load(path, cfg)
+        batched = BatchedEngine(engine.runner, engine.tokenizer,
+                                max_queue=self.config.max_queue)
+        with self.lock:
+            old = self.batched
+            self.engine = engine
+            self.batched = batched
+            self.model_name = (self.config.served_model_name
+                               or path.rsplit("/", 1)[-1])
+            self.config.model_path = path
+            self.loaded_at = time.time()
+        if old is not None:
+            old.shutdown(wait=False)
+        log.info("model loaded: %s", self.model_name)
+
+    def reload(self) -> None:
+        if self.config.model_path:
+            self.load_model(self.config.model_path)
+
+    def shutdown(self) -> None:
+        if self.batched is not None:
+            self.batched.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# request parsing helpers
+# ---------------------------------------------------------------------------
+
+
+def _sampler_from_request(body: dict) -> SamplerConfig:
+    return SamplerConfig(
+        temperature=float(body.get("temperature", 0.8)),
+        top_p=float(body.get("top_p", 0.95)),
+        top_k=int(body.get("top_k", 40)),
+        min_p=float(body.get("min_p", 0.0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.1)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        seed=body.get("seed"),
+    )
+
+
+def _stop_list(body: dict) -> list[str]:
+    stop = body.get("stop")
+    if stop is None:
+        return []
+    return [stop] if isinstance(stop, str) else list(stop)
+
+
+def _max_tokens(body: dict, default: int) -> int:
+    return int(body.get("max_completion_tokens")
+               or body.get("max_tokens") or default)
+
+
+def _usage(handle: RequestHandle) -> dict:
+    return {
+        "prompt_tokens": handle.prompt_tokens,
+        "completion_tokens": handle.completion_tokens,
+        "total_tokens": handle.prompt_tokens + handle.completion_tokens,
+    }
+
+
+def _tool_call_grammar(tools: list[dict], tool_choice) -> dict | None:
+    """Build a JSON schema that constrains output to a valid tool call."""
+    names = [t["function"]["name"] for t in tools]
+    if isinstance(tool_choice, dict):
+        forced = tool_choice.get("function", {}).get("name")
+        tools = [t for t in tools if t["function"]["name"] == forced] or tools
+        names = [t["function"]["name"] for t in tools]
+    variants = []
+    for t in tools:
+        fn = t["function"]
+        variants.append({
+            "type": "object",
+            "properties": {
+                "name": {"const": fn["name"]},
+                "arguments": fn.get("parameters") or {"type": "object"},
+            },
+            "required": ["name", "arguments"],
+        })
+    return {"anyOf": variants} if len(variants) > 1 else variants[0]
+
+
+def _parse_tool_output(text: str) -> list[dict] | None:
+    try:
+        d = json.loads(text)
+        return [{
+            "id": "call_" + uuid.uuid4().hex[:12],
+            "type": "function",
+            "function": {"name": d["name"],
+                         "arguments": json.dumps(d["arguments"])},
+        }]
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# async bridge: pump a blocking RequestHandle into an asyncio queue
+# ---------------------------------------------------------------------------
+
+
+async def _stream_pieces(handle: RequestHandle):
+    """Async-iterate text pieces from a scheduler handle."""
+    loop = asyncio.get_running_loop()
+    q: asyncio.Queue = asyncio.Queue()
+
+    def pump():
+        try:
+            for piece in handle.stream(timeout=600):
+                loop.call_soon_threadsafe(q.put_nowait, ("piece", piece))
+            loop.call_soon_threadsafe(q.put_nowait, ("done", None))
+        except Exception as exc:  # pragma: no cover
+            loop.call_soon_threadsafe(q.put_nowait, ("error", exc))
+
+    threading.Thread(target=pump, daemon=True).start()
+    while True:
+        kind, payload = await q.get()
+        if kind == "piece":
+            yield payload
+        elif kind == "error":
+            raise payload
+        else:
+            return
+
+
+# ---------------------------------------------------------------------------
+# handlers
+# ---------------------------------------------------------------------------
+
+
+def _err(status: int, message: str, etype: str = "invalid_request_error"):
+    return web.json_response(
+        {"error": {"message": message, "type": etype}}, status=status
+    )
+
+
+def _check_auth(state: ServerState, request) -> bool:
+    keys = state.config.api_keys
+    if not keys:
+        return True
+    auth = request.headers.get("Authorization", "")
+    return auth.removeprefix("Bearer ").strip() in keys
+
+
+def create_app(state: ServerState) -> "web.Application":
+    if web is None:  # pragma: no cover
+        raise RuntimeError("aiohttp is not available")
+    app = web.Application()
+    app["state"] = state
+
+    def require_model(handler):
+        async def wrapped(request):
+            st: ServerState = request.app["state"]
+            if not _check_auth(st, request):
+                return _err(401, "invalid API key", "authentication_error")
+            if st.batched is None:
+                return _err(503, "no model loaded", "service_unavailable")
+            return await handler(request)
+        return wrapped
+
+    # -- info -----------------------------------------------------------------
+
+    async def health(request):
+        st: ServerState = request.app["state"]
+        return web.json_response({
+            "status": "ok" if st.batched is not None else "no_model",
+            "model": st.model_name,
+        })
+
+    async def models(request):
+        st: ServerState = request.app["state"]
+        data = []
+        if st.batched is not None:
+            data.append({"id": st.model_name, "object": "model",
+                         "created": int(st.loaded_at),
+                         "owned_by": "llama_gguf_tpu"})
+        return web.json_response({"object": "list", "data": data})
+
+    async def queue_status(request):
+        st: ServerState = request.app["state"]
+        b = st.batched
+        return web.json_response({
+            "active": b.active_count if b else 0,
+            "queued": b.queued_count if b else 0,
+            "max_batch": st.config.max_batch,
+            "max_queue": st.config.max_queue,
+            "stats": {
+                "submitted": b.stats.submitted if b else 0,
+                "completed": b.stats.completed if b else 0,
+                "rejected": b.stats.rejected if b else 0,
+                "decode_tokens": b.stats.decode_tokens if b else 0,
+            },
+        })
+
+    # -- completions ------------------------------------------------------------
+
+    @require_model
+    async def completions(request):
+        st: ServerState = request.app["state"]
+        try:
+            body = await request.json()
+        except Exception:
+            return _err(400, "invalid JSON body")
+        prompt = body.get("prompt")
+        if prompt is None:
+            return _err(400, "missing 'prompt'")
+        if isinstance(prompt, list):
+            prompt = "".join(prompt) if all(
+                isinstance(p, str) for p in prompt) else prompt
+        try:
+            handle = st.batched.submit(
+                prompt,
+                max_tokens=_max_tokens(body, st.config.max_tokens_default),
+                sampler=_sampler_from_request(body),
+                stop=_stop_list(body),
+            )
+        except RuntimeError as e:
+            return _err(429, str(e), "rate_limit_exceeded")
+
+        rid = "cmpl-" + uuid.uuid4().hex[:24]
+        created = int(time.time())
+        if body.get("stream"):
+            return await _sse(request, _completion_chunks(
+                st, rid, created, handle))
+        text = await asyncio.to_thread(handle.text, 600)
+        return web.json_response({
+            "id": rid, "object": "text_completion", "created": created,
+            "model": st.model_name,
+            "choices": [{"index": 0, "text": text,
+                         "finish_reason": handle.finish_reason,
+                         "logprobs": None}],
+            "usage": _usage(handle),
+        })
+
+    async def _completion_chunks(st, rid, created, handle):
+        async for piece in _stream_pieces(handle):
+            yield {
+                "id": rid, "object": "text_completion", "created": created,
+                "model": st.model_name,
+                "choices": [{"index": 0, "text": piece,
+                             "finish_reason": None, "logprobs": None}],
+            }
+        yield {
+            "id": rid, "object": "text_completion", "created": created,
+            "model": st.model_name,
+            "choices": [{"index": 0, "text": "",
+                         "finish_reason": handle.finish_reason,
+                         "logprobs": None}],
+            "usage": _usage(handle),
+        }
+
+    # -- chat ---------------------------------------------------------------------
+
+    @require_model
+    async def chat_completions(request):
+        st: ServerState = request.app["state"]
+        try:
+            body = await request.json()
+        except Exception:
+            return _err(400, "invalid JSON body")
+        messages = body.get("messages")
+        if not messages:
+            return _err(400, "missing 'messages'")
+
+        tools = body.get("tools") or []
+        tool_choice = body.get("tool_choice", "auto" if tools else "none")
+        response_format = body.get("response_format") or {}
+
+        prompt = st.engine.chat_template.render(messages, tools=tools or None)
+
+        grammar = None
+        forcing_tool = bool(tools) and tool_choice not in ("none", None) and (
+            tool_choice == "required" or isinstance(tool_choice, dict)
+        )
+        if forcing_tool:
+            schema = _tool_call_grammar(tools, tool_choice)
+            grammar = await asyncio.to_thread(_make_grammar, st, schema)
+        elif response_format.get("type") == "json_object":
+            grammar = await asyncio.to_thread(_make_grammar, st, None)
+        elif response_format.get("type") == "json_schema":
+            schema = response_format.get("json_schema", {}).get("schema", {})
+            grammar = await asyncio.to_thread(_make_grammar, st, schema)
+
+        try:
+            handle = st.batched.submit(
+                prompt,
+                max_tokens=_max_tokens(body, st.config.max_tokens_default),
+                sampler=_sampler_from_request(body),
+                stop=_stop_list(body) + list(st.engine.chat_template.stop),
+                grammar=grammar,
+            )
+        except RuntimeError as e:
+            return _err(429, str(e), "rate_limit_exceeded")
+
+        rid = "chatcmpl-" + uuid.uuid4().hex[:24]
+        created = int(time.time())
+        if body.get("stream"):
+            return await _sse(request, _chat_chunks(st, rid, created, handle))
+
+        text = await asyncio.to_thread(handle.text, 600)
+        message: dict[str, Any] = {"role": "assistant", "content": text}
+        finish = handle.finish_reason
+        if forcing_tool:
+            calls = _parse_tool_output(text)
+            if calls:
+                message = {"role": "assistant", "content": None,
+                           "tool_calls": calls}
+                finish = "tool_calls"
+        return web.json_response({
+            "id": rid, "object": "chat.completion", "created": created,
+            "model": st.model_name,
+            "choices": [{"index": 0, "message": message,
+                         "finish_reason": finish}],
+            "usage": _usage(handle),
+        })
+
+    async def _chat_chunks(st, rid, created, handle):
+        yield {
+            "id": rid, "object": "chat.completion.chunk", "created": created,
+            "model": st.model_name,
+            "choices": [{"index": 0, "delta": {"role": "assistant",
+                                               "content": ""},
+                         "finish_reason": None}],
+        }
+        async for piece in _stream_pieces(handle):
+            yield {
+                "id": rid, "object": "chat.completion.chunk",
+                "created": created, "model": st.model_name,
+                "choices": [{"index": 0, "delta": {"content": piece},
+                             "finish_reason": None}],
+            }
+        yield {
+            "id": rid, "object": "chat.completion.chunk", "created": created,
+            "model": st.model_name,
+            "choices": [{"index": 0, "delta": {},
+                         "finish_reason": handle.finish_reason}],
+            "usage": _usage(handle),
+        }
+
+    # -- embeddings ------------------------------------------------------------
+
+    @require_model
+    async def embeddings(request):
+        st: ServerState = request.app["state"]
+        try:
+            body = await request.json()
+        except Exception:
+            return _err(400, "invalid JSON body")
+        inputs = body.get("input")
+        if inputs is None:
+            return _err(400, "missing 'input'")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+
+        def run():
+            out = []
+            for i, text in enumerate(inputs):
+                vec = st.engine.embed(text)
+                out.append({"object": "embedding", "index": i,
+                            "embedding": np.asarray(vec, np.float32).tolist()})
+            return out
+
+        data = await asyncio.to_thread(run)
+        total = sum(len(st.engine.tokenizer.encode(t)) for t in inputs)
+        return web.json_response({
+            "object": "list", "data": data, "model": st.model_name,
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
+
+    # -- admin -------------------------------------------------------------------
+
+    async def load_model(request):
+        st: ServerState = request.app["state"]
+        if not _check_auth(st, request):
+            return _err(401, "invalid API key", "authentication_error")
+        try:
+            body = await request.json()
+            path = body["model_path"]
+        except Exception:
+            return _err(400, "missing 'model_path'")
+        try:
+            await asyncio.to_thread(st.load_model, path)
+        except Exception as e:
+            return _err(500, f"load failed: {e}", "server_error")
+        return web.json_response({"status": "loaded", "model": st.model_name})
+
+    app.router.add_get("/health", health)
+    app.router.add_get("/v1/models", models)
+    app.router.add_get("/v1/queue", queue_status)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_post("/v1/embeddings", embeddings)
+    app.router.add_post("/v1/internal/load_model", load_model)
+    return app
+
+
+def _make_grammar(st: ServerState, schema: dict | None):
+    from ..sampling.grammar import json_grammar
+    return st.engine.make_grammar_sampler(json_grammar(schema))
+
+
+async def _sse(request, chunks) -> "web.StreamResponse":
+    """Server-sent events response: one `data:` frame per chunk + [DONE]."""
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+        "Connection": "keep-alive",
+    })
+    await resp.prepare(request)
+    try:
+        async for chunk in chunks:
+            await resp.write(
+                b"data: " + json.dumps(chunk).encode() + b"\n\n"
+            )
+        await resp.write(b"data: [DONE]\n\n")
+    except (ConnectionResetError, asyncio.CancelledError):
+        pass
+    await resp.write_eof()
+    return resp
+
+
+def run_server(config: ServerConfig) -> None:
+    """Blocking entry point (parity: run_server, api.rs:36). SIGHUP reloads
+    the model in place (api.rs:105)."""
+    state = ServerState(config)
+    app = create_app(state)
+
+    try:
+        loop = asyncio.new_event_loop()
+        loop.add_signal_handler(
+            signal.SIGHUP,
+            lambda: threading.Thread(target=state.reload, daemon=True).start(),
+        )
+        asyncio.set_event_loop(loop)
+    except (NotImplementedError, RuntimeError):  # pragma: no cover
+        loop = None
+
+    log.info("serving on http://%s:%d", config.host, config.port)
+    web.run_app(app, host=config.host, port=config.port,
+                loop=loop, print=None)

@@ -1,0 +1,223 @@
+"""HTTP server integration tests: a REAL aiohttp server on an ephemeral
+localhost port (the same pattern as the reference's
+tests/distributed_integration_test.rs localhost gRPC shards), exercised with
+plain HTTP requests including true SSE streaming."""
+
+import json
+import socket
+import threading
+import time
+
+import pytest
+import requests
+
+from fixtures import make_tiny_model
+from llama_gguf_tpu.server.app import ServerConfig, ServerState, create_app
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from aiohttp import web
+    import asyncio
+
+    path = str(tmp_path_factory.mktemp("srv") / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    cfg = ServerConfig(model_path=path, port=_free_port(), max_batch=2,
+                       weight_mode="dequant", max_tokens_default=16)
+    state = ServerState(cfg)
+    app = create_app(state)
+
+    loop = asyncio.new_event_loop()
+    runner = web.AppRunner(app)
+
+    async def start():
+        await runner.setup()
+        site = web.TCPSite(runner, cfg.host, cfg.port)
+        await site.start()
+
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(start(), loop).result(timeout=30)
+    base = f"http://{cfg.host}:{cfg.port}"
+    # wait until healthy
+    for _ in range(50):
+        try:
+            if requests.get(base + "/health", timeout=2).status_code == 200:
+                break
+        except requests.ConnectionError:
+            time.sleep(0.1)
+    yield base, state
+    asyncio.run_coroutine_threadsafe(runner.cleanup(), loop).result(timeout=10)
+    loop.call_soon_threadsafe(loop.stop)
+    state.shutdown()
+
+
+def test_health_and_models(server):
+    base, _ = server
+    h = requests.get(base + "/health").json()
+    assert h["status"] == "ok"
+    m = requests.get(base + "/v1/models").json()
+    assert m["object"] == "list" and len(m["data"]) == 1
+    assert m["data"][0]["id"].endswith(".gguf")
+
+
+def test_completions(server):
+    base, _ = server
+    r = requests.post(base + "/v1/completions", json={
+        "prompt": "Once upon", "max_tokens": 8, "temperature": 0.0,
+    })
+    assert r.status_code == 200, r.text
+    d = r.json()
+    assert d["object"] == "text_completion"
+    assert d["choices"][0]["finish_reason"] in ("stop", "length")
+    assert d["usage"]["prompt_tokens"] > 0
+    assert d["usage"]["total_tokens"] == (
+        d["usage"]["prompt_tokens"] + d["usage"]["completion_tokens"])
+
+
+def test_chat_completions(server):
+    base, _ = server
+    r = requests.post(base + "/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 8, "temperature": 0.0,
+    })
+    assert r.status_code == 200, r.text
+    d = r.json()
+    assert d["object"] == "chat.completion"
+    assert d["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_chat_streaming_sse(server):
+    base, _ = server
+    r = requests.post(base + "/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "stream"}],
+        "max_tokens": 8, "temperature": 0.0, "stream": True,
+    }, stream=True)
+    assert r.status_code == 200
+    assert r.headers["Content-Type"].startswith("text/event-stream")
+    events = []
+    for line in r.iter_lines():
+        if line.startswith(b"data: "):
+            payload = line[6:]
+            if payload == b"[DONE]":
+                events.append("DONE")
+                break
+            events.append(json.loads(payload))
+    assert events[-1] == "DONE"
+    chunks = events[:-1]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    assert "usage" in chunks[-1]
+
+
+def test_completions_match_nonstream_stream(server):
+    base, _ = server
+    body = {"prompt": "det", "max_tokens": 8, "temperature": 0.0}
+    full = requests.post(base + "/v1/completions", json=body).json()
+    r = requests.post(base + "/v1/completions", json={**body, "stream": True},
+                      stream=True)
+    text = ""
+    for line in r.iter_lines():
+        if line.startswith(b"data: ") and line[6:] != b"[DONE]":
+            d = json.loads(line[6:])
+            text += d["choices"][0]["text"]
+    assert text == full["choices"][0]["text"]
+
+
+def test_embeddings(server):
+    base, _ = server
+    r = requests.post(base + "/v1/embeddings", json={
+        "input": ["hello", "world"],
+    })
+    assert r.status_code == 200, r.text
+    d = r.json()
+    assert len(d["data"]) == 2
+    assert len(d["data"][0]["embedding"]) == 64  # hidden size
+    assert d["usage"]["prompt_tokens"] > 0
+
+
+def test_response_format_json(server):
+    base, _ = server
+    r = requests.post(base + "/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "json"}],
+        "max_tokens": 24, "temperature": 1.0, "seed": 3,
+        "repetition_penalty": 1.0,
+        "response_format": {"type": "json_object"},
+    })
+    assert r.status_code == 200, r.text
+    content = r.json()["choices"][0]["message"]["content"]
+    # must be a JSON prefix at worst; parse if generation completed
+    if r.json()["choices"][0]["finish_reason"] == "stop":
+        json.loads(content)
+
+
+def test_tool_call_constrained(server):
+    base, _ = server
+    r = requests.post(base + "/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "weather in Paris?"}],
+        "max_tokens": 48, "temperature": 1.0, "seed": 0,
+        "repetition_penalty": 1.0,
+        "tools": [{
+            "type": "function",
+            "function": {
+                "name": "get_weather",
+                "description": "Get weather",
+                "parameters": {
+                    "type": "object",
+                    "properties": {"city": {"type": "string"}},
+                    "required": ["city"],
+                },
+            },
+        }],
+        "tool_choice": {"type": "function",
+                        "function": {"name": "get_weather"}},
+    })
+    assert r.status_code == 200, r.text
+    choice = r.json()["choices"][0]
+    if choice["finish_reason"] == "tool_calls":
+        call = choice["message"]["tool_calls"][0]
+        assert call["function"]["name"] == "get_weather"
+        args = json.loads(call["function"]["arguments"])
+        assert isinstance(args.get("city"), str)
+
+
+def test_errors(server):
+    base, _ = server
+    assert requests.post(base + "/v1/completions", json={}).status_code == 400
+    assert requests.post(base + "/v1/chat/completions",
+                         json={}).status_code == 400
+    r = requests.post(base + "/v1/completions", data=b"not json",
+                      headers={"Content-Type": "application/json"})
+    assert r.status_code == 400
+    assert requests.post(base + "/v1/embeddings", json={}).status_code == 400
+
+
+def test_queue_status(server):
+    base, _ = server
+    q = requests.get(base + "/v1/queue").json()
+    assert q["max_batch"] == 2
+    assert q["stats"]["completed"] >= 1
+
+
+def test_hot_reload(server, tmp_path):
+    base, state = server
+    path2 = str(tmp_path / "other.gguf")
+    make_tiny_model(path2, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=99,
+                    tokenizer=True)
+    r = requests.post(base + "/v1/internal/load_model",
+                      json={"model_path": path2})
+    assert r.status_code == 200, r.text
+    assert r.json()["model"] == "other.gguf"
+    # server still serves after reload
+    r2 = requests.post(base + "/v1/completions", json={
+        "prompt": "after reload", "max_tokens": 4, "temperature": 0.0})
+    assert r2.status_code == 200
