@@ -1,0 +1,172 @@
+"""CLI + config tests: every subcommand parses; info/quantize/run/bench/
+embed/init-config/manpages run end-to-end on synthetic models."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures import make_tiny_model
+from llama_gguf_tpu.cli import build_parser, main
+from llama_gguf_tpu.config import Config, example_config
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    return path
+
+
+# -- config ---------------------------------------------------------------------
+
+def test_config_defaults():
+    cfg = Config()
+    assert cfg.server.port == 8080 and cfg.generation.top_k == 40
+
+
+def test_config_toml_and_env(tmp_path, monkeypatch):
+    p = tmp_path / "c.toml"
+    p.write_text("[server]\nport = 9999\n[generation]\ntemperature = 0.1\n")
+    cfg = Config.load(str(p), apply_env=False)
+    assert cfg.server.port == 9999 and cfg.generation.temperature == 0.1
+    monkeypatch.setenv("LLAMA_GGUF_SERVER_PORT", "7777")
+    monkeypatch.setenv("LLAMA_GGUF_GENERATION_STOP", "a,b")
+    cfg2 = Config.load(str(p))
+    assert cfg2.server.port == 7777  # env beats TOML
+    assert cfg2.generation.stop == ["a", "b"]
+
+
+def test_example_config_parses(tmp_path):
+    import tomllib
+
+    data = tomllib.loads(example_config())
+    assert "server" in data and "model" in data
+    p = tmp_path / "ex.toml"
+    p.write_text(example_config())
+    Config.load(str(p), apply_env=False)
+
+
+def test_config_missing_file():
+    with pytest.raises(FileNotFoundError):
+        Config.load("/nonexistent/config.toml")
+
+
+# -- parser ----------------------------------------------------------------------
+
+def test_all_subcommands_parse():
+    ap = build_parser()
+    for argv in (
+        ["info", "m.gguf"],
+        ["run", "m.gguf", "-p", "hi", "-n", "8"],
+        ["chat", "m.gguf", "--system", "s"],
+        ["serve", "m.gguf", "--port", "9"],
+        ["quantize", "a.gguf", "b.gguf", "-t", "q6_k"],
+        ["sysinfo"],
+        ["bench", "m.gguf", "--gen-tokens", "4"],
+        ["embed", "m.gguf", "-p", "x"],
+        ["download", "org/repo", "--list"],
+        ["models"],
+        ["rag", "ingest", "--db", "x.db", "file.txt"],
+        ["rag", "search", "--db", "x.db", "q"],
+        ["init-config", "x.toml"],
+        ["manpages", "--dir", "man"],
+    ):
+        args = ap.parse_args(argv)
+        assert args.command == argv[0]
+
+
+# -- end-to-end subcommands (in-process) -----------------------------------------
+
+def test_cmd_info(model_path, capsys):
+    assert main(["info", model_path]) == 0
+    out = capsys.readouterr().out
+    assert "qwen2" in out and "tensors" in out
+
+
+def test_cmd_info_json(model_path, capsys):
+    assert main(["info", model_path, "--json"]) == 0
+    d = json.loads(capsys.readouterr().out)
+    assert d["tensor_count"] > 0 and d["metadata"]["general.architecture"] == "qwen2"
+
+
+def test_cmd_run(model_path, capsys):
+    rc = main(["run", model_path, "-p", "hello", "-n", "4",
+               "-t", "0", "--weight-mode", "dequant", "--no-stream"])
+    assert rc == 0
+    # synthetic model may emit empty/EOG text; the stats line proves the
+    # prefill+decode loop ran
+    assert "prefill" in capsys.readouterr().err
+
+
+def test_cmd_quantize_roundtrip(model_path, tmp_path, capsys):
+    out = str(tmp_path / "q8.gguf")
+    assert main(["quantize", model_path, out, "-t", "q8_0"]) == 0
+    from llama_gguf_tpu.gguf.reader import GGUFFile
+
+    g = GGUFFile.open(out)
+    types = {i.ggml_type.name for i in g.tensors.values()}
+    assert "Q8_0" in types
+    assert g.metadata["general.architecture"] == "qwen2"
+    g.close()
+    # quantized model still loads and runs
+    rc = main(["run", out, "-p", "hi", "-n", "2", "-t", "0",
+               "--weight-mode", "dequant", "--no-stream"])
+    assert rc == 0
+
+
+def test_cmd_sysinfo(capsys):
+    assert main(["sysinfo"]) == 0
+    out = capsys.readouterr().out
+    assert "devices:" in out
+
+
+def test_cmd_bench(model_path, capsys):
+    rc = main(["bench", model_path, "--prompt-tokens", "8",
+               "--gen-tokens", "4", "--weight-mode", "dequant", "--json"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["decode_tps"] > 0
+
+
+def test_cmd_embed(model_path, capsys):
+    rc = main(["embed", model_path, "-p", "hello", "-p", "world",
+               "--weight-mode", "dequant", "--json"])
+    assert rc == 0
+    vecs = json.loads(capsys.readouterr().out)
+    assert len(vecs) == 2 and len(vecs[0]) == 64
+    n = np.linalg.norm(vecs[0])
+    assert abs(n - 1.0) < 1e-4  # normalized
+
+
+def test_cmd_init_config_and_manpages(tmp_path, capsys):
+    cfg_path = str(tmp_path / "new.toml")
+    assert main(["init-config", cfg_path]) == 0
+    assert os.path.exists(cfg_path)
+    man_dir = str(tmp_path / "man")
+    assert main(["manpages", "--dir", man_dir]) == 0
+    pages = os.listdir(os.path.join(man_dir, "man1"))
+    assert "llama-gguf-tpu.1" in pages
+    assert any("quantize" in p for p in pages)
+    content = open(os.path.join(man_dir, "man1", "llama-gguf-tpu.1")).read()
+    assert ".TH" in content and ".SH NAME" in content
+
+
+def test_cmd_models_empty(tmp_path, capsys):
+    assert main(["models", "--dir", str(tmp_path / "nocache")]) == 0
+
+
+def test_python_m_entrypoint(model_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "llama_gguf_tpu", "info", model_path],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "qwen2" in r.stdout
