@@ -169,9 +169,7 @@ def _engine_config(cfg: Config, args):
     return EngineConfig(
         max_context_len=getattr(args, "ctx", None) or cfg.model.max_context_len,
         weight_mode=getattr(args, "weight_mode", None) or cfg.model.weight_mode,
-        kv_dtype={"bf16": "bfloat16"}.get(
-            getattr(args, "kv_cache_type", None) or cfg.model.kv_cache_type,
-            "float32"),
+        kv_format=getattr(args, "kv_cache_type", None) or cfg.model.kv_cache_type,
         matmul_precision=cfg.model.matmul_precision,
         seed=getattr(args, "seed", None) or cfg.generation.seed,
     )

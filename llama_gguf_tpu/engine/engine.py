@@ -34,9 +34,12 @@ class EngineConfig:
     max_context_len: int | None = None
     max_batch: int = 1
     weight_mode: str = "quant"  # "quant" (fused kernels) | "dequant"
-    kv_dtype: str = "float32"  # float32 | bfloat16
+    kv_dtype: str = "float32"  # float32 | bfloat16 (legacy; see kv_format)
+    kv_format: str | None = None  # f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
     matmul_precision: str = "highest"
     seed: int | None = None
+    prompt_cache: bool = False  # prefix-sharing KV snapshots (LRU)
+    prompt_cache_bytes: int = 2 << 30
 
 
 @dataclass
@@ -64,6 +67,11 @@ class Engine:
         self.gguf = gguf
         self.chat_template = ChatTemplate.detect(tokenizer)
         self.stats = GenerationStats()
+        self.prompt_cache = None
+        if config.prompt_cache:
+            from .prompt_cache import PromptCache
+
+            self.prompt_cache = PromptCache(max_bytes=config.prompt_cache_bytes)
 
     @classmethod
     def load(cls, path: str, config: EngineConfig | None = None) -> "Engine":
@@ -80,6 +88,7 @@ class Engine:
             params, cfg, max_batch=config.max_batch, max_seq=max_seq,
             kv_dtype=jnp.bfloat16 if config.kv_dtype == "bfloat16" else jnp.float32,
             matmul_precision=config.matmul_precision,
+            kv_format=config.kv_format,
         )
         log.info("loaded %s (%s, %d layers, vocab %d) in %.1fs",
                  path, cfg.arch, cfg.num_layers, cfg.vocab_size,
@@ -125,7 +134,13 @@ class Engine:
 
         t0 = time.time()
         kv = self.runner.init_kv()
-        logits, kv, pos = self.runner.prefill(ids, kv)
+        shared = 0
+        if self.prompt_cache is not None:
+            kv, shared = self.prompt_cache.restore(ids, kv)
+        logits, kv, pos = self.runner.prefill(ids[shared:], kv,
+                                              start_pos=shared)
+        if self.prompt_cache is not None:
+            self.prompt_cache.put(ids, kv)
         self.stats.prefill_time = time.time() - t0
 
         decoder = self.tokenizer.streaming_decoder()

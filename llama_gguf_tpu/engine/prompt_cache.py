@@ -1,0 +1,137 @@
+"""Prompt cache: prefix-sharing KV snapshots with LRU eviction.
+
+Parity target: /root/reference/src/model/cache.rs:92-231 (PromptCache —
+KV snapshots keyed by token hash, longest-prefix match at cache.rs:164, LRU
+by memory budget). TPU-native twist: snapshots are host numpy copies of one
+batch row of the [L,B,S,H,D] cache (device HBM stays free), restored with a
+single device_put + scatter when a new prompt shares the prefix; prefill then
+continues from the shared length.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class _Entry:
+    tokens: tuple[int, ...]
+    arrays: dict[str, np.ndarray]  # key -> [L, len(tokens), ...] host copy
+    nbytes: int
+    last_used: float = field(default_factory=time.monotonic)
+    hits: int = 0
+
+
+@dataclass
+class PromptCacheStats:
+    hits: int = 0
+    misses: int = 0
+    evictions: int = 0
+    stored: int = 0
+
+    @property
+    def hit_rate(self) -> float:
+        total = self.hits + self.misses
+        return self.hits / total if total else 0.0
+
+
+class PromptCache:
+    """LRU cache of KV prefixes on host memory."""
+
+    def __init__(self, max_bytes: int = 2 << 30, min_prefix: int = 8):
+        self.max_bytes = max_bytes
+        self.min_prefix = min_prefix
+        self._entries: dict[tuple[int, ...], _Entry] = {}
+        self._bytes = 0
+        self.stats = PromptCacheStats()
+
+    # -- store --------------------------------------------------------------------
+
+    def put(self, tokens: list[int], kv: dict[str, Any],
+            batch_idx: int = 0) -> None:
+        """Snapshot the first len(tokens) positions of one batch row."""
+        key = tuple(tokens)
+        if len(key) < self.min_prefix or key in self._entries:
+            return
+        t = len(key)
+        arrays = {}
+        nbytes = 0
+        for name, a in kv.items():
+            host = np.asarray(a[:, batch_idx, :t])
+            arrays[name] = host
+            nbytes += host.nbytes
+        if nbytes > self.max_bytes:
+            return
+        self._evict_to(self.max_bytes - nbytes)
+        self._entries[key] = _Entry(key, arrays, nbytes)
+        self._bytes += nbytes
+        self.stats.stored += 1
+
+    # -- lookup -------------------------------------------------------------------
+
+    def longest_prefix(self, tokens: list[int]) -> _Entry | None:
+        """Longest cached entry that is a strict prefix of ``tokens``
+        (parity: cache.rs:164)."""
+        best: _Entry | None = None
+        t = tuple(tokens)
+        for key, entry in self._entries.items():
+            n = len(key)
+            if n <= len(t) and t[:n] == key:
+                if best is None or n > len(best.tokens):
+                    best = entry
+        return best
+
+    def restore(self, tokens: list[int], kv: dict[str, Any],
+                batch_idx: int = 0) -> tuple[dict[str, Any], int]:
+        """Restore the longest cached prefix into one batch row.
+
+        Returns (kv', shared_len); prefill should continue from shared_len.
+        A full match restores len-1 so the caller still has a last token to
+        feed for logits."""
+        entry = self.longest_prefix(tokens)
+        if entry is None:
+            self.stats.misses += 1
+            return kv, 0
+        n = len(entry.tokens)
+        if n >= len(tokens):
+            n = len(tokens) - 1
+            if n <= 0:
+                self.stats.misses += 1
+                return kv, 0
+        entry.last_used = time.monotonic()
+        entry.hits += 1
+        self.stats.hits += 1
+        out = dict(kv)
+        for name, host in entry.arrays.items():
+            dev = jnp.asarray(host[:, :n])
+            out[name] = out[name].at[:, batch_idx, :n].set(
+                dev.astype(out[name].dtype))
+        return out, n
+
+    # -- eviction -----------------------------------------------------------------
+
+    def _evict_to(self, budget: int) -> None:
+        while self._bytes > max(budget, 0) and self._entries:
+            lru_key = min(self._entries,
+                          key=lambda k: self._entries[k].last_used)
+            e = self._entries.pop(lru_key)
+            self._bytes -= e.nbytes
+            self.stats.evictions += 1
+
+    def clear(self) -> None:
+        self._entries.clear()
+        self._bytes = 0
+
+    @property
+    def entry_count(self) -> int:
+        return len(self._entries)
+
+    @property
+    def memory_bytes(self) -> int:
+        return self._bytes

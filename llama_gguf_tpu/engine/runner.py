@@ -39,14 +39,22 @@ def bucket_len(t: int) -> int:
 class ModelRunner:
     def __init__(self, params: dict, cfg: ModelConfig, max_batch: int = 1,
                  max_seq: int | None = None, kv_dtype=jnp.float32,
-                 matmul_precision: str = "highest"):
+                 matmul_precision: str = "highest",
+                 kv_format: str | None = None):
         """``matmul_precision``: "highest" gives f32-accurate MXU matmuls for
-        llama.cpp parity; "default" allows bf16 passes for speed."""
+        llama.cpp parity; "default" allows bf16 passes for speed.
+        ``kv_format``: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2 KV-cache storage
+        (i8/f8 quarter the KV HBM footprint; see models/kv.py)."""
         self.params = params
-        self.cfg = cfg
+        if kv_format is None:
+            kv_format = "bf16" if kv_dtype == jnp.bfloat16 else "f32"
+        import dataclasses
+
+        self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format)
         self.max_batch = max_batch
         self.max_seq = max_seq or cfg.max_seq_len
         self.kv_dtype = kv_dtype
+        self.kv_format = kv_format
         self.matmul_precision = matmul_precision
         self._steps: dict[tuple[int, int], Any] = {}
 
@@ -56,7 +64,7 @@ class ModelRunner:
         b = batch or self.max_batch
         cache = KV.init_cache(
             self.cfg.num_layers, b, self.max_seq, self.cfg.num_kv_heads,
-            self.cfg.head_dim, dtype=self.kv_dtype,
+            self.cfg.head_dim, dtype=self.kv_dtype, fmt=self.kv_format,
             v_head_dim=self.cfg.value_length or self.cfg.head_dim,
         )
         if any(k == "deltanet" for k in (self.cfg.layer_kinds or ())):
@@ -132,23 +140,24 @@ class ModelRunner:
 
     # -- convenience: single-sequence prefill + decode -----------------------
 
-    def prefill(self, token_ids: list[int], kv: dict,
-                batch_idx: int = 0) -> tuple[jnp.ndarray, dict, int]:
+    def prefill(self, token_ids: list[int], kv: dict, batch_idx: int = 0,
+                start_pos: int = 0) -> tuple[jnp.ndarray, dict, int]:
         """Prefill one sequence (padded to a bucket). Returns (last-token
-        logits [V], kv, seq_len)."""
+        logits [V], kv, seq_len). ``start_pos`` > 0 continues from a shared
+        KV prefix (prompt cache): token_ids are the suffix only."""
         t = len(token_ids)
         bt = bucket_len(t)
         b = KV.cache_shape(kv)[1]
         toks = np.zeros((b, bt), np.int32)
         toks[batch_idx, :t] = token_ids
         pos = np.full((b, bt), self.max_seq, np.int32)  # OOB -> dropped
-        pos[batch_idx, :t] = np.arange(t)
+        pos[batch_idx, :t] = start_pos + np.arange(t)
         lengths = np.zeros((b,), np.int32)
-        lengths[batch_idx] = t
+        lengths[batch_idx] = start_pos + t
         logits, kv = self.step(
             jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(lengths), kv
         )
-        return logits[batch_idx, t - 1], kv, t
+        return logits[batch_idx, t - 1], kv, start_pos + t
 
     def decode_one(self, token_id: int, pos: int, kv: dict,
                    batch_idx: int = 0) -> tuple[jnp.ndarray, dict]:

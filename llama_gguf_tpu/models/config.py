@@ -87,6 +87,9 @@ class ModelConfig:
     uses_qk_norm: bool = False
     has_post_ffn_norm: bool = False
     embedding_scale: float = 1.0  # Gemma: sqrt(hidden_size)
+    # runtime KV-cache storage format: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
+    # (static — baked into the jitted step; set by the runner, not the GGUF)
+    kv_format: str = "f32"
     arch_info: ArchInfo | None = None
     # per-layer kind for hybrid models ("attn" | "deltanet" | "mamba");
     # empty tuple = all attention. Static — used to specialize the jitted step.

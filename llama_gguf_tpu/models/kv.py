@@ -1,13 +1,24 @@
 """KV cache as a functional pytree, designed for jit donation.
 
 The reference mutates per-layer Vec<Tensor> caches in place
-(/root/reference/src/model/mod.rs:64-178). The TPU-native design is a single
-stacked pair of arrays [L, B, S, H_kv, D] threaded through the jitted step
-with buffer donation, so XLA updates it in place in HBM without copies.
+(/root/reference/src/model/mod.rs:64-178) and has three separate cache
+implementations: f32, quantized INT8/FP8 (kv_quantized.rs:11-728) and
+TurboQuant (kv_turboquant.rs). The TPU-native design is one stacked pytree
+[L, B, S, H_kv, D] threaded through the jitted step with buffer donation, so
+XLA updates it in place in HBM, with the storage format a *static* choice
+baked into the compiled step:
+
+  f32 / bf16       — plain dense cache
+  i8               — per-(position, head) symmetric int8 scales, the analogue
+                     of KVCacheFormat::Int8 (kv_quantized.rs:11) — 4x smaller
+                     than f32; dequantized on read (fused into attention)
+  f8_e4m3 / f8_e5m2 — native float8 dtypes on TPU, the analogue of
+                     KVCacheFormat::Fp8E4M3/Fp8E5M2; 4x smaller, no scales
 
 Sequence bookkeeping (lengths/positions) lives with the caller; truncate and
-shift-left (context shift) become index arithmetic on positions instead of
-memmoves, and `reset` is just zeroing lengths.
+reset are index arithmetic, and shift_left (context shift) re-rotates the
+stored keys by the RoPE delta — exact, unlike the reference's plain memmove
+(model/mod.rs:142) which leaves keys rotated for their old positions.
 """
 
 from __future__ import annotations
@@ -17,31 +28,87 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+FORMATS = ("f32", "bf16", "i8", "f8_e4m3", "f8_e5m2")
+
+_STORE_DTYPE = {
+    "f32": jnp.float32,
+    "bf16": jnp.bfloat16,
+    "i8": jnp.int8,
+    "f8_e4m3": jnp.float8_e4m3fn,
+    "f8_e5m2": jnp.float8_e5m2,
+}
+
 
 def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
-               head_dim: int, dtype=jnp.float32,
-               v_head_dim: int | None = None) -> dict[str, Any]:
+               head_dim: int, dtype=jnp.float32, v_head_dim: int | None = None,
+               fmt: str | None = None) -> dict[str, Any]:
+    """Create an empty cache. ``fmt`` picks the storage format; the legacy
+    ``dtype`` arg maps f32/bf16 when fmt is not given."""
+    if fmt is None:
+        fmt = "bf16" if dtype == jnp.bfloat16 else "f32"
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown kv format {fmt!r} (one of {FORMATS})")
     vd = head_dim if v_head_dim is None else v_head_dim
-    return {
-        "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads, head_dim), dtype),
-        "v": jnp.zeros((num_layers, batch, max_seq, num_kv_heads, vd), dtype),
+    store = _STORE_DTYPE[fmt]
+    kv: dict[str, Any] = {
+        "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads, head_dim), store),
+        "v": jnp.zeros((num_layers, batch, max_seq, num_kv_heads, vd), store),
     }
+    if fmt == "i8":
+        kv["k_scale"] = jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
+                                  jnp.float32)
+        kv["v_scale"] = jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
+                                  jnp.float32)
+    return kv
 
 
 def cache_shape(kv: dict[str, Any]) -> tuple[int, int, int, int, int]:
     return tuple(kv["k"].shape)
 
 
+def cache_format(kv: dict[str, Any]) -> str:
+    dt = kv["k"].dtype
+    if dt == jnp.int8:
+        return "i8"
+    if dt == jnp.float8_e4m3fn:
+        return "f8_e4m3"
+    if dt == jnp.float8_e5m2:
+        return "f8_e5m2"
+    return "bf16" if dt == jnp.bfloat16 else "f32"
+
+
+def _quantize_i8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(token, head) int8: x [B,T,H,D] -> (q, scale [B,T,H])."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(x * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
 def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
           positions: jnp.ndarray) -> dict[str, Any]:
     """Scatter new K/V at per-token positions.
 
-    k/v: [B, T, H_kv, D]; positions: [B, T] int32 -> updated cache.
+    k/v: [B, T, H_kv, D] float; positions: [B, T] int32 -> updated cache.
     Padding slots use an out-of-range position (>= max_seq) and are DROPPED
     by the scatter, so they can never clobber live cache entries.
     """
+    fmt = cache_format(kv)
     b_idx = jnp.arange(k.shape[0])[:, None]
     kv = dict(kv)
+    if fmt == "i8":
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        kq, ks = _quantize_i8(kf)
+        vq, vs = _quantize_i8(vf)
+        kv["k"] = kv["k"].at[layer, b_idx, positions].set(kq, mode="drop")
+        kv["v"] = kv["v"].at[layer, b_idx, positions].set(vq, mode="drop")
+        kv["k_scale"] = kv["k_scale"].at[layer, b_idx, positions].set(
+            ks, mode="drop")
+        kv["v_scale"] = kv["v_scale"].at[layer, b_idx, positions].set(
+            vs, mode="drop")
+        return kv
     kv["k"] = kv["k"].at[layer, b_idx, positions].set(
         k.astype(kv["k"].dtype), mode="drop"
     )
@@ -51,6 +118,68 @@ def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
     return kv
 
 
+def read(kv: dict[str, Any], layer: int,
+         compute_dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dequantized K/V for one layer: ([B,S,H,Dk], [B,S,H,Dv]) in
+    ``compute_dtype``. For i8 the dequant multiply fuses into the attention
+    matmuls under XLA."""
+    fmt = cache_format(kv)
+    k = kv["k"][layer]
+    v = kv["v"][layer]
+    if fmt == "i8":
+        k = k.astype(compute_dtype) * kv["k_scale"][layer][..., None].astype(compute_dtype)
+        v = v.astype(compute_dtype) * kv["v_scale"][layer][..., None].astype(compute_dtype)
+        return k, v
+    return k.astype(compute_dtype), v.astype(compute_dtype)
+
+
 def batch_slice(kv: dict[str, Any], idx: jnp.ndarray) -> dict[str, Any]:
     """Gather a batch subset (for scheduler slot compaction)."""
-    return {"k": kv["k"][:, idx], "v": kv["v"][:, idx]}
+    return {key: a[:, idx] for key, a in kv.items()}
+
+
+# ---------------------------------------------------------------------------
+# context shift (parity: KVCache::shift_left model/mod.rs:142, but exact)
+# ---------------------------------------------------------------------------
+
+
+def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
+               batch_idx: int | None = None) -> dict[str, Any]:
+    """Drop the first ``n`` cache positions and slide the rest left.
+
+    Stored keys are post-RoPE; sliding a key from position p to p-n must
+    re-rotate it by -n*theta, which is a linear rotation — applied here when
+    ``rope_cfg`` is given (the reference's memmove skips this and decodes
+    against stale rotations). The caller subtracts n from its lengths.
+    """
+    kv = dict(kv)
+    fmt = cache_format(kv)
+    for key in list(kv.keys()):
+        a = kv[key]
+        rolled = jnp.roll(a, -n, axis=2)
+        if batch_idx is None:
+            kv[key] = rolled
+        else:
+            kv[key] = a.at[:, batch_idx].set(rolled[:, batch_idx])
+    if rope_cfg is not None and rope_cfg.n_dims > 0:
+        from ..ops.rope import rerotate_keys
+
+        k = kv["k"]
+        if fmt == "i8":
+            # rotate in float then requantize with the existing scales
+            kf = k.astype(jnp.float32) * kv["k_scale"][..., None]
+            kf = rerotate_keys(kf, -n, rope_cfg)
+            amax = jnp.max(jnp.abs(kf), axis=-1)
+            scale = amax / 127.0
+            inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+            kv["k"] = jnp.clip(jnp.round(kf * inv[..., None]),
+                               -127, 127).astype(jnp.int8)
+            kv["k_scale"] = scale
+        else:
+            kf = rerotate_keys(k.astype(jnp.float32), -n, rope_cfg)
+            kv["k"] = kf.astype(k.dtype)
+    return kv
+
+
+def memory_bytes(kv: dict[str, Any]) -> int:
+    return sum(a.size * a.dtype.itemsize for a in kv.values())

@@ -68,15 +68,14 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     k = apply_rope(k, cos, sin, cfg.rope)
 
     kv = KV.write(kv, layer_idx, k, v, positions)
-    keys = kv["k"][layer_idx]  # [B, S, nkv, hd]
-    vals = kv["v"][layer_idx]  # [B, S, nkv, vd]
+    keys, vals = KV.read(kv, layer_idx)  # [B,S,nkv,hd], [B,S,nkv,vd] f32
     s = keys.shape[1]
 
     rep = nh // nkv
     qg = q.reshape(b, t, nkv, rep, hd)
     scale = hd**-0.5
     scores = jnp.einsum(
-        "btkrd,bskd->btkrs", qg.astype(jnp.float32), keys.astype(jnp.float32)
+        "btkrd,bskd->btkrs", qg.astype(jnp.float32), keys
     ) * scale
 
     if cfg.attn_logit_softcap > 0.0:
@@ -102,7 +101,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     else:
         probs = jax.nn.softmax(scores, axis=-1)
 
-    ctx = jnp.einsum("btkrs,bskd->btkrd", probs, vals.astype(jnp.float32))
+    ctx = jnp.einsum("btkrs,bskd->btkrd", probs, vals)
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
 
     if "gate" in layer:  # Qwen3Next sigmoid attention gate

@@ -106,3 +106,16 @@ def apply_rope(
     if cfg.partial_at_end:
         return jnp.concatenate([pass_part, rotated], axis=-1)
     return jnp.concatenate([rotated, pass_part], axis=-1)
+
+
+def rerotate_keys(k: jnp.ndarray, delta: int, cfg: RopeConfig) -> jnp.ndarray:
+    """Rotate stored (post-RoPE) keys by a fixed position delta.
+
+    RoPE is linear in position: moving a key from position p to p+delta is a
+    rotation by delta*theta regardless of p. Used by the KV context shift so
+    shifted keys stay consistent with their new positions (the reference's
+    shift_left memmove skips this, model/mod.rs:142).
+
+    k: [..., H, D] (any leading dims)."""
+    cos, sin = rope_cos_sin(jnp.asarray(delta, jnp.float32), cfg)
+    return apply_rope(k, cos, sin, cfg)
