@@ -1,0 +1,194 @@
+"""Speculative decoding: draft-model and self-speculative (early-exit) modes.
+
+Parity target: /root/reference/src/model/speculative.rs:17-525
+(SpeculativeMode::{DraftModel,SelfSpeculative}, generate:135,
+generate_self_speculative:275, SpeculativeStats acceptance tracking).
+
+TPU-native design: the verification forward over the K drafted tokens is ONE
+batched jitted step ([1, K] tokens with per-token positions) — the MXU
+verifies all draft positions in a single pass, whereas the reference verifies
+sequentially. Rollback on rejection is free: rejected cache positions are
+masked by the per-sequence length until overwritten, so no KV copy happens.
+
+Self-speculation shares weights: the draft is the same params pytree with
+only the first N layers (arrays aliased, no copy) — the analogue of the
+reference's early-exit mode, with zero extra HBM for weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .runner import ModelRunner, bucket_len
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class SpeculativeStats:
+    rounds: int = 0
+    drafted: int = 0
+    accepted: int = 0
+    bonus: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / self.drafted if self.drafted else 0.0
+
+    @property
+    def tokens_per_round(self) -> float:
+        total = self.accepted + self.bonus
+        return total / self.rounds if self.rounds else 0.0
+
+
+def make_self_draft(runner: ModelRunner, exit_layer: int) -> ModelRunner:
+    """Early-exit draft: same weights, first ``exit_layer`` layers only
+    (parity: SelfSpeculative mode). Arrays are aliased — no weight copy."""
+    params = dict(runner.params)
+    params["layers"] = runner.params["layers"][:exit_layer]
+    cfg = dataclasses.replace(
+        runner.cfg, num_layers=exit_layer,
+        layer_kinds=tuple(runner.cfg.layer_kinds[:exit_layer])
+        if runner.cfg.layer_kinds else (),
+    )
+    return ModelRunner(params, cfg, max_batch=runner.max_batch,
+                       max_seq=runner.max_seq, kv_dtype=runner.kv_dtype,
+                       matmul_precision=runner.matmul_precision,
+                       kv_format=runner.kv_format)
+
+
+def _window(runner: ModelRunner, tokens: list[int], start_pos: int,
+            kv: dict) -> tuple[np.ndarray, dict]:
+    """One jitted step consuming ``tokens`` at positions start_pos...;
+    returns (logits [len(tokens), V] np, kv)."""
+    t = len(tokens)
+    b = runner.max_batch
+    bt = bucket_len(t)
+    toks = np.zeros((b, bt), np.int32)
+    toks[0, :t] = tokens
+    pos = np.full((b, bt), runner.max_seq, np.int32)
+    pos[0, :t] = start_pos + np.arange(t)
+    lengths = np.zeros((b,), np.int32)
+    lengths[0] = start_pos + t
+    logits, kv = runner.step(jnp.asarray(toks), jnp.asarray(pos),
+                             jnp.asarray(lengths), kv)
+    return np.asarray(logits[0, :t]), kv
+
+
+class SpeculativeDecoder:
+    """K-token draft + single-pass target verification.
+
+    Invariant: ``hist`` is the accepted token stream (prompt + generated);
+    nt/nd count how many of hist the target/draft models have consumed into
+    their KV caches. hist[nt:] is exactly the unconsumed tail (always
+    non-empty after prefill: the latest accepted token).
+    """
+
+    def __init__(self, target: ModelRunner, draft: ModelRunner,
+                 num_draft: int = 4):
+        self.target = target
+        self.draft = draft
+        self.k = num_draft
+        self.stats = SpeculativeStats()
+
+    @classmethod
+    def self_speculative(cls, target: ModelRunner, exit_layer: int | None = None,
+                         num_draft: int = 4) -> "SpeculativeDecoder":
+        n = exit_layer or max(1, target.cfg.num_layers // 4)
+        return cls(target, make_self_draft(target, n), num_draft=num_draft)
+
+    def generate_greedy(self, prompt_ids: list[int], max_tokens: int,
+                        is_eog=None) -> list[int]:
+        """Greedy speculative decode; the output is IDENTICAL to plain
+        greedy decoding of the target model (verification guarantees it)."""
+        tkv = self.target.init_kv()
+        dkv = self.draft.init_kv()
+
+        hist = list(prompt_ids)
+        tlogits, tkv, _ = self.target.prefill(prompt_ids, tkv)
+        nt = len(prompt_ids)
+        _, dkv, _ = self.draft.prefill(prompt_ids, dkv)
+        nd = len(prompt_ids)
+
+        first = int(np.argmax(np.asarray(tlogits)))
+        hist.append(first)
+        out = [first]
+        if is_eog and is_eog(first):
+            return out
+
+        max_seq = self.target.max_seq
+        while len(out) < max_tokens and len(hist) + self.k + 1 < max_seq:
+            k = min(self.k, max_tokens - len(out))
+
+            # -- draft: consume the unconsumed tail, then draft k tokens
+            dlog, dkv = _window(self.draft, hist[nd:], nd, dkv)
+            nd = len(hist)
+            drafts = [int(np.argmax(dlog[-1]))]
+            for i in range(k - 1):
+                dlog1, dkv = self.draft.decode_one(drafts[-1], nd + i, dkv)
+                drafts.append(int(np.argmax(np.asarray(dlog1))))
+            # draft consumed drafts[:k-1] at positions nd..nd+k-2; these
+            # cache entries stay valid exactly for the accepted prefix
+            nd_base = nd
+            nd = nd + k - 1
+            self.stats.drafted += k
+
+            # -- verify: one target pass over [tail..., drafts[:-1]]
+            window = hist[nt:] + drafts[:-1]
+            start = nt
+            vlogits, tkv = _window(self.target, window, start, tkv)
+            nt = start + len(window)
+            # logits rows for the last k window tokens verify drafts[0..k-1]
+            greedy = np.argmax(vlogits[-k:], axis=-1)
+
+            accepted = 0
+            for i in range(k):
+                if drafts[i] == int(greedy[i]):
+                    accepted += 1
+                else:
+                    break
+            self.stats.accepted += accepted
+            self.stats.rounds += 1
+
+            new_tokens = drafts[:accepted]
+            if accepted < k:
+                new_tokens = new_tokens + [int(greedy[accepted])]
+                self.stats.bonus += 1
+                # roll back both caches to the accepted prefix
+                nt = len(hist) + accepted  # consumed tail + accepted drafts
+                nd = min(nd, nd_base + accepted)
+            # accepted == k: everything consumed is valid;
+            # drafts[k-1] becomes the unconsumed tail
+
+            stop = False
+            for tok in new_tokens:
+                hist.append(tok)
+                out.append(tok)
+                if (is_eog and is_eog(tok)) or len(out) >= max_tokens:
+                    stop = True
+                    break
+            if stop:
+                break
+        return out
+
+    # -- convenience -----------------------------------------------------------
+
+    def generate_plain_greedy(self, prompt_ids: list[int],
+                              max_tokens: int) -> list[int]:
+        """Non-speculative greedy on the target (for parity checks)."""
+        kv = self.target.init_kv()
+        logits, kv, pos = self.target.prefill(prompt_ids, kv)
+        out = []
+        for _ in range(max_tokens):
+            tok = int(np.argmax(np.asarray(logits)))
+            out.append(tok)
+            if pos >= self.target.max_seq - 1 or len(out) >= max_tokens:
+                break
+            logits, kv = self.target.decode_one(tok, pos, kv)
+            pos += 1
+        return out

@@ -85,6 +85,29 @@ class DenseLinear:
         return self.weight.shape
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class LoraLinear:
+    """Low-rank adapter around a base linear: y = base(x) + (x@A)@B*scale
+    (parity: reference LoraAdapter, src/model/lora.rs:89)."""
+
+    base: Any  # DenseLinear | QuantLinear
+    a: Any     # [K, r]
+    b: Any     # [r, N]
+    scale: Any  # scalar
+
+    def tree_flatten(self):
+        return (self.base, self.a, self.b, self.scale), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+
 def unpack_q4(ql: QuantLinear) -> jnp.ndarray:
     """Unpack group-split nibbles to integer values [K, N] (uint8, 0..15).
     See quant/repack.py pack_q4_group_split for the layout."""
@@ -136,6 +159,12 @@ def set_use_pallas(value: bool | None) -> None:
 
 def apply(lin, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W (+ bias). x: [..., K] -> [..., N]."""
+    if isinstance(lin, LoraLinear):
+        y = apply(lin.base, x)
+        xa = jnp.dot(x.astype(jnp.float32), lin.a,
+                     preferred_element_type=jnp.float32)
+        delta = jnp.dot(xa, lin.b, preferred_element_type=jnp.float32)
+        return (y.astype(jnp.float32) + delta * lin.scale).astype(y.dtype)
     if isinstance(lin, DenseLinear):
         y = jnp.dot(x, lin.weight.astype(x.dtype),
                     preferred_element_type=jnp.float32).astype(x.dtype)

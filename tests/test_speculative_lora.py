@@ -1,0 +1,146 @@
+"""Speculative decoding parity + LoRA adapter tests."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_tiny_model
+from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+from llama_gguf_tpu.engine.speculative import SpeculativeDecoder, make_self_draft
+from llama_gguf_tpu.gguf.writer import GGUFWriter
+from llama_gguf_tpu.models.lora import LoraAdapter, apply_lora, remove_lora
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("spec") / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=4,
+                    heads=4, kv_heads=2, ffn=128, ctx=160, seed=11,
+                    tokenizer=True)
+    return Engine.load(path, EngineConfig(weight_mode="dequant"))
+
+
+# -- speculative ----------------------------------------------------------------
+
+def test_speculative_same_model_exact(engine):
+    """Draft == target: 100% acceptance and exact greedy parity."""
+    ids = engine.tokenizer.encode("tok1 tok2 tok3")
+    dec = SpeculativeDecoder(engine.runner, engine.runner, num_draft=4)
+    plain = dec.generate_plain_greedy(ids, 16)
+    spec = dec.generate_greedy(ids, 16)
+    assert spec == plain
+    assert dec.stats.acceptance_rate == 1.0
+    assert dec.stats.tokens_per_round > 1.0
+
+
+def test_speculative_self_draft_exact(engine):
+    """Early-exit draft: imperfect acceptance but output still EXACTLY
+    matches target greedy (the speculative guarantee)."""
+    ids = engine.tokenizer.encode("tok4 tok5")
+    dec = SpeculativeDecoder.self_speculative(engine.runner, exit_layer=1,
+                                              num_draft=3)
+    plain = dec.generate_plain_greedy(ids, 20)
+    spec = dec.generate_greedy(ids, 20)
+    assert spec == plain
+    assert dec.stats.rounds > 0
+    assert 0.0 <= dec.stats.acceptance_rate <= 1.0
+
+
+def test_speculative_different_draft_exact(engine, tmp_path_factory):
+    """Independent (differently-seeded) draft model: low acceptance, exact
+    output regardless."""
+    dpath = str(tmp_path_factory.mktemp("spec2") / "draft.gguf")
+    make_tiny_model(dpath, arch="qwen2", vocab=288, hidden=32, layers=1,
+                    heads=2, kv_heads=1, ffn=64, ctx=160, seed=77,
+                    tokenizer=True)
+    draft_eng = Engine.load(dpath, EngineConfig(weight_mode="dequant"))
+    ids = engine.tokenizer.encode("tok9 tok8")
+    dec = SpeculativeDecoder(engine.runner, draft_eng.runner, num_draft=3)
+    plain = dec.generate_plain_greedy(ids, 12)
+    spec = dec.generate_greedy(ids, 12)
+    assert spec == plain
+
+
+def test_make_self_draft_shares_weights(engine):
+    draft = make_self_draft(engine.runner, 2)
+    assert draft.cfg.num_layers == 2
+    assert draft.params["layers"][0] is engine.runner.params["layers"][0]
+    assert draft.params["embed"] is engine.runner.params["embed"]
+
+
+# -- LoRA -------------------------------------------------------------------------
+
+def _write_lora_gguf(path: str, num_layers: int, hidden: int, rank: int,
+                     alpha: float, seed: int, zero_b: bool = False,
+                     targets=("attn_q", "attn_output")) -> None:
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_metadata("general.type", "adapter")
+    w.add_metadata("adapter.type", "lora")
+    w.add_metadata("adapter.lora.alpha", float(alpha))
+    for i in range(num_layers):
+        for t in targets:
+            # llama.cpp layout: lora_a [r, K], lora_b [N, r]
+            a = rng.normal(size=(rank, hidden)).astype(np.float32) * 0.1
+            b = (np.zeros((hidden, rank), np.float32) if zero_b else
+                 rng.normal(size=(hidden, rank)).astype(np.float32) * 0.1)
+            w.add_tensor_np(f"blk.{i}.{t}.weight.lora_a", a)
+            w.add_tensor_np(f"blk.{i}.{t}.weight.lora_b", b)
+    w.write_to_path(path)
+
+
+def test_lora_load_and_scale(tmp_path):
+    p = str(tmp_path / "adapter.gguf")
+    _write_lora_gguf(p, num_layers=2, hidden=64, rank=4, alpha=8.0, seed=1)
+    ad = LoraAdapter.load_gguf(p)
+    assert ad.rank == 4 and ad.alpha == 8.0 and ad.scale == 2.0
+    assert len(ad.tensors) == 4
+    a, b = ad.tensors["blk.0.attn_q"]
+    assert a.shape == (64, 4) and b.shape == (4, 64)
+
+
+def test_lora_zero_b_is_identity(engine, tmp_path):
+    p = str(tmp_path / "zero.gguf")
+    _write_lora_gguf(p, num_layers=4, hidden=64, rank=4, alpha=4.0, seed=2,
+                     zero_b=True)
+    ids = engine.tokenizer.encode("tok1 tok2")
+    before = engine.greedy_tokens(ids, 6)
+    n = apply_lora(engine.runner.params, LoraAdapter.load_gguf(p))
+    assert n == 8
+    engine.runner._steps.clear()  # params structure changed: retrace
+    after = engine.greedy_tokens(ids, 6)
+    assert after == before  # B=0 adapter is a no-op
+    assert remove_lora(engine.runner.params) == 8
+    engine.runner._steps.clear()
+
+
+def test_lora_changes_output_and_removes(engine, tmp_path):
+    p = str(tmp_path / "real.gguf")
+    _write_lora_gguf(p, num_layers=4, hidden=64, rank=4, alpha=32.0, seed=3)
+    ids = engine.tokenizer.encode("tok3 tok4 tok5")
+    before = engine.greedy_tokens(ids, 8)
+    apply_lora(engine.runner.params, LoraAdapter.load_gguf(p))
+    engine.runner._steps.clear()
+    with_lora = engine.greedy_tokens(ids, 8)
+    assert with_lora != before  # a strong adapter must change logits
+    remove_lora(engine.runner.params)
+    engine.runner._steps.clear()
+    restored = engine.greedy_tokens(ids, 8)
+    assert restored == before
+
+
+def test_lora_shape_mismatch_rejected(engine, tmp_path):
+    p = str(tmp_path / "bad.gguf")
+    _write_lora_gguf(p, num_layers=1, hidden=32, rank=2, alpha=2.0, seed=4)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        apply_lora(engine.runner.params, LoraAdapter.load_gguf(p))
+    remove_lora(engine.runner.params)
+
+
+def test_lora_rejects_non_adapter(tmp_path):
+    w = GGUFWriter()
+    w.add_metadata("general.type", "model")
+    w.add_tensor_np("x", np.zeros((4, 4), np.float32))
+    p = str(tmp_path / "notlora.gguf")
+    w.write_to_path(p)
+    with pytest.raises(ValueError):
+        LoraAdapter.load_gguf(p)
