@@ -59,9 +59,11 @@ class GenerationStats:
 
 
 class Engine:
-    def __init__(self, runner: ModelRunner, tokenizer, config: EngineConfig,
-                 gguf: GGUFFile | None = None):
+    def __init__(self, runner: ModelRunner | None, tokenizer,
+                 config: EngineConfig, gguf: GGUFFile | None = None,
+                 encoder=None):
         self.runner = runner
+        self.encoder = encoder  # BertEncoder for encoder-only models
         self.tokenizer = tokenizer
         self.config = config
         self.gguf = gguf
@@ -80,6 +82,15 @@ class Engine:
         gguf = GGUFFile.open(path)
         tokenizer = Tokenizer.from_gguf(gguf.metadata)
         loader = ModelLoader(gguf, mode=config.weight_mode)
+        if loader.config.arch_info is not None and \
+                loader.config.arch_info.is_encoder_only:
+            from ..models.bert import BertEncoder, load_bert
+
+            params, cfg = load_bert(loader)
+            log.info("loaded encoder-only %s (%s, %d layers) in %.1fs",
+                     path, cfg.arch, cfg.num_layers, time.time() - t0)
+            return cls(None, tokenizer, config, gguf,
+                       encoder=BertEncoder(params, cfg))
         params, cfg = loader.build()
         max_seq = cfg.max_seq_len
         if config.max_context_len:
@@ -122,6 +133,9 @@ class Engine:
                            stop: list[str] | None = None,
                            on_token: Callable[[str], None] | None = None,
                            grammar=None) -> Iterator[str]:
+        if self.runner is None:
+            raise RuntimeError(
+                "encoder-only model: use embed(), not generate()")
         if sampler is None:
             sampler = Sampler(SamplerConfig(seed=self.config.seed))
         elif isinstance(sampler, SamplerConfig):
@@ -219,9 +233,12 @@ class Engine:
 
     def embed(self, text: str, pooling: str = "mean",
               normalize: bool = True) -> np.ndarray:
+        ids = self.tokenizer.encode(text)
+        if self.encoder is not None:  # encoder-only (BERT-family) model
+            return self.encoder.embed(ids, pooling=pooling,
+                                      normalize=normalize)
         from ..models.embeddings import extract_embedding
 
-        ids = self.tokenizer.encode(text)
         return extract_embedding(self.runner, ids, pooling=pooling,
                                  normalize=normalize)
 

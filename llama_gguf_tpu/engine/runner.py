@@ -72,6 +72,9 @@ class ModelRunner:
             cache["deltanet"] = init_deltanet_state(
                 self.cfg, b, self.cfg.num_layers
             )
+        if any(k == "mamba" for k in (self.cfg.layer_kinds or ())):
+            from ..models.mamba import init_mamba_state
+            cache["mamba"] = init_mamba_state(self.cfg, b, self.cfg.num_layers)
         return cache
 
     # -- compiled steps ------------------------------------------------------

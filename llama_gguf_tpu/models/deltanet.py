@@ -98,15 +98,22 @@ def delta_rule_scan(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def deltanet_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
-                   kv: dict, layer_idx: int) -> tuple[jnp.ndarray, dict]:
+                   kv: dict, layer_idx: int,
+                   lengths: jnp.ndarray | None = None) -> tuple[jnp.ndarray, dict]:
     """Full DeltaNet block: norm -> conv+silu qkv -> delta rule -> gated out.
 
     Recurrent state lives in kv["deltanet"][layer_idx] as
-    {"S": [B, Hv, Dk, Dv], "conv": [B, K-1, C]}.
+    {"S": [B, Hv, Dk, Dv], "conv": [B, K-1, C]}. Bucket-padding slots
+    (positions >= lengths) must not advance the conv ring or S.
     """
     from ..ops.norms import apply_norm
 
     b, t, _ = x.shape
+    if lengths is not None:
+        valid = positions < lengths[:, None]  # [B, T]
+    else:
+        valid = jnp.ones((b, t), bool)
+    vmask = valid.astype(jnp.float32)[..., None]
     dk = cfg.ssm_d_state
     hk = cfg.ssm_n_group
     hv = cfg.ssm_dt_rank
@@ -125,7 +132,7 @@ def deltanet_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     # causal depthwise conv over the qkv part, with ring-buffer state
     conv_w = dn["conv_w"].astype(jnp.float32)  # [C, K] (np shape)
     ksz = conv_w.shape[-1]
-    qkv = jnp.concatenate([qf, kf, vf], axis=-1)  # [B, T, C]
+    qkv = jnp.concatenate([qf, kf, vf], axis=-1) * vmask  # [B, T, C]
     st = kv["deltanet"][layer_idx]
     conv_state = st["conv"]  # [B, ksz-1, C]
     seq = jnp.concatenate([conv_state, qkv], axis=1)  # [B, ksz-1+T, C]
@@ -135,7 +142,10 @@ def deltanet_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     if "conv_b" in dn:
         conv = conv + dn["conv_b"].astype(jnp.float32)
     conv = jax.nn.silu(conv)
-    new_conv_state = seq[:, t:, :] if seq.shape[1] >= ksz - 1 else conv_state
+    # new conv state = last ksz-1 VALID inputs (padding excluded)
+    n_valid = valid.sum(axis=1).astype(jnp.int32)
+    gidx = n_valid[:, None] + jnp.arange(ksz - 1)[None, :]
+    new_conv_state = jnp.take_along_axis(seq, gidx[..., None], axis=1)
 
     q = conv[..., :nq].reshape(b, t, hk, dk)
     k = conv[..., nq:nq + nk].reshape(b, t, hk, dk)
@@ -155,6 +165,10 @@ def deltanet_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     a = -jnp.exp(dn["a_log"].astype(jnp.float32)) if "a_log" in dn else -1.0
     dt_bias = dn.get("dt_bias", 0.0)
     gate = a * jax.nn.softplus(alpha_raw + dt_bias)  # log-decay <= 0
+    # freeze state across padding: beta=0 (no write), gate=0 (decay=1)
+    vm = valid.astype(jnp.float32)[..., None]  # broadcast over heads
+    beta = beta * vm
+    gate = gate * vm
 
     out, new_s = delta_rule_scan(q, k, v, beta, gate, st["S"])
 

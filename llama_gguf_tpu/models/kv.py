@@ -154,7 +154,9 @@ def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
     """
     kv = dict(kv)
     fmt = cache_format(kv)
-    for key in list(kv.keys()):
+    for key in ("k", "v", "k_scale", "v_scale"):
+        if key not in kv:
+            continue
         a = kv[key]
         rolled = jnp.roll(a, -n, axis=2)
         if batch_idx is None:

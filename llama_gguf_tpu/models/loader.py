@@ -130,6 +130,10 @@ class ModelLoader:
         p = f"blk.{i}"
         layer: dict[str, Any] = {}
 
+        if cfg.arch_info is not None and cfg.arch_info.is_recurrent and \
+                self.has(f"{p}.ssm_in.weight"):
+            from .mamba import load_mamba_layer
+            return load_mamba_layer(self, i, cfg)
         if self.has(f"{p}.ssm_in.weight") or self.has(f"{p}.ssm_beta.weight"):
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
@@ -230,13 +234,17 @@ class ModelLoader:
         emb = self.dense("token_embd.weight")  # [V, H]
         params["embed"] = self._put(emb.astype(self._np_dtype()), "token_embd.weight")
         params["layers"] = [self.load_layer(i, cfg) for i in range(cfg.num_layers)]
-        cfg.layer_kinds = tuple(
-            "deltanet"
-            if (self.has(f"blk.{i}.ssm_in.weight")
-                or self.has(f"blk.{i}.ssm_beta.weight"))
-            else "attn"
-            for i in range(cfg.num_layers)
-        )
+        recurrent = cfg.arch_info is not None and cfg.arch_info.is_recurrent
+
+        def kind(i: int) -> str:
+            if self.has(f"blk.{i}.ssm_in.weight") and recurrent:
+                return "mamba"
+            if self.has(f"blk.{i}.ssm_in.weight") or \
+                    self.has(f"blk.{i}.ssm_beta.weight"):
+                return "deltanet"
+            return "attn"
+
+        cfg.layer_kinds = tuple(kind(i) for i in range(cfg.num_layers))
         params["final_norm"] = self.norm("output_norm")
         if self.has("output.weight"):
             params["output"] = self.linear("output")

@@ -231,7 +231,10 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
     for i, layer in enumerate(params["layers"]):
         if kinds[i] == "deltanet":
             from .deltanet import deltanet_layer  # hybrid models (Qwen3Next)
-            x, kv = deltanet_layer(layer, cfg, x, positions, kv, i)
+            x, kv = deltanet_layer(layer, cfg, x, positions, kv, i, lengths)
+        elif kinds[i] == "mamba":
+            from .mamba import mamba_layer
+            x, kv = mamba_layer(layer, cfg, x, positions, kv, i, lengths)
         else:
             x, kv = transformer_layer(layer, cfg, x, positions, kv, i, lengths)
     logits = compute_logits(params, cfg, x)
