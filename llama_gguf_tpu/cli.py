@@ -83,6 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch", type=int, default=None)
     p.add_argument("--max-queue", type=int, default=None)
     p.add_argument("--api-key", action="append", default=None)
+    p.add_argument("--rag-db", default=None,
+                   help="sqlite path enabling /v1/rag/* endpoints")
     _add_common(p)
 
     p = sub.add_parser("quantize", help="requantize a GGUF model")
@@ -344,6 +346,7 @@ def cmd_serve(args) -> int:
         weight_mode=getattr(args, "weight_mode", None) or cfg.model.weight_mode,
         api_keys=args.api_key or cfg.server.api_keys,
         served_model_name=cfg.server.served_model_name,
+        rag_db=args.rag_db,
     ))
     return 0
 

@@ -54,6 +54,7 @@ class ServerConfig:
     weight_mode: str = "quant"
     api_keys: list[str] = field(default_factory=list)
     served_model_name: str | None = None
+    rag_db: str | None = None  # sqlite path enabling /v1/rag/* endpoints
 
 
 class ServerState:
@@ -67,8 +68,16 @@ class ServerState:
         self.model_name = config.served_model_name or "unloaded"
         self.loaded_at = 0.0
         self.lock = threading.RLock()
+        self.kb = None
+        if config.rag_db:
+            from ..rag.knowledge_base import KnowledgeBase
+            from ..rag.sqlite_store import SqliteVectorStore
+
+            self.kb = KnowledgeBase(SqliteVectorStore(config.rag_db))
         if config.model_path:
             self.load_model(config.model_path)
+        if self.kb is not None and self.engine is not None:
+            self.kb.engine = self.engine
 
     def load_model(self, path: str) -> None:
         cfg = EngineConfig(max_batch=self.config.max_batch,
@@ -459,6 +468,71 @@ def create_app(state: ServerState) -> "web.Application":
             return _err(500, f"load failed: {e}", "server_error")
         return web.json_response({"status": "loaded", "model": st.model_name})
 
+    # -- RAG (enabled when ServerConfig.rag_db set; parity:
+    # reference handlers.rs:943-1306) ------------------------------------------
+
+    def require_kb(handler):
+        async def wrapped(request):
+            st: ServerState = request.app["state"]
+            if not _check_auth(st, request):
+                return _err(401, "invalid API key", "authentication_error")
+            if st.kb is None:
+                return _err(503, "RAG not enabled (set rag_db)",
+                            "service_unavailable")
+            return await handler(request)
+        return wrapped
+
+    @require_kb
+    async def rag_ingest(request):
+        st: ServerState = request.app["state"]
+        try:
+            body = await request.json()
+            text = body["text"]
+        except Exception:
+            return _err(400, "missing 'text'")
+        n = await asyncio.to_thread(
+            st.kb.ingest_text, text, body.get("source", ""),
+            body.get("doc_id"), body.get("chunker"), body.get("metadata"))
+        return web.json_response({"chunks": n,
+                                  "skipped": n == 0})
+
+    @require_kb
+    async def rag_search(request):
+        st: ServerState = request.app["state"]
+        try:
+            body = await request.json()
+            query = body["query"]
+        except Exception:
+            return _err(400, "missing 'query'")
+        hits = await asyncio.to_thread(
+            st.kb.retrieve, query, int(body.get("k", 5)),
+            body.get("search", "hybrid"), body.get("filters"))
+        return web.json_response({"results": [
+            {"text": h.text, "score": h.score, "source": h.source,
+             "doc_id": h.doc_id, "chunk_index": h.chunk_index,
+             "metadata": h.metadata} for h in hits]})
+
+    @require_kb
+    async def rag_query(request):
+        st: ServerState = request.app["state"]
+        try:
+            body = await request.json()
+            query = body["query"]
+        except Exception:
+            return _err(400, "missing 'query'")
+        result = await asyncio.to_thread(
+            st.kb.retrieve_and_generate, query, int(body.get("k", 5)),
+            body.get("search", "hybrid"), body.get("filters"),
+            int(body.get("max_tokens", 256)))
+        return web.json_response({
+            "answer": result.answer,
+            "citations": [{"index": c.index, "source": c.source,
+                           "doc_id": c.doc_id, "score": c.score}
+                          for c in result.citations]})
+
+    app.router.add_post("/v1/rag/ingest", rag_ingest)
+    app.router.add_post("/v1/rag/search", rag_search)
+    app.router.add_post("/v1/rag/query", rag_query)
     app.router.add_get("/health", health)
     app.router.add_get("/v1/models", models)
     app.router.add_get("/v1/queue", queue_status)

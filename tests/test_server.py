@@ -221,3 +221,49 @@ def test_hot_reload(server, tmp_path):
     r2 = requests.post(base + "/v1/completions", json={
         "prompt": "after reload", "max_tokens": 4, "temperature": 0.0})
     assert r2.status_code == 200
+
+
+def test_rag_endpoints(tmp_path):
+    """RAG routes over a real server with rag_db enabled."""
+    from aiohttp import web
+    import asyncio
+
+    path = str(tmp_path / "ragsrv.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    cfg = ServerConfig(model_path=path, port=_free_port(), max_batch=1,
+                       weight_mode="dequant", max_tokens_default=8,
+                       rag_db=":memory:")
+    state = ServerState(cfg)
+    app = create_app(state)
+    loop = asyncio.new_event_loop()
+    runner_ = web.AppRunner(app)
+
+    async def start():
+        await runner_.setup()
+        await web.TCPSite(runner_, cfg.host, cfg.port).start()
+
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(start(), loop).result(timeout=30)
+    base = f"http://{cfg.host}:{cfg.port}"
+    try:
+        r = requests.post(base + "/v1/rag/ingest", json={
+            "text": "the moon orbits the earth. " * 6,
+            "source": "astro.txt"})
+        assert r.status_code == 200 and r.json()["chunks"] >= 1
+        r = requests.post(base + "/v1/rag/search", json={
+            "query": "moon orbit", "k": 2, "search": "keyword"})
+        assert r.status_code == 200
+        assert "moon" in r.json()["results"][0]["text"]
+        r = requests.post(base + "/v1/rag/query", json={
+            "query": "what orbits the earth", "k": 1, "max_tokens": 4})
+        assert r.status_code == 200
+        assert r.json()["citations"]
+        assert requests.post(base + "/v1/rag/search",
+                             json={}).status_code == 400
+    finally:
+        asyncio.run_coroutine_threadsafe(runner_.cleanup(), loop).result(timeout=10)
+        loop.call_soon_threadsafe(loop.stop)
+        state.shutdown()
