@@ -79,6 +79,8 @@ class Engine:
     def load(cls, path: str, config: EngineConfig | None = None) -> "Engine":
         config = config or EngineConfig()
         t0 = time.time()
+        if str(path).endswith(".onnx"):
+            return cls._load_onnx(path, config, t0)
         gguf = GGUFFile.open(path)
         tokenizer = Tokenizer.from_gguf(gguf.metadata)
         loader = ModelLoader(gguf, mode=config.weight_mode)
@@ -105,6 +107,37 @@ class Engine:
                  path, cfg.arch, cfg.num_layers, cfg.vocab_size,
                  time.time() - t0)
         return cls(runner, tokenizer, config, gguf)
+
+    @classmethod
+    def _load_onnx(cls, path: str, config: EngineConfig,
+                   t0: float) -> "Engine":
+        """ONNX path (parity: reference Engine::load ONNX branch): HF
+        Optimum export + tokenizer.json in the same directory."""
+        import os
+
+        from ..onnx.loader import load_onnx_model
+
+        params, cfg = load_onnx_model(path)
+        tok_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                "tokenizer.json")
+        tokenizer = None
+        if os.path.exists(tok_path):
+            from ..tokenizer.hf_json import HFTokenizer
+
+            tokenizer = HFTokenizer(tok_path)
+        max_seq = cfg.max_seq_len
+        if config.max_context_len:
+            max_seq = min(max_seq, config.max_context_len)
+        runner = ModelRunner(
+            params, cfg, max_batch=config.max_batch, max_seq=max_seq,
+            kv_dtype=jnp.bfloat16 if config.kv_dtype == "bfloat16"
+            else jnp.float32,
+            matmul_precision=config.matmul_precision,
+            kv_format=config.kv_format,
+        )
+        log.info("loaded ONNX %s (%s, %d layers) in %.1fs",
+                 path, cfg.arch, cfg.num_layers, time.time() - t0)
+        return cls(runner, tokenizer, config)
 
     # -- generation ----------------------------------------------------------
 
