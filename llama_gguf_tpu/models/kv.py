@@ -28,7 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-FORMATS = ("f32", "bf16", "i8", "f8_e4m3", "f8_e5m2")
+FORMATS = ("f32", "bf16", "i8", "f8_e4m3", "f8_e5m2", "tq2", "tq3", "tq4")
 
 _STORE_DTYPE = {
     "f32": jnp.float32,
@@ -43,12 +43,27 @@ def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
                head_dim: int, dtype=jnp.float32, v_head_dim: int | None = None,
                fmt: str | None = None) -> dict[str, Any]:
     """Create an empty cache. ``fmt`` picks the storage format; the legacy
-    ``dtype`` arg maps f32/bf16 when fmt is not given."""
+    ``dtype`` arg maps f32/bf16 when fmt is not given. tq2/tq3/tq4 are
+    TurboQuant compressed formats (Hadamard-rotated, bit-packed;
+    models/turboquant.py) — 16x/10.7x/8x smaller than f32."""
     if fmt is None:
         fmt = "bf16" if dtype == jnp.bfloat16 else "f32"
     if fmt not in FORMATS:
         raise ValueError(f"unknown kv format {fmt!r} (one of {FORMATS})")
     vd = head_dim if v_head_dim is None else v_head_dim
+    if fmt.startswith("tq"):
+        bits = int(fmt[2])
+        kv = {
+            "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
+                            head_dim * bits // 8), jnp.uint8),
+            "v": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
+                            vd * bits // 8), jnp.uint8),
+            "k_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
+                                 jnp.float32),
+            "v_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
+                                 jnp.float32),
+        }
+        return kv
     store = _STORE_DTYPE[fmt]
     kv: dict[str, Any] = {
         "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads, head_dim), store),
@@ -66,8 +81,12 @@ def cache_shape(kv: dict[str, Any]) -> tuple[int, int, int, int, int]:
     return tuple(kv["k"].shape)
 
 
-def cache_format(kv: dict[str, Any]) -> str:
+def cache_format(kv: dict[str, Any], head_dim: int | None = None) -> str:
     dt = kv["k"].dtype
+    if dt == jnp.uint8:  # TurboQuant: packed, bits inferred from head_dim
+        if head_dim is None:
+            return "tq"
+        return f"tq{kv['k'].shape[-1] * 8 // head_dim}"
     if dt == jnp.int8:
         return "i8"
     if dt == jnp.float8_e4m3fn:
@@ -94,9 +113,22 @@ def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
     Padding slots use an out-of-range position (>= max_seq) and are DROPPED
     by the scatter, so they can never clobber live cache entries.
     """
-    fmt = cache_format(kv)
+    fmt = cache_format(kv, head_dim=k.shape[-1])
     b_idx = jnp.arange(k.shape[0])[:, None]
     kv = dict(kv)
+    if fmt.startswith("tq"):
+        from .turboquant import compress
+
+        bits = int(fmt[2])
+        kp, ks = compress(k.astype(jnp.float32), bits)
+        vp, vs = compress(v.astype(jnp.float32), bits)
+        kv["k"] = kv["k"].at[layer, b_idx, positions].set(kp, mode="drop")
+        kv["v"] = kv["v"].at[layer, b_idx, positions].set(vp, mode="drop")
+        kv["k_scale"] = kv["k_scale"].at[layer, b_idx, positions].set(
+            ks, mode="drop")
+        kv["v_scale"] = kv["v_scale"].at[layer, b_idx, positions].set(
+            vs, mode="drop")
+        return kv
     if fmt == "i8":
         kf = k.astype(jnp.float32)
         vf = v.astype(jnp.float32)
@@ -118,14 +150,25 @@ def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
     return kv
 
 
-def read(kv: dict[str, Any], layer: int,
-         compute_dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
+         head_dim: int | None = None,
+         v_head_dim: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dequantized K/V for one layer: ([B,S,H,Dk], [B,S,H,Dv]) in
     ``compute_dtype``. For i8 the dequant multiply fuses into the attention
-    matmuls under XLA."""
-    fmt = cache_format(kv)
+    matmuls under XLA; tq formats unpack+de-rotate (head_dim required)."""
+    fmt = cache_format(kv, head_dim=head_dim)
     k = kv["k"][layer]
     v = kv["v"][layer]
+    if fmt.startswith("tq") and len(fmt) > 2:
+        from .turboquant import decompress
+
+        bits = int(fmt[2])
+        vd = v_head_dim or head_dim
+        kf = decompress(k, kv["k_scale"][layer], bits, head_dim)
+        vf = decompress(v, kv["v_scale"][layer], bits, vd)
+        return kf.astype(compute_dtype), vf.astype(compute_dtype)
+    if fmt == "tq":
+        raise ValueError("tq cache read requires head_dim")
     if fmt == "i8":
         k = k.astype(compute_dtype) * kv["k_scale"][layer][..., None].astype(compute_dtype)
         v = v.astype(compute_dtype) * kv["v_scale"][layer][..., None].astype(compute_dtype)
@@ -163,6 +206,10 @@ def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
             kv[key] = rolled
         else:
             kv[key] = a.at[:, batch_idx].set(rolled[:, batch_idx])
+    if fmt == "tq":
+        # TurboQuant keys are stored Hadamard-rotated+packed; shift without
+        # RoPE re-rotation (the approximation the reference memmove makes)
+        return kv
     if rope_cfg is not None and rope_cfg.n_dims > 0:
         from ..ops.rope import rerotate_keys
 

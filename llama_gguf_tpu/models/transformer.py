@@ -68,7 +68,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     k = apply_rope(k, cos, sin, cfg.rope)
 
     kv = KV.write(kv, layer_idx, k, v, positions)
-    keys, vals = KV.read(kv, layer_idx)  # [B,S,nkv,hd], [B,S,nkv,vd] f32
+    keys, vals = KV.read(kv, layer_idx, head_dim=hd, v_head_dim=vd)
     s = keys.shape[1]
 
     rep = nh // nkv

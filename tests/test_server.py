@@ -267,3 +267,22 @@ def test_rag_endpoints(tmp_path):
         asyncio.run_coroutine_threadsafe(runner_.cleanup(), loop).result(timeout=10)
         loop.call_soon_threadsafe(loop.stop)
         state.shutdown()
+
+
+def test_remote_chat_client(server):
+    """RemoteChatClient against the live server (parity: client.rs)."""
+    from llama_gguf_tpu.client import RemoteChatClient, RemoteError
+
+    base, _ = server
+    c = RemoteChatClient(base)
+    assert c.health()["status"] == "ok"
+    assert len(c.models()) == 1
+    full = c.chat([{"role": "user", "content": "hi"}], max_tokens=6,
+                  temperature=0.0)
+    streamed = "".join(c.chat_streaming([{"role": "user", "content": "hi"}],
+                                        max_tokens=6, temperature=0.0))
+    assert streamed == full
+    vecs = c.embed(["a", "b"])
+    assert len(vecs) == 2 and len(vecs[0]) == 64
+    with pytest.raises(RemoteError, match="400"):
+        c.complete(prompt=None)
