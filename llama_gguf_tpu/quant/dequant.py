@@ -343,7 +343,13 @@ def dequantize(raw: np.ndarray | memoryview | bytes, ggml_type: GGMLType | int,
     if t not in _DEQUANT:
         raise NotImplementedError(f"dequantize: {t.name} not supported yet")
     arr = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
-    out = _DEQUANT[t](arr)
+    out = None
+    if arr.nbytes >= 1 << 16:  # native C++ path for bulk data (load time)
+        from ..native import dequantize_native
+
+        out = dequantize_native(arr, t.name)
+    if out is None:
+        out = _DEQUANT[t](arr)
     if shape is not None:
         out = out.reshape(shape)
     return out
