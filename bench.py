@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: Qwen2.5-0.5B-geometry Q4_K_M greedy decode on one TPU chip.
+"""Benchmark: TinyLlama-1.1B-geometry Q4_K_M greedy decode on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference decodes Qwen2.5-0.5B Q4_K_M at ~1.2 tok/s on a
-24-core i9-13900K (/root/reference/README.md:403, BASELINE.md).
+Baseline: the reference decodes TinyLlama-1.1B Q4_K_M at ~1.5 tok/s on a
+24-core i9-13900K (/root/reference/README.md:404, BASELINE.md).
 
-The model is synthetic (no downloads possible here) but has the exact
-tensor shapes and quantization mix of the real Q4_K_M file, so the memory
-traffic and kernel mix match the real workload. Decode runs as a jitted
-on-device lax.scan (no host round-trips).
+The model is synthetic (no downloads possible here) but has the exact tensor
+shapes of the real TinyLlama-1.1B with the Q4_K_M quantization mix — every
+matmul dimension is 256-divisible, so all weights are genuinely quantized
+and run through the fused dequant-matmul Pallas kernels. Decode runs as a
+jitted on-device lax.scan; timing uses a full host fetch of the generated
+tokens as the sync point (block_until_ready alone is not a reliable barrier
+over the axon tunnel) and reports the median of several repetitions.
 """
 
 import json
@@ -17,6 +20,11 @@ import sys
 import time
 
 import numpy as np
+
+PRESET = "tinyllama-1.1b"
+BASELINE_TPS = 1.5  # reference CPU decode for this model (README.md:404)
+STEPS = 128
+REPS = 4
 
 
 def main():
@@ -31,58 +39,56 @@ def main():
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, "bench_qwen25_05b_q4km.gguf")
+    path = os.path.join(cache_dir, "bench_tinyllama_11b_q4km.gguf")
     t0 = time.time()
-    build_synthetic_gguf(path, preset="qwen2.5-0.5b", quant=GGMLType.Q4_K,
+    build_synthetic_gguf(path, preset=PRESET, quant=GGMLType.Q4_K,
                          max_ctx=2048)
     build_s = time.time() - t0
 
     t0 = time.time()
     platform = jax.devices()[0].platform
     mode = "quant" if platform in ("tpu", "axon") else "dequant"
-    params, cfg, _ = load_model(path, mode=mode)
+    params, cfg, gguf = load_model(path, mode=mode)
+    qtypes = {}
+    for info in gguf.tensors.values():
+        qtypes[info.ggml_type.name] = qtypes.get(info.ggml_type.name, 0) + 1
+    weight_bytes = sum(i.nbytes for i in gguf.tensors.values())
     load_s = time.time() - t0
 
-    batch = 1
-    runner = ModelRunner(params, cfg, max_batch=batch, max_seq=1024,
-                         matmul_precision="highest")
+    runner = ModelRunner(params, cfg, max_batch=1, max_seq=2048,
+                         matmul_precision="default")
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, size=32).tolist()
 
-    # prefill
+    # prefill (first call includes compile)
     kv = runner.init_kv()
     t0 = time.time()
     logits, kv, pos = runner.prefill(prompt, kv)
-    logits.block_until_ready()
+    np.asarray(logits)
     prefill_s = time.time() - t0
 
-    first = jnp.argmax(logits)[None].astype(jnp.int32)
-    pos0 = jnp.asarray([pos], jnp.int32)
-
-    # warm up the decode scan (compile)
-    steps = 64
-    toks, kv = runner.greedy_decode(first, pos0, kv, steps)
-    toks.block_until_ready()
-
-    # timed: continue decoding from where we are
-    best_tps = 0.0
-    cur = toks[:, -1]
-    cur_pos = pos0 + steps
-    for _ in range(3):
+    cur = jnp.argmax(logits)[None].astype(jnp.int32)
+    times = []
+    for i in range(REPS + 1):
         t0 = time.time()
-        toks, kv = runner.greedy_decode(cur, cur_pos, kv, steps)
-        toks.block_until_ready()
+        toks, kv = runner.greedy_decode(
+            cur, jnp.asarray([pos], jnp.int32), kv, steps=STEPS)
+        np.asarray(toks)  # hard sync: full host fetch
         dt = time.time() - t0
-        best_tps = max(best_tps, steps / dt)
+        if i > 0:  # rep 0 pays the scan compile
+            times.append(dt)
         cur = toks[:, -1]
-        cur_pos = cur_pos + steps
+        pos += STEPS
 
+    times.sort()
+    median = times[len(times) // 2]
+    tps = STEPS / median
     result = {
-        "metric": "decode_tokens_per_s_qwen2.5-0.5b_q4km",
-        "value": round(best_tps, 2),
+        "metric": "decode_tokens_per_s_tinyllama-1.1b_q4km",
+        "value": round(tps, 2),
         "unit": "tok/s",
-        "vs_baseline": round(best_tps / 1.2, 1),
+        "vs_baseline": round(tps / BASELINE_TPS, 1),
     }
     print(json.dumps(result))
     print(
@@ -90,8 +96,12 @@ def main():
             "detail": {
                 "platform": platform,
                 "weight_mode": mode,
+                "tensor_types": qtypes,
+                "weight_bytes": weight_bytes,
+                "effective_gbps": round(weight_bytes / median * STEPS / 1e9, 1),
+                "rep_seconds": [round(t, 3) for t in times],
                 "prefill_tokens": len(prompt),
-                "prefill_s": round(prefill_s, 3),
+                "prefill_s_incl_compile": round(prefill_s, 3),
                 "build_s": round(build_s, 1),
                 "load_s": round(load_s, 1),
                 "total_s": round(time.time() - t_start, 1),
