@@ -157,6 +157,7 @@ class ModelLoader:
         if self.has(f"{p}.attn_sinks.weight"):
             attn["sinks"] = self._put(self.dense(f"{p}.attn_sinks.weight"),
                                       f"{p}.attn_sinks.weight")
+        self._fuse_attn(attn, cfg)
         layer["attn"] = attn
 
         ffn_norm = self.norm(f"{p}.ffn_norm", required=False)
@@ -172,6 +173,26 @@ class ModelLoader:
         if post_ffw is not None:
             layer["post_ffn_norm"] = post_ffw
         return layer
+
+    def _fuse_attn(self, attn: dict, cfg: ModelConfig) -> None:
+        """Fuse q/k/v into one wide matmul (decode is launch-overhead-bound;
+        see ops.linear.fuse_linears)."""
+        from ..ops.linear import fuse_linears
+
+        fused = fuse_linears([attn.get("wq"), attn.get("wk"), attn.get("wv")])
+        if fused is not None:
+            attn["wqkv"] = fused  # slice boundaries live in fused.splits
+            del attn["wq"], attn["wk"], attn["wv"]
+
+    @staticmethod
+    def _fuse_ffn(ffn: dict) -> None:
+        from ..ops.linear import fuse_linears
+
+        if "gate" in ffn and "up" in ffn:
+            fused = fuse_linears([ffn["gate"], ffn["up"]])
+            if fused is not None:
+                ffn["gate_up"] = fused
+                del ffn["gate"], ffn["up"]
 
     def _load_ffn(self, i: int, cfg: ModelConfig) -> dict:
         p = f"blk.{i}"
@@ -196,6 +217,7 @@ class ModelLoader:
             ffn["gate"] = self.linear(f"{p}.ffn_gate")
         ffn["up"] = self.linear(f"{p}.ffn_up")
         ffn["down"] = self.linear(f"{p}.ffn_down")
+        self._fuse_ffn(ffn)
         return ffn
 
     def _expert_stack(self, name: str, transpose: bool) -> Any:

@@ -122,6 +122,27 @@ def _set(params: dict, path: tuple, value) -> None:
     node[path[-1]] = value
 
 
+def _unfuse_for(params: dict, path: tuple) -> None:
+    """Split a loader-fused wqkv / gate_up so the adapter can wrap the
+    individual projection (inverse of loader._fuse_attn/_fuse_ffn)."""
+    from ..ops.linear import unfuse_linear
+
+    if len(path) < 4:
+        return
+    node = _get(params, path[:-1])
+    if not isinstance(node, dict):
+        return
+    if path[-1] in ("wq", "wk", "wv") and "wqkv" in node:
+        wq, wk, wv = unfuse_linear(node["wqkv"], list(node["wqkv"].splits))
+        node.update(wq=wq, wk=wk, wv=wv)
+        del node["wqkv"]
+    elif path[-1] in ("gate", "up") and "gate_up" in node:
+        gate, up = unfuse_linear(node["gate_up"],
+                                 list(node["gate_up"].splits))
+        node.update(gate=gate, up=up)
+        del node["gate_up"]
+
+
 def apply_lora(params: dict, adapter: LoraAdapter,
                scale: float | None = None) -> int:
     """Wrap matching linears in the params tree with LoraLinear (in place).
@@ -135,6 +156,9 @@ def apply_lora(params: dict, adapter: LoraAdapter,
             log.warning("lora: no param mapping for %s, skipped", base)
             continue
         leaf = _get(params, path)
+        if leaf is None:
+            _unfuse_for(params, path)  # loader may have fused q/k/v, gate/up
+            leaf = _get(params, path)
         if leaf is None:
             log.warning("lora: param %s missing in model, skipped", base)
             continue

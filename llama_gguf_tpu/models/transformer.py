@@ -55,9 +55,16 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     vd = cfg.value_length or hd
 
-    q = L.apply(layer["wq"], x).reshape(b, t, nh, hd)
-    k = L.apply(layer["wk"], x).reshape(b, t, nkv, hd)
-    v = L.apply(layer["wv"], x).reshape(b, t, nkv, vd)
+    if "wqkv" in layer:  # fused projection (loader._fuse_attn)
+        nq, nk, nv = layer["wqkv"].splits
+        qkv = L.apply(layer["wqkv"], x)
+        q = qkv[..., :nq].reshape(b, t, nh, hd)
+        k = qkv[..., nq: nq + nk].reshape(b, t, nkv, hd)
+        v = qkv[..., nq + nk:].reshape(b, t, nkv, vd)
+    else:
+        q = L.apply(layer["wq"], x).reshape(b, t, nh, hd)
+        k = L.apply(layer["wk"], x).reshape(b, t, nkv, hd)
+        v = L.apply(layer["wv"], x).reshape(b, t, nkv, vd)
 
     if "q_norm" in layer:  # per-head QK RMSNorm before RoPE (Qwen3, Gemma2…)
         q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
@@ -113,6 +120,11 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
 
 def feed_forward(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    if "gate_up" in ffn:  # fused projection (loader._fuse_ffn)
+        gu = L.apply(ffn["gate_up"], x).astype(jnp.float32)
+        half = ffn["gate_up"].splits[0]
+        g = _act(gu[..., :half], cfg.hidden_act)
+        return L.apply(ffn["down"], (g * gu[..., half:]).astype(x.dtype))
     if "gate" in ffn:
         g = _act(L.apply(ffn["gate"], x).astype(jnp.float32), cfg.hidden_act)
         u = L.apply(ffn["up"], x).astype(jnp.float32)

@@ -48,17 +48,19 @@ class QuantLinear:
     k: int = field(metadata=dict(static=True), default=0)
     n: int = field(metadata=dict(static=True), default=0)
     source_type: str = field(metadata=dict(static=True), default="")
+    # output-slice boundaries of a fused projection (static metadata)
+    splits: tuple | None = field(metadata=dict(static=True), default=None)
 
     def tree_flatten(self):
         children = (self.packed, self.scales, self.mins, self.bias)
-        aux = (self.fmt, self.group, self.k, self.n, self.source_type)
+        aux = (self.fmt, self.group, self.k, self.n, self.source_type,
+               self.splits)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         packed, scales, mins, bias = children
-        fmt, group, k, n, source_type = aux
-        return cls(packed, scales, mins, bias, fmt, group, k, n, source_type)
+        return cls(packed, scales, mins, bias, *aux)
 
     @property
     def shape(self):
@@ -72,13 +74,14 @@ class DenseLinear:
 
     weight: Any
     bias: Any | None = None
+    splits: tuple | None = field(metadata=dict(static=True), default=None)
 
     def tree_flatten(self):
-        return (self.weight, self.bias), ()
+        return (self.weight, self.bias), (self.splits,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, *aux)
 
     @property
     def shape(self):
@@ -106,6 +109,73 @@ class LoraLinear:
     @property
     def shape(self):
         return self.base.shape
+
+
+def fuse_linears(lins: list) -> Any | None:
+    """Fuse same-input linears into one wide matmul (concat along N).
+
+    On TPU decode, small matmuls are launch/fixed-overhead-bound; fusing
+    q/k/v (and ffn gate/up) into single kernels cuts ops per layer from 7 to
+    4. Returns None when the weights aren't compatible (mixed formats /
+    groups / K). The reference's combined-QKV handling (loader.rs:857) is
+    the inverse operation — it splits; we fuse."""
+    if any(l is None for l in lins) or len(lins) < 2:
+        return None
+    if all(isinstance(l, DenseLinear) for l in lins):
+        w = jnp.concatenate([l.weight for l in lins], axis=1)
+        biases = [l.bias for l in lins]
+        if any(b is not None for b in biases):
+            parts = [
+                b if b is not None else jnp.zeros((l.weight.shape[1],),
+                                                  w.dtype)
+                for b, l in zip(biases, lins)
+            ]
+            bias = jnp.concatenate(parts)
+        else:
+            bias = None
+        return DenseLinear(w, bias,
+                           splits=tuple(l.weight.shape[1] for l in lins))
+    if not all(isinstance(l, QuantLinear) for l in lins):
+        return None
+    first = lins[0]
+    if any(l.fmt != first.fmt or l.group != first.group or l.k != first.k
+           for l in lins):
+        return None
+    has_mins = [l.mins is not None for l in lins]
+    if any(has_mins) != all(has_mins):
+        return None
+    packed = jnp.concatenate([l.packed for l in lins], axis=1)
+    scales = jnp.concatenate([l.scales for l in lins], axis=1)
+    mins = (jnp.concatenate([l.mins for l in lins], axis=1)
+            if all(has_mins) else None)
+    biases = [l.bias for l in lins]
+    if any(b is not None for b in biases):
+        parts = [b if b is not None else jnp.zeros((l.n,), jnp.float32)
+                 for b, l in zip(biases, lins)]
+        bias = jnp.concatenate(parts)
+    else:
+        bias = None
+    return QuantLinear(packed, scales, mins, bias, first.fmt, first.group,
+                       first.k, sum(l.n for l in lins),
+                       first.source_type, splits=tuple(l.n for l in lins))
+
+
+def unfuse_linear(lin, splits: list[int]) -> list:
+    """Inverse of fuse_linears: slice along N at the given widths."""
+    offs = np.cumsum([0] + list(splits))
+    out = []
+    for a, b in zip(offs[:-1], offs[1:]):
+        if isinstance(lin, DenseLinear):
+            out.append(DenseLinear(
+                lin.weight[:, a:b],
+                lin.bias[a:b] if lin.bias is not None else None))
+        else:
+            out.append(QuantLinear(
+                lin.packed[:, a:b], lin.scales[:, a:b],
+                lin.mins[:, a:b] if lin.mins is not None else None,
+                lin.bias[a:b] if lin.bias is not None else None,
+                lin.fmt, lin.group, lin.k, int(b - a), lin.source_type))
+    return out
 
 
 def unpack_q4(ql: QuantLinear) -> jnp.ndarray:

@@ -44,7 +44,8 @@ DEFAULT_TK = 2048  # logical K elements per grid step
 DEFAULT_TN = 256
 
 _PREC = {
-    "default": None,
+    None: None,  # inherit the ambient jax.default_matmul_precision
+    "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
 }
 
@@ -72,10 +73,11 @@ def _q4_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Mosaic can't shift at 8-bit vector width; widen to i32 first
+    # Mosaic can't shift at 8-bit vector width; widen to i32 first.
+    # u8 zero-extends, so the high nibble needs no mask after the shift.
     w32 = p_ref[:].astype(jnp.int32)
     lo = (w32 & 0x0F).astype(jnp.float32)
-    hi = ((w32 >> 4) & 0x0F).astype(jnp.float32)
+    hi = (w32 >> 4).astype(jnp.float32)
     srep = _repeat_rows(s_ref[:].astype(jnp.float32), group // 2)  # [TK/2, TN]
     w_lo = lo * srep
     w_hi = hi * srep
@@ -138,7 +140,7 @@ def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
                      "precision"),
 )
 def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
-                  interpret, precision="highest"):
+                  interpret, precision=None):
     b = x.shape[0]
     nk = k // tk
     nn = n // tn
@@ -208,7 +210,7 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int) -> tuple[int, int]:
 
 
 def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
-            precision: str = "highest") -> jnp.ndarray:
+            precision: str | None = None) -> jnp.ndarray:
     """x [B, K] @ quantized W [K, N] -> [B, N] float32 (bias NOT applied)."""
     b, k = x.shape
     assert k == lin.k, (k, lin.k)

@@ -125,6 +125,14 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
         if "attn" in layer:
             attn = dict(layer["attn"])
             na = {}
+            if "wqkv" in attn:
+                # unfuse for TP: a fused projection would make the q/k/v
+                # output slices cross shard boundaries (extra collectives)
+                from ..ops.linear import unfuse_linear
+
+                wqkv = attn.pop("wqkv")
+                wq, wk, wv = unfuse_linear(wqkv, list(wqkv.splits))
+                attn.update(wq=wq, wk=wk, wv=wv)
             for key in ("wq", "wk", "wv"):
                 na[key] = _shard_linear(attn[key], mesh, "col")
             na["wo"] = _shard_linear(attn["wo"], mesh, "row")
@@ -166,6 +174,13 @@ def _shard_ffn(ffn: dict, mesh: Mesh) -> dict:
                 lambda x: jax.device_put(x, rep), ffn["shared_gate"],
                 is_leaf=lambda x: isinstance(x, (DenseLinear, QuantLinear)))
         return out
+    if "gate_up" in ffn:  # unfuse for TP (see attn comment)
+        from ..ops.linear import unfuse_linear
+
+        ffn = dict(ffn)
+        gu = ffn.pop("gate_up")
+        gate, up = unfuse_linear(gu, list(gu.splits))
+        ffn.update(gate=gate, up=up)
     if "gate" in ffn:
         out["gate"] = _shard_linear(ffn["gate"], mesh, "col")
     out["up"] = _shard_linear(ffn["up"], mesh, "col")
