@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gen-tokens", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--json", dest="json_out", action="store_true")
+    p.add_argument("--profile", nargs="?", const="/tmp/llama_gguf_tpu_profile",
+                   default=None, help="write a jax.profiler trace to DIR")
     _add_common(p)
 
     p = sub.add_parser("embed", help="compute text embeddings")
@@ -421,16 +423,24 @@ def cmd_bench(args) -> int:
     np.asarray(logits)
     prefill_s = time.time() - t0
 
+    import contextlib
+
     import jax.numpy as jnp
 
     first = jnp.argmax(logits)[None].astype(jnp.int32)
     # warm up decode compile before timing
     _, kv = engine.runner.greedy_decode(first, jnp.array([pos]), kv, steps=1)
-    t0 = time.time()
-    toks, kv = engine.runner.greedy_decode(first, jnp.array([pos + 1]), kv,
-                                           steps=gtoks)
-    np.asarray(toks)
-    decode_s = time.time() - t0
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from .utils.debug import profile
+
+        prof = profile(args.profile)
+    with prof:
+        t0 = time.time()
+        toks, kv = engine.runner.greedy_decode(first, jnp.array([pos + 1]),
+                                               kv, steps=gtoks)
+        np.asarray(toks)
+        decode_s = time.time() - t0
     result = {
         "prefill_tps": ptoks / prefill_s,
         "decode_tps": gtoks / decode_s,

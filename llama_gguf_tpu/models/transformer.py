@@ -238,7 +238,10 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
     """Full forward. tokens/positions: [B, T]; lengths: [B] valid KV length
     after writing this step. Returns (logits [B, T, V], kv')."""
+    from ..utils.debug import trace_activation
+
     x = embed(params, cfg, tokens)
+    trace_activation("embed", -1, x)
     kinds = cfg.layer_kinds or ("attn",) * len(params["layers"])
     for i, layer in enumerate(params["layers"]):
         if kinds[i] == "deltanet":
@@ -249,5 +252,6 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             x, kv = mamba_layer(layer, cfg, x, positions, kv, i, lengths)
         else:
             x, kv = transformer_layer(layer, cfg, x, positions, kv, i, lengths)
+        trace_activation("out", i, x)
     logits = compute_logits(params, cfg, x)
     return logits, kv
