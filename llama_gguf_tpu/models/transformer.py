@@ -76,39 +76,19 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
     kv = KV.write(kv, layer_idx, k, v, positions)
     keys, vals = KV.read(kv, layer_idx, head_dim=hd, v_head_dim=vd)
-    s = keys.shape[1]
 
     rep = nh // nkv
-    qg = q.reshape(b, t, nkv, rep, hd)
-    scale = hd**-0.5
-    scores = jnp.einsum(
-        "btkrd,bskd->btkrs", qg.astype(jnp.float32), keys
-    ) * scale
+    qg = q.reshape(b, t, nkv, rep, hd).astype(jnp.float32)
+    from ..ops.attention import attention_scores
 
-    if cfg.attn_logit_softcap > 0.0:
-        c = cfg.attn_logit_softcap
-        scores = jnp.tanh(scores / c) * c
-
-    # mask: key position s_idx visible iff s_idx <= q_pos, s_idx < length,
-    # and within the sliding window if enabled
-    s_idx = jnp.arange(s)
-    q_pos = positions  # [B, T]
-    valid = (s_idx[None, None, :] <= q_pos[:, :, None]) & (
-        s_idx[None, None, :] < lengths[:, None, None]
-    )
-    if cfg.sliding_window > 0:
-        valid &= s_idx[None, None, :] > (q_pos[:, :, None] - cfg.sliding_window)
-    scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
-
+    sinks = None
     if "sinks" in layer:  # attention sinks (gpt-oss): extra logit per head
-        sinks = layer["sinks"].reshape(1, 1, nkv, rep, 1).astype(jnp.float32)
-        sinks = jnp.broadcast_to(sinks, (b, t, nkv, rep, 1))
-        probs = jax.nn.softmax(jnp.concatenate([scores, sinks], axis=-1), axis=-1)
-        probs = probs[..., :-1]
-    else:
-        probs = jax.nn.softmax(scores, axis=-1)
-
-    ctx = jnp.einsum("btkrs,bskd->btkrd", probs, vals)
+        sinks = layer["sinks"].reshape(nkv, rep).astype(jnp.float32)
+    ctx = attention_scores(
+        qg, keys, vals, positions, lengths,
+        scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
+        sliding_window=cfg.sliding_window, sinks=sinks,
+    )
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
 
     if "gate" in layer:  # Qwen3Next sigmoid attention gate

@@ -1,0 +1,123 @@
+"""Attention score paths: dense and chunked (flash-style online softmax).
+
+Parity/analogue: the reference's CPU flash attention (tiled online softmax,
+BLOCK_SIZE=64 KV tiles, /root/reference/src/backend/cpu/flash_attn.rs:45-284)
+and the CUDA flash_attention_cached kernel (kernels.rs:1395). On TPU the
+dense einsum path is MXU-optimal for short sequences, but prefill at T=S=4k
+would materialize O(T*S) score tensors; the chunked path scans KV blocks
+with running (max, denom, acc) state so peak memory is O(T * block), while
+every inner op stays a big fused einsum for the MXU. XLA keeps the loop
+on-device; no Pallas needed to hit the memory-bound roofline here because
+the KV cache is read exactly once.
+
+Shared semantics with models/transformer.attention: causal + length mask,
+sliding window, logit softcap, GQA grouping.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+DEFAULT_BLOCK = 256
+# use the chunked path when the dense score tensor would exceed this many
+# elements (B*T*H*S)
+CHUNK_THRESHOLD = 1 << 22
+
+
+def _mask_block(positions, lengths, s_idx, sliding_window: int):
+    """[B, T, S_blk] bool visibility mask for key positions s_idx."""
+    valid = (s_idx[None, None, :] <= positions[:, :, None]) & (
+        s_idx[None, None, :] < lengths[:, None, None]
+    )
+    if sliding_window > 0:
+        valid &= s_idx[None, None, :] > (
+            positions[:, :, None] - sliding_window)
+    return valid
+
+
+def dense_attention(qg, keys, vals, positions, lengths, *, scale: float,
+                    softcap: float = 0.0, sliding_window: int = 0,
+                    sinks=None):
+    """qg [B,T,K,R,D]; keys [B,S,K,D]; vals [B,S,K,Dv] -> [B,T,K,R,Dv]."""
+    s = keys.shape[1]
+    scores = jnp.einsum("btkrd,bskd->btkrs", qg, keys) * scale
+    if softcap > 0.0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    s_idx = jnp.arange(s)
+    valid = _mask_block(positions, lengths, s_idx, sliding_window)
+    scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
+    if sinks is not None:
+        b, t, k, r, _ = scores.shape
+        sk = jnp.broadcast_to(sinks.reshape(1, 1, k, r, 1), (b, t, k, r, 1))
+        probs = jax.nn.softmax(jnp.concatenate([scores, sk], -1), axis=-1)
+        probs = probs[..., :-1]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+    # fully-masked rows (padding slots) -> 0, matching the chunked path
+    any_valid = valid.any(-1)[:, :, None, None, None]
+    probs = jnp.where(any_valid, probs, 0.0)
+    return jnp.einsum("btkrs,bskd->btkrd", probs, vals)
+
+
+def chunked_attention(qg, keys, vals, positions, lengths, *, scale: float,
+                      softcap: float = 0.0, sliding_window: int = 0,
+                      block: int = DEFAULT_BLOCK):
+    """Flash-style attention over KV blocks with online softmax.
+
+    Same signature/result as dense_attention (no sinks support — callers
+    fall back to dense). Peak intermediate is [B,T,K,R,block] instead of
+    [B,T,K,R,S]."""
+    b, t, k, r, d = qg.shape
+    s = keys.shape[1]
+    if s % block:
+        block = s  # degenerate: single block
+    nblk = s // block
+    dv = vals.shape[-1]
+
+    m0 = jnp.full((b, t, k, r), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, t, k, r), jnp.float32)
+    acc0 = jnp.zeros((b, t, k, r, dv), jnp.float32)
+
+    def body(carry, blk):
+        m, l, acc = carry
+        ks = jax.lax.dynamic_slice_in_dim(keys, blk * block, block, 1)
+        vs = jax.lax.dynamic_slice_in_dim(vals, blk * block, block, 1)
+        scores = jnp.einsum("btkrd,bskd->btkrs", qg, ks) * scale
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        s_idx = blk * block + jnp.arange(block)
+        valid = _mask_block(positions, lengths, s_idx, sliding_window)
+        scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
+
+        m_new = jnp.maximum(m, scores.max(-1))
+        # guard: all-masked rows keep m at NEG_INF; exp(NEG_INF-NEG_INF)
+        # must not produce NaN
+        safe_m = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        p = jnp.exp(scores - safe_m[..., None])
+        p = jnp.where(valid[:, :, None, None, :], p, 0.0)
+        alpha = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - safe_m))
+        l = l * alpha + p.sum(-1)
+        acc = acc * alpha[..., None] + jnp.einsum("btkrs,bskd->btkrd", p, vs)
+        return (m_new, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0),
+                                  jnp.arange(nblk, dtype=jnp.int32))
+    return acc / jnp.maximum(l[..., None], 1e-30)
+
+
+def attention_scores(qg, keys, vals, positions, lengths, *, scale: float,
+                     softcap: float = 0.0, sliding_window: int = 0,
+                     sinks=None):
+    """Pick dense vs chunked by the dense score-tensor size (static)."""
+    b, t, k, r, _ = qg.shape
+    s = keys.shape[1]
+    if sinks is None and b * t * k * r * s > CHUNK_THRESHOLD and \
+            s >= 2 * DEFAULT_BLOCK:
+        return chunked_attention(qg, keys, vals, positions, lengths,
+                                 scale=scale, softcap=softcap,
+                                 sliding_window=sliding_window)
+    return dense_attention(qg, keys, vals, positions, lengths, scale=scale,
+                           softcap=softcap, sliding_window=sliding_window,
+                           sinks=sinks)

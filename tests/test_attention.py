@@ -1,0 +1,80 @@
+"""Chunked (flash-style) attention must match the dense path exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import llama_gguf_tpu.ops.attention as A
+
+
+def make_inputs(rng, b=2, t=16, k=2, r=2, d=8, s=64, dv=None):
+    dv = dv or d
+    qg = jnp.asarray(rng.normal(size=(b, t, k, r, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, s, k, d)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(b, s, k, dv)).astype(np.float32))
+    positions = jnp.asarray(
+        np.tile(np.arange(10, 10 + t, dtype=np.int32), (b, 1)))
+    lengths = jnp.asarray(np.array([10 + t, 5], np.int32)[:b])
+    return qg, keys, vals, positions, lengths
+
+
+@pytest.mark.parametrize("block", [8, 16, 64])
+def test_chunked_matches_dense(rng, block):
+    qg, keys, vals, pos, lens = make_inputs(rng)
+    dense = A.dense_attention(qg, keys, vals, pos, lens, scale=0.35)
+    chunk = A.chunked_attention(qg, keys, vals, pos, lens, scale=0.35,
+                                block=block)
+    assert np.allclose(np.asarray(dense), np.asarray(chunk), atol=1e-5)
+
+
+def test_chunked_with_softcap_and_window(rng):
+    qg, keys, vals, pos, lens = make_inputs(rng)
+    kw = dict(scale=0.35, softcap=5.0, sliding_window=12)
+    dense = A.dense_attention(qg, keys, vals, pos, lens, **kw)
+    chunk = A.chunked_attention(qg, keys, vals, pos, lens, block=16, **kw)
+    assert np.allclose(np.asarray(dense), np.asarray(chunk), atol=1e-5)
+
+
+def test_fully_masked_rows_no_nan(rng):
+    """Rows with zero visible keys (padding slots) must not produce NaN."""
+    qg, keys, vals, pos, lens = make_inputs(rng, b=1)
+    lens = jnp.asarray([0], jnp.int32)  # nothing visible
+    out = A.chunked_attention(qg, keys, vals, pos, lens, scale=0.35, block=16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dispatch_threshold(rng, monkeypatch):
+    """attention_scores routes big shapes to the chunked path."""
+    calls = {}
+    real = A.chunked_attention
+
+    def spy(*a, **k):
+        calls["chunked"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(A, "chunked_attention", spy)
+    monkeypatch.setattr(A, "CHUNK_THRESHOLD", 1024)
+    qg, keys, vals, pos, lens = make_inputs(rng, t=8, s=512)
+    out = A.attention_scores(qg, keys, vals, pos, lens, scale=0.35)
+    assert calls.get("chunked") and np.isfinite(np.asarray(out)).all()
+
+
+def test_model_forward_long_prefill_chunked(monkeypatch, tmp_path):
+    """End-to-end: with a tiny threshold the model prefill runs chunked and
+    produces the same logits as the dense path."""
+    from fixtures import make_tiny_model
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+
+    path = str(tmp_path / "ca.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=512, seed=3,
+                    tokenizer=True)
+    ids = list(np.random.default_rng(0).integers(3, 280, size=300))
+
+    eng = Engine.load(path, EngineConfig(weight_mode="dequant"))
+    dense_out = eng.greedy_tokens(ids, 4)
+
+    monkeypatch.setattr(A, "CHUNK_THRESHOLD", 1 << 12)
+    eng2 = Engine.load(path, EngineConfig(weight_mode="dequant"))
+    chunk_out = eng2.greedy_tokens(ids, 4)
+    assert chunk_out == dense_out
