@@ -47,7 +47,12 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ctx", type=int, default=None, help="max context length")
     p.add_argument("--weight-mode", choices=["quant", "dequant"], default=None)
     p.add_argument("--kv-cache-type", default=None,
-                   choices=["f32", "bf16", "i8", "f8_e4m3", "f8_e5m2"])
+                   choices=["f32", "bf16", "i8", "f8_e4m3", "f8_e5m2",
+                            "tq2", "tq3", "tq4"])
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel mesh axis (0 = auto-fit HBM)")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh axis")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -176,6 +181,12 @@ def _engine_config(cfg: Config, args):
         kv_format=getattr(args, "kv_cache_type", None) or cfg.model.kv_cache_type,
         matmul_precision=cfg.model.matmul_precision,
         seed=getattr(args, "seed", None) or cfg.generation.seed,
+        mesh_model=(getattr(args, "tp", None)
+                    if getattr(args, "tp", None) is not None
+                    else cfg.parallel.model),
+        mesh_data=(getattr(args, "dp", None)
+                   if getattr(args, "dp", None) is not None
+                   else cfg.parallel.data),
     )
 
 

@@ -40,6 +40,10 @@ class EngineConfig:
     seed: int | None = None
     prompt_cache: bool = False  # prefix-sharing KV snapshots (LRU)
     prompt_cache_bytes: int = 2 << 30
+    # tensor/data-parallel mesh axes over local devices (1,1 = single chip);
+    # mesh_model=0 picks the smallest model axis that fits HBM (auto)
+    mesh_data: int = 1
+    mesh_model: int = 1
 
 
 @dataclass
@@ -97,11 +101,24 @@ class Engine:
         max_seq = cfg.max_seq_len
         if config.max_context_len:
             max_seq = min(max_seq, config.max_context_len)
+        mesh = None
+        n_model, n_data = config.mesh_model, config.mesh_data
+        if n_model == 0:  # auto: fit weights into per-device HBM
+            from ..parallel.multihost import auto_mesh
+
+            weight_bytes = sum(i.nbytes for i in gguf.tensors.values())
+            n_data, n_model = auto_mesh(int(weight_bytes * 1.5))
+        if n_model * n_data > 1:
+            from ..parallel.sharding import make_mesh, shard_params
+
+            mesh = make_mesh(n_model=n_model, n_data=n_data)
+            params = shard_params(params, mesh)
+            log.info("sharded over mesh (data=%d, model=%d)", n_data, n_model)
         runner = ModelRunner(
             params, cfg, max_batch=config.max_batch, max_seq=max_seq,
             kv_dtype=jnp.bfloat16 if config.kv_dtype == "bfloat16" else jnp.float32,
             matmul_precision=config.matmul_precision,
-            kv_format=config.kv_format,
+            kv_format=config.kv_format, mesh=mesh,
         )
         log.info("loaded %s (%s, %d layers, vocab %d) in %.1fs",
                  path, cfg.arch, cfg.num_layers, cfg.vocab_size,

@@ -40,11 +40,15 @@ class ModelRunner:
     def __init__(self, params: dict, cfg: ModelConfig, max_batch: int = 1,
                  max_seq: int | None = None, kv_dtype=jnp.float32,
                  matmul_precision: str = "highest",
-                 kv_format: str | None = None):
+                 kv_format: str | None = None, mesh=None):
         """``matmul_precision``: "highest" gives f32-accurate MXU matmuls for
         llama.cpp parity; "default" allows bf16 passes for speed.
         ``kv_format``: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2 KV-cache storage
-        (i8/f8 quarter the KV HBM footprint; see models/kv.py)."""
+        (i8/f8 quarter the KV HBM footprint; see models/kv.py).
+        ``mesh``: a (data, model) jax.sharding.Mesh — params must already be
+        sharded over it (parallel.sharding.shard_params); the KV cache and
+        inputs are placed automatically and GSPMD inserts the collectives."""
+        self.mesh = mesh
         self.params = params
         if kv_format is None:
             kv_format = "bf16" if kv_dtype == jnp.bfloat16 else "f32"
@@ -75,6 +79,10 @@ class ModelRunner:
         if any(k == "mamba" for k in (self.cfg.layer_kinds or ())):
             from ..models.mamba import init_mamba_state
             cache["mamba"] = init_mamba_state(self.cfg, b, self.cfg.num_layers)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_kv
+
+            cache = shard_kv(cache, self.mesh, self.cfg.num_kv_heads)
         return cache
 
     # -- compiled steps ------------------------------------------------------
@@ -99,6 +107,14 @@ class ModelRunner:
         """Run one step. tokens/positions [B, T], lengths [B]."""
         b, t = tokens.shape
         fn = self._get_step(b, t)
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate_inputs
+
+            tokens, positions, lengths = replicate_inputs(
+                self.mesh, jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(lengths))
+            with self.mesh:
+                return fn(self.params, tokens, positions, lengths, kv)
         return fn(self.params, tokens, positions, lengths, kv)
 
     def _get_greedy_scan(self, b: int):
@@ -139,6 +155,12 @@ class ModelRunner:
         tokens0 = jnp.asarray(tokens0, jnp.int32)
         pos0 = jnp.asarray(pos0, jnp.int32)
         fn = self._get_greedy_scan(tokens0.shape[0])
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate_inputs
+
+            tokens0, pos0 = replicate_inputs(self.mesh, tokens0, pos0)
+            with self.mesh:
+                return fn(self.params, tokens0, pos0, kv, steps=steps)
         return fn(self.params, tokens0, pos0, kv, steps=steps)
 
     # -- convenience: single-sequence prefill + decode -----------------------

@@ -193,11 +193,17 @@ def shard_kv(kv: dict, mesh: Mesh, num_kv_heads: int) -> dict:
     divisible (else replicated heads)."""
     n_model = mesh.shape["model"]
     head_axis = "model" if num_kv_heads % n_model == 0 else None
-    spec = P(None, "data", None, head_axis, None)
+    batch = kv["k"].shape[1]
+    batch_axis = "data" if batch % mesh.shape["data"] == 0 else None
+    spec = P(None, batch_axis, None, head_axis, None)
     s = NamedSharding(mesh, spec)
     out = dict(kv)
     out["k"] = jax.device_put(kv["k"], s)
     out["v"] = jax.device_put(kv["v"], s)
+    if "k_scale" in kv:  # quantized formats: [L, B, S, H] scales
+        s4 = NamedSharding(mesh, P(None, batch_axis, None, head_axis))
+        out["k_scale"] = jax.device_put(kv["k_scale"], s4)
+        out["v_scale"] = jax.device_put(kv["v_scale"], s4)
     if "deltanet" in kv:
         rep = NamedSharding(mesh, P())
         out["deltanet"] = jax.tree_util.tree_map(

@@ -98,3 +98,28 @@ def test_dp_tp_hybrid(model, rng):
         got2, _ = runner_h.step(t2, p2, l2, kv_out)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_engine_mesh_matches_single_device(tmp_path):
+    """Engine with a (2,4) TP/DP mesh on the virtual CPU devices produces
+    the same greedy tokens as the single-device engine."""
+    from fixtures import make_tiny_model
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+
+    path = str(tmp_path / "mesh.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    single = Engine.load(path, EngineConfig(weight_mode="dequant"))
+    ids = single.tokenizer.encode("tok1 tok2 tok3")
+    want = single.greedy_tokens(ids, 8)
+
+    meshed = Engine.load(path, EngineConfig(weight_mode="dequant",
+                                            mesh_data=2, mesh_model=4))
+    assert meshed.runner.mesh is not None
+    got = meshed.greedy_tokens(ids, 8)
+    assert got == want
+
+    # generation path (streaming decode_one) also works over the mesh
+    out = meshed.generate("tok4", max_tokens=4)
+    assert isinstance(out, str)
