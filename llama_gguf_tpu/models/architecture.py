@@ -78,6 +78,8 @@ GELU = {
     "phi2", "phi3", "phimoe", "gpt2", "gptj", "gptneox", "bloom", "opt",
     "falcon", "stablelm", "bert", "modern-bert", "starcoder", "starcoder2",
     "codeshell", "refact",
+    # gemma family uses gated GELU (geglu) rather than SwiGLU
+    "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
 }
 
 ENCODER_ONLY = {
@@ -98,6 +100,8 @@ NEOX_ROPE = {
     "qwen2", "qwen2moe", "qwen3", "qwen35", "qwen35moe", "qwen3moe",
     "qwen3next", "gptneox", "falcon", "phi", "phi2", "phi3", "phimoe",
     "gptj", "stablelm",
+    # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
+    "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
 }
 
 ATTENTION_BIAS = {

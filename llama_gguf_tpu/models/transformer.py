@@ -39,7 +39,8 @@ NEG_INF = -1e30
 
 def _act(x: jnp.ndarray, act: Activation) -> jnp.ndarray:
     if act == Activation.GELU:
-        return jax.nn.gelu(x, approximate=False)
+        # tanh approximation — matches ggml_gelu (and HF gelu_pytorch_tanh)
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.silu(x)
 
 
@@ -160,10 +161,11 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
 def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                       positions: jnp.ndarray, kv: dict, layer_idx: int,
                       lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
-    gemma = cfg.arch_info.is_gemma if cfg.arch_info else False
+    # NOTE: gemma GGUFs store norm weights already offset by +1 (the HF->GGUF
+    # converter adds it), so runtime norms are PLAIN RMSNorm for every arch.
 
     def norm(p, xx):
-        return apply_norm(xx, p, cfg.norm_eps, cfg.uses_layer_norm, gemma)
+        return apply_norm(xx, p, cfg.norm_eps, cfg.uses_layer_norm)
 
     h = norm(layer["attn_norm"], x)
     attn_out, kv = attention(layer["attn"], cfg, h, positions, kv, layer_idx, lengths)
@@ -198,8 +200,7 @@ def embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
 
 
 def compute_logits(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
-    gemma = cfg.arch_info.is_gemma if cfg.arch_info else False
-    x = apply_norm(x, params["final_norm"], cfg.norm_eps, cfg.uses_layer_norm, gemma)
+    x = apply_norm(x, params["final_norm"], cfg.norm_eps, cfg.uses_layer_norm)
     if params.get("output") is not None:
         logits = L.apply(params["output"], x)
     else:  # tied embeddings
