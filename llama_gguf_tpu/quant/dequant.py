@@ -327,6 +327,32 @@ _DEQUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
 }
 
 
+def _iq(name):
+    def fn(raw):
+        from . import iq_quants
+
+        return getattr(iq_quants, name)(raw)
+    return fn
+
+
+_DEQUANT.update({
+    # grid formats (lattice codebooks; see quant/iq_quants.py for the
+    # grid-table provisioning story)
+    GGMLType.IQ2_XXS: _iq("dequantize_iq2_xxs"),
+    GGMLType.IQ2_XS: _iq("dequantize_iq2_xs"),
+    GGMLType.IQ2_S: _iq("dequantize_iq2_s"),
+    GGMLType.IQ3_XXS: _iq("dequantize_iq3_xxs"),
+    GGMLType.IQ3_S: _iq("dequantize_iq3_s"),
+    # IQ1 dequantizes to zeros — reference parity (iq_quants.rs:342-350)
+    GGMLType.IQ1_S: lambda r: __import__(
+        "llama_gguf_tpu.quant.iq_quants", fromlist=["x"]
+    ).dequantize_iq1_zeros(r, 50),
+    GGMLType.IQ1_M: lambda r: __import__(
+        "llama_gguf_tpu.quant.iq_quants", fromlist=["x"]
+    ).dequantize_iq1_zeros(r, 56),
+})
+
+
 def supported_dequant_types() -> set[GGMLType]:
     return set(_DEQUANT)
 

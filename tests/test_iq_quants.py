@@ -1,0 +1,177 @@
+"""IQ2/IQ3 grid-format dequantization: bit-plumbing verified against
+independent per-element reference decoders using synthetic grid tables
+(the real ggml lattice tables are user-provisioned; see
+scripts/extract_iq_grids.py)."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from llama_gguf_tpu.gguf.constants import GGMLType
+from llama_gguf_tpu.quant import iq_quants as IQ
+from llama_gguf_tpu.quant.dequant import dequantize
+
+
+@pytest.fixture()
+def fake_grids(tmp_path, monkeypatch):
+    """Random (but fixed) grids with the real shapes/dtypes."""
+    rng = np.random.default_rng(7)
+
+    def pack_u64(entries):
+        vals = rng.integers(1, 30, size=(entries, 8), dtype=np.uint64)
+        out = np.zeros(entries, np.uint64)
+        for j in range(8):
+            out |= vals[:, j] << np.uint64(8 * j)
+        return out
+
+    def pack_u32(entries):
+        vals = rng.integers(1, 16, size=(entries, 4), dtype=np.uint32)
+        out = np.zeros(entries, np.uint32)
+        for j in range(4):
+            out |= vals[:, j] << np.uint32(8 * j)
+        return out
+
+    path = tmp_path / "grids.npz"
+    np.savez(path,
+             kgrid_2bit_256=pack_u64(256),
+             kgrid_2bit_512=pack_u64(512),
+             kgrid_2bit_1024=pack_u64(1024),
+             kgrid_3bit_256=pack_u32(256),
+             kgrid_3bit_512=pack_u32(512))
+    monkeypatch.setenv("LLAMA_GGUF_IQ_GRIDS", str(path))
+    IQ._load_grids.cache_clear()
+    yield str(path)
+    IQ._load_grids.cache_clear()
+
+
+def test_ksigns_properties():
+    t = IQ.ksigns()
+    assert t.shape == (128,)
+    for i in (0, 1, 5, 127):
+        assert t[i] & 127 == i
+        assert bin(int(t[i])).count("1") % 2 == 1  # odd parity overall
+
+
+def test_grids_unavailable_error(monkeypatch, tmp_path):
+    monkeypatch.setenv("LLAMA_GGUF_IQ_GRIDS", str(tmp_path / "missing.npz"))
+    IQ._load_grids.cache_clear()
+    with pytest.raises(NotImplementedError, match="extract_iq_grids"):
+        IQ.dequantize_iq2_xxs(np.zeros(66, np.uint8))
+    IQ._load_grids.cache_clear()
+
+
+def test_iq2_xxs_against_reference_decoder(fake_grids):
+    rng = np.random.default_rng(1)
+    nb = 4
+    raw = np.zeros((nb, 66), np.uint8)
+    raw[:, 0:2] = np.frombuffer(
+        np.full(nb, 0.5, np.float16).tobytes(), np.uint8).reshape(nb, 2)
+    payload = rng.integers(0, 256, size=(nb, 64), dtype=np.uint8)
+    raw[:, 2:66] = payload
+
+    got = IQ.dequantize_iq2_xxs(raw.reshape(-1)).reshape(nb, 256)
+
+    # independent scalar reference
+    grid = IQ._grid("IQ2_XXS").astype(np.float32)
+    ks = IQ.ksigns()
+    want = np.zeros((nb, 256), np.float32)
+    for b in range(nb):
+        d = np.frombuffer(raw[b, 0:2].tobytes(), np.float16)[0]
+        q16 = np.frombuffer(raw[b, 2:66].tobytes(), "<u2").reshape(8, 4)
+        for g in range(8):
+            aux8 = np.frombuffer(q16[g, :2].tobytes(), np.uint8)
+            aux32 = int(q16[g, 2]) | (int(q16[g, 3]) << 16)
+            db = float(d) * (0.5 + (aux32 >> 28)) * 0.25
+            for sub in range(4):
+                sign_bits = ks[(aux32 >> (7 * sub)) & 127]
+                for j in range(8):
+                    s = -1.0 if (sign_bits >> j) & 1 else 1.0
+                    want[b, g * 32 + sub * 8 + j] = \
+                        db * grid[aux8[sub], j] * s
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_iq3_s_against_reference_decoder(fake_grids):
+    rng = np.random.default_rng(2)
+    nb = 3
+    raw = np.zeros((nb, 110), np.uint8)
+    raw[:, 0:2] = np.frombuffer(
+        np.full(nb, 1.0, np.float16).tobytes(), np.uint8).reshape(nb, 2)
+    raw[:, 2:110] = rng.integers(0, 256, size=(nb, 108), dtype=np.uint8)
+
+    got = IQ.dequantize_iq3_s(raw.reshape(-1)).reshape(nb, 256)
+
+    grid = IQ._grid("IQ3_S").astype(np.float32)
+    want = np.zeros((nb, 256), np.float32)
+    for b in range(nb):
+        d = float(np.frombuffer(raw[b, 0:2].tobytes(), np.float16)[0])
+        qs = raw[b, 2:66]
+        qh = raw[b, 66:74]
+        signs = raw[b, 74:106]
+        sc = raw[b, 106:110]
+        scales = np.empty(8, np.float32)
+        scales[0::2] = sc & 0xF
+        scales[1::2] = sc >> 4
+        for i in range(64):  # 64 grid indices of 4 values
+            hi = int((qh[i // 8] >> (i % 8)) & 1)
+            idx = int(qs[i]) | (hi << 8)
+            group = i // 8
+            db = d * (1 + 2 * scales[group])
+            for j in range(4):
+                e = i * 4 + j
+                sbyte = signs[e // 8]
+                s = -1.0 if (sbyte >> (e % 8)) & 1 else 1.0
+                want[b, e] = db * grid[idx, j] * s
+    assert np.allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("fmt,block", [
+    ("IQ2_XS", 74), ("IQ2_S", 82), ("IQ3_XXS", 98),
+])
+def test_other_iq_formats_shape_and_finite(fake_grids, fmt, block):
+    rng = np.random.default_rng(3)
+    nb = 4
+    raw = np.zeros((nb, block), np.uint8)
+    raw[:, 0:2] = np.frombuffer(
+        np.full(nb, 0.25, np.float16).tobytes(), np.uint8).reshape(nb, 2)
+    raw[:, 2:] = rng.integers(0, 256, size=(nb, block - 2), dtype=np.uint8)
+    fn = getattr(IQ, f"dequantize_{fmt.lower()}")
+    out = fn(raw.reshape(-1))
+    assert out.shape == (nb * 256,)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() > 0
+
+
+def test_iq1_zero_stub():
+    out = dequantize(np.zeros(50 * 3, np.uint8), GGMLType.IQ1_S)
+    assert out.shape == (768,) and np.all(out == 0)
+    out = dequantize(np.zeros(56 * 2, np.uint8), GGMLType.IQ1_M)
+    assert out.shape == (512,) and np.all(out == 0)
+
+
+def test_dispatch_through_dequantize(fake_grids):
+    raw = np.zeros(66 * 2, np.uint8)
+    out = dequantize(raw, GGMLType.IQ2_XXS)
+    assert out.shape == (512,)
+
+
+def test_extract_script(tmp_path):
+    c_src = tmp_path / "ggml-quants.c"
+    body256 = ", ".join(str(i * 7 + 1) for i in range(256))
+    body512 = ", ".join(hex(i) for i in range(512))
+    c_src.write_text(
+        "static const uint64_t kgrid_2bit_256[256] = {%s};\n"
+        "static const uint32_t kgrid_3bit_512[512] = {%s};\n"
+        % (body256, body512))
+    out = tmp_path / "grids.npz"
+    r = subprocess.run(
+        [sys.executable, "scripts/extract_iq_grids.py", str(c_src),
+         "-o", str(out)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    data = np.load(out)
+    assert data["kgrid_2bit_256"].shape == (256,)
+    assert data["kgrid_2bit_256"][3] == 22
+    assert data["kgrid_3bit_512"].shape == (512,)
