@@ -119,7 +119,10 @@ PARALLEL_RESIDUAL = {"gptneox", "gptj", "stablelm", "phi", "phi2", "codeshell"}
 DELTANET = {"qwen3next", "qwen35", "qwen35moe", "kimi-linear"}
 
 # [nope | rope] head-dim layout instead of [rope | nope] for partial RoPE.
-ROPE_PARTIAL_AT_END = {"qwen3next"}
+# archs whose partial RoPE rotates the LAST n_dims of the head (HF Qwen3Next
+# rotates the FIRST rotary_dim, verified against transformers — see
+# tests/test_arch_zoo.py)
+ROPE_PARTIAL_AT_END: set[str] = set()
 
 
 @dataclass(frozen=True)

@@ -46,10 +46,11 @@ def load_deltanet_layer(loader, i: int, cfg) -> dict:
         dn["dt_bias"] = loader._put(loader.dense(f"{p}.ssm_dt.bias"),
                                     f"{p}.ssm_dt.bias")
     if loader.has(f"{p}.ssm_a"):
-        dn["a_log"] = loader._put(loader.dense(f"{p}.ssm_a"), f"{p}.ssm_a")
+        dn["ssm_a"] = loader._put(loader.dense(f"{p}.ssm_a"), f"{p}.ssm_a")
     if loader.has(f"{p}.ssm_norm.weight"):
         dn["out_norm"] = loader._put(loader.dense(f"{p}.ssm_norm.weight"),
                                      f"{p}.ssm_norm.weight")
+    dn["z_proj"] = loader.linear(f"{p}.attn_gate")
     dn["out_proj"] = loader.linear(f"{p}.ssm_out")
     layer["deltanet"] = dn
     layer["ffn"] = loader._load_ffn(i, cfg)
@@ -122,12 +123,14 @@ def deltanet_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     h = apply_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.uses_layer_norm)
     dn = layer["deltanet"]
 
-    proj = L.apply(dn["in_proj"], h).astype(jnp.float32)  # [B,T,qkvz]
+    # GGUF convention (deltanet.rs:161-232): ssm_in -> [q | k | v] flat,
+    # z from the separate attn_gate projection
+    proj = L.apply(dn["in_proj"], h).astype(jnp.float32)  # [B,T,q+k+v]
     nq, nk, nv = hk * dk, hk * dk, hv * dv
     qf = proj[..., :nq]
     kf = proj[..., nq:nq + nk]
     vf = proj[..., nq + nk:nq + nk + nv]
-    zf = proj[..., nq + nk + nv:nq + nk + 2 * nv]
+    zf = L.apply(dn["z_proj"], h).astype(jnp.float32)  # [B,T,Hv*Dv]
 
     # causal depthwise conv over the qkv part, with ring-buffer state
     conv_w = dn["conv_w"].astype(jnp.float32)  # [C, K] (np shape)
@@ -151,18 +154,24 @@ def deltanet_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     k = conv[..., nq:nq + nk].reshape(b, t, hk, dk)
     v = conv[..., nq + nk:].reshape(b, t, hv, dv)
 
-    # per-head L2 norm of q, k
+    # per-head L2 norm of q, k; q additionally scaled by Dk^-0.5
     q = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True) + 1e-6)
     k = k * jax.lax.rsqrt(jnp.sum(k * k, -1, keepdims=True) + 1e-6)
+    q = q * (dk ** -0.5)
 
-    if "ba_proj" in dn:  # combined beta/alpha projection
+    if "ba_proj" in dn:  # combined beta/alpha projection, grouped per
+        # k-head: [b(r) | a(r)] x Hk (deltanet.rs:179-189)
         ba = L.apply(dn["ba_proj"], h).astype(jnp.float32)  # [B,T,2*Hv]
-        beta_raw, alpha_raw = ba[..., :hv], ba[..., hv:]
+        rep_v = hv // max(hk, 1)
+        bag = ba.reshape(b, t, hk, 2 * rep_v)
+        beta_raw = bag[..., :rep_v].reshape(b, t, hv)
+        alpha_raw = bag[..., rep_v:].reshape(b, t, hv)
     else:
         beta_raw = L.apply(dn["beta_proj"], h).astype(jnp.float32)
         alpha_raw = L.apply(dn["alpha_proj"], h).astype(jnp.float32)
     beta = jax.nn.sigmoid(beta_raw)
-    a = -jnp.exp(dn["a_log"].astype(jnp.float32)) if "a_log" in dn else -1.0
+    # GGUF stores ssm_a = -exp(A_log) (already negative; mamba convention)
+    a = dn["ssm_a"].astype(jnp.float32) if "ssm_a" in dn else -1.0
     dt_bias = dn.get("dt_bias", 0.0)
     gate = a * jax.nn.softplus(alpha_raw + dt_bias)  # log-decay <= 0
     # freeze state across padding: beta=0 (no write), gate=0 (decay=1)

@@ -207,3 +207,236 @@ def test_gemma2_quirks_parsed(gemma2_pair):
     assert cfg.tie_word_embeddings
     assert "post_attn_norm" in params["layers"][0]
     assert "post_ffn_norm" in params["layers"][0]
+
+
+# -- mixtral (MoE) ----------------------------------------------------------------
+
+MX = dict(vocab=96, hidden=64, layers=2, heads=4, kv_heads=2, ffn=96, ctx=64,
+          experts=4, topk=2)
+
+
+@pytest.fixture(scope="module")
+def mixtral_pair(tmp_path_factory):
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    c = MX
+    hf_cfg = MixtralConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv_heads"], intermediate_size=c["ffn"],
+        num_local_experts=c["experts"], num_experts_per_tok=c["topk"],
+        max_position_embeddings=c["ctx"], rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attention_dropout=0.0, router_jitter_noise=0.0,
+    )
+    torch.manual_seed(11)
+    with torch.no_grad():
+        model = MixtralForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.25)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "llama")  # mixtral converts as llama
+    w.add_metadata("llama.embedding_length", c["hidden"])
+    w.add_metadata("llama.block_count", c["layers"])
+    w.add_metadata("llama.attention.head_count", c["heads"])
+    w.add_metadata("llama.attention.head_count_kv", c["kv_heads"])
+    w.add_metadata("llama.feed_forward_length", c["ffn"])
+    w.add_metadata("llama.context_length", c["ctx"])
+    w.add_metadata("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata("llama.rope.freq_base", 10000.0)
+    w.add_metadata("llama.expert_count", c["experts"])
+    w.add_metadata("llama.expert_used_count", c["topk"])
+    w.add_metadata("llama.expert_weights_norm", True)  # HF renormalizes top-k
+    w.add_metadata("llama.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv_heads"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                        sd[f"{h}.block_sparse_moe.gate.weight"])
+        gate = np.stack([sd[f"{h}.block_sparse_moe.experts.{e}.w1.weight"]
+                         for e in range(c["experts"])])
+        up = np.stack([sd[f"{h}.block_sparse_moe.experts.{e}.w3.weight"]
+                       for e in range(c["experts"])])
+        down = np.stack([sd[f"{h}.block_sparse_moe.experts.{e}.w2.weight"]
+                         for e in range(c["experts"])])
+        w.add_tensor_np(f"{p}.ffn_gate_exps.weight", gate)
+        w.add_tensor_np(f"{p}.ffn_up_exps.weight", up)
+        w.add_tensor_np(f"{p}.ffn_down_exps.weight", down)
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("mx") / "mixtral.gguf")
+    w.write_to_path(path)
+    return path, model
+
+
+def test_mixtral_moe_logits_match_hf(mixtral_pair, rng):
+    import torch
+
+    path, model = mixtral_pair
+    tokens = rng.integers(0, MX["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, MX["ctx"])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_mixtral_config_parsed(mixtral_pair):
+    _, cfg, _ = load_model(mixtral_pair[0], mode="dequant")
+    assert cfg.num_experts == MX["experts"]
+    assert cfg.num_experts_per_token == MX["topk"]
+    assert cfg.expert_weights_norm
+
+
+# -- qwen3next (hybrid DeltaNet + gated attention) ----------------------------------
+
+QN = dict(vocab=96, hidden=64, layers=4, heads=4, kv_heads=2, head_dim=16,
+          ffn=96, ctx=64, hv=4, hk=2, dk=16, dv=16, conv=4)
+
+
+@pytest.fixture(scope="module")
+def qwen3next_pair(tmp_path_factory):
+    import torch
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    c = QN
+    hf_cfg = Qwen3NextConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv_heads"], head_dim=c["head_dim"],
+        intermediate_size=c["ffn"], max_position_embeddings=c["ctx"],
+        linear_num_value_heads=c["hv"], linear_num_key_heads=c["hk"],
+        linear_key_head_dim=c["dk"], linear_value_head_dim=c["dv"],
+        linear_conv_kernel_dim=c["conv"], rms_norm_eps=1e-6,
+        rope_theta=10000.0, partial_rotary_factor=0.25,
+        tie_word_embeddings=False, num_experts=0, attention_dropout=0.0,
+        layer_types=["linear_attention"] * 3 + ["full_attention"],
+    )
+    torch.manual_seed(13)
+    with torch.no_grad():
+        model = Qwen3NextForCausalLM(hf_cfg)
+        model.eval()
+        for name, p in model.named_parameters():
+            if "norm" in name:  # zero-init (1+w) norms: randomize for power
+                p.uniform_(-0.3, 0.3)
+            else:
+                p.mul_(0.5)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    # Qwen3NextRMSNorm computes (1 + w) * x_hat with zero-init w; the GGUF
+    # convention stores w+1 (gemma-style). The gated deltanet norm is plain.
+    def p1(name):
+        return sd[name] + 1.0
+
+    rep = c["hv"] // c["hk"]
+    w = GGUFWriter()
+    a = "qwen3next"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv_heads"])
+    w.add_metadata(f"{a}.attention.key_length", c["head_dim"])
+    w.add_metadata(f"{a}.attention.value_length", c["head_dim"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.rope.dimension_count", c["head_dim"] // 4)
+    w.add_metadata(f"{a}.ssm.inner_size", c["hv"] * c["dv"])
+    w.add_metadata(f"{a}.ssm.state_size", c["dk"])
+    w.add_metadata(f"{a}.ssm.group_count", c["hk"])
+    w.add_metadata(f"{a}.ssm.time_step_rank", c["hv"])
+    w.add_metadata(f"{a}.ssm.conv_kernel", c["conv"])
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        p1(f"{h}.input_layernorm.weight"))
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        p1(f"{h}.post_attention_layernorm.weight"))
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+        if f"{h}.linear_attn.in_proj_qkvz.weight" in sd:
+            # de-interleave per k-head: [q dk | k dk | v r*dv | z r*dv]
+            qkvz = sd[f"{h}.linear_attn.in_proj_qkvz.weight"]
+            grp = qkvz.reshape(c["hk"],
+                               2 * c["dk"] + 2 * rep * c["dv"], c["hidden"])
+            q = grp[:, :c["dk"]].reshape(-1, c["hidden"])
+            k = grp[:, c["dk"]:2 * c["dk"]].reshape(-1, c["hidden"])
+            v = grp[:, 2 * c["dk"]:2 * c["dk"] + rep * c["dv"]].reshape(
+                -1, c["hidden"])
+            z = grp[:, 2 * c["dk"] + rep * c["dv"]:].reshape(-1, c["hidden"])
+            w.add_tensor_np(f"{p}.ssm_in.weight",
+                            np.concatenate([q, k, v], 0))
+            w.add_tensor_np(f"{p}.attn_gate.weight", z)
+            w.add_tensor_np(f"{p}.ssm_ba.weight",
+                            sd[f"{h}.linear_attn.in_proj_ba.weight"])
+            w.add_tensor_np(f"{p}.ssm_conv1d.weight",
+                            sd[f"{h}.linear_attn.conv1d.weight"][:, 0, :])
+            w.add_tensor_np(f"{p}.ssm_dt.bias",
+                            sd[f"{h}.linear_attn.dt_bias"])
+            w.add_tensor_np(f"{p}.ssm_a",
+                            -np.exp(sd[f"{h}.linear_attn.A_log"]))
+            w.add_tensor_np(f"{p}.ssm_norm.weight",
+                            sd[f"{h}.linear_attn.norm.weight"])
+            w.add_tensor_np(f"{p}.ssm_out.weight",
+                            sd[f"{h}.linear_attn.out_proj.weight"])
+        else:
+            # full attention: split q/gate per head
+            qg = sd[f"{h}.self_attn.q_proj.weight"].reshape(
+                c["heads"], 2, c["head_dim"], c["hidden"])
+            w.add_tensor_np(f"{p}.attn_q.weight",
+                            qg[:, 0].reshape(-1, c["hidden"]))
+            w.add_tensor_np(f"{p}.attn_gate.weight",
+                            qg[:, 1].reshape(-1, c["hidden"]))
+            w.add_tensor_np(f"{p}.attn_k.weight",
+                            sd[f"{h}.self_attn.k_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_v.weight",
+                            sd[f"{h}.self_attn.v_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_output.weight",
+                            sd[f"{h}.self_attn.o_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                            p1(f"{h}.self_attn.q_norm.weight"))
+            w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                            p1(f"{h}.self_attn.k_norm.weight"))
+    w.add_tensor_np("output_norm.weight", p1("model.norm.weight"))
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("qn") / "qwen3next.gguf")
+    w.write_to_path(path)
+    return path, model
+
+
+def test_qwen3next_logits_match_hf(qwen3next_pair, rng):
+    import torch
+
+    path, model = qwen3next_pair
+    tokens = rng.integers(0, QN["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, QN["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_qwen3next_layer_kinds(qwen3next_pair):
+    _, cfg, _ = load_model(qwen3next_pair[0], mode="dequant")
+    assert cfg.layer_kinds == ("deltanet", "deltanet", "deltanet", "attn")
