@@ -47,16 +47,22 @@ _QUANTIZED_KEEP = {
 
 class ModelLoader:
     def __init__(self, gguf: GGUFFile, mode: str = "quant",
-                 param_dtype: str = "float32", to_device=None):
+                 param_dtype: str = "float32", to_device=None,
+                 scale_dtype: str = "float32"):
         """mode: "quant" keeps matmul weights in fused-kernel layouts;
         "dequant" materializes everything as dense arrays.
 
         ``to_device``: optional fn(np_array_or_leaf, name) -> device array,
         used by the sharded loader to place shards; defaults to jnp.asarray.
+        ``scale_dtype``: "bfloat16" halves per-group scale/min HBM traffic in
+        the fused kernels (~25% less total read for q4 layouts) at ~0.4%
+        relative dequant error; "float32" (default) is exact.
         """
         self.gguf = gguf
         self.mode = mode
         self.param_dtype = jnp.bfloat16 if param_dtype == "bfloat16" else jnp.float32
+        self.scale_dtype = (jnp.bfloat16 if scale_dtype == "bfloat16"
+                            else jnp.float32)
         self.config = parse_config(gguf.metadata, gguf.tensors)
         self._put = to_device or (lambda arr, name: jnp.asarray(arr))
 
@@ -107,10 +113,12 @@ class ModelLoader:
         if self.mode == "quant" and t in _QUANTIZED_KEEP and len(nk) == 2 \
                 and nk[1] % 256 == 0:
             rw = repack(self.gguf.tensor_bytes(wname), t, nk)
+            sdt = self.scale_dtype
             return QuantLinear(
                 packed=self._put(rw.packed, wname),
-                scales=self._put(rw.scales, wname),
-                mins=self._put(rw.mins, wname) if rw.mins is not None else None,
+                scales=self._put(rw.scales, wname).astype(sdt),
+                mins=self._put(rw.mins, wname).astype(sdt)
+                if rw.mins is not None else None,
                 bias=bias,
                 fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
                 source_type=t.name,

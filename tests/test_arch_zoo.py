@@ -440,3 +440,46 @@ def test_qwen3next_logits_match_hf(qwen3next_pair, rng):
 def test_qwen3next_layer_kinds(qwen3next_pair):
     _, cfg, _ = load_model(qwen3next_pair[0], mode="dequant")
     assert cfg.layer_kinds == ("deltanet", "deltanet", "deltanet", "attn")
+
+
+def test_moe_stats():
+    from llama_gguf_tpu.models.moe_stats import MoeStats, route_and_record
+
+    stats = MoeStats(num_experts=4)
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(100, 4)).astype(np.float32)
+    top = route_and_record(logits, k=2, stats=stats)
+    assert top.shape == (100, 2)
+    assert stats.tokens_routed == 200
+    assert sum(stats.histogram.values()) == 200
+    assert stats.load_balance_factor >= 1.0
+    # pathological: every token to expert 0
+    stats.reset()
+    stats.record(np.zeros((50, 2), np.int64))
+    assert stats.load_balance_factor == pytest.approx(4.0)
+
+
+def test_mixtral_expert_parallel_mesh(mixtral_pair):
+    """MoE model sharded over a mesh (experts on the model axis) produces
+    the same logits as single-device."""
+    import jax.numpy as jnp
+    from llama_gguf_tpu.parallel.sharding import (
+        make_mesh, replicate_inputs, shard_kv, shard_params,
+    )
+
+    path, _ = mixtral_pair
+    tokens = [3, 17, 42, 5]
+    want = run_ours(path, tokens, MX["ctx"])
+
+    params, cfg, _ = load_model(path, mode="dequant")
+    mesh = make_mesh(n_model=4, n_data=2)
+    sp = shard_params(params, mesh)
+    runner = ModelRunner(sp, cfg, max_batch=1, max_seq=MX["ctx"], mesh=mesh)
+    kv = runner.init_kv()
+    t = len(tokens)
+    logits, _ = runner.step(
+        jnp.asarray([tokens], jnp.int32),
+        jnp.asarray([list(range(t))], jnp.int32),
+        jnp.asarray([t], jnp.int32), kv)
+    got = np.asarray(logits[0])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
