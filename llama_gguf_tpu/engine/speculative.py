@@ -176,6 +176,108 @@ class SpeculativeDecoder:
                 break
         return out
 
+    def generate_sampled(self, prompt_ids: list[int], max_tokens: int,
+                         sampler_config, seed: int | None = None,
+                         is_eog=None) -> list[int]:
+        """Stochastic speculative sampling (parity: speculative.rs
+        acceptance sampling): draft token x accepted with probability
+        min(1, p_target(x)/p_draft(x)); on rejection, resample from
+        norm(max(0, p_target - p_draft)). The output distribution equals
+        sampling the target directly."""
+        from ..sampling.sampler import Sampler
+
+        tgt_sampler = Sampler(sampler_config)
+        dft_sampler = Sampler(sampler_config)
+        rng = np.random.default_rng(seed)
+
+        tkv = self.target.init_kv()
+        dkv = self.draft.init_kv()
+        hist = list(prompt_ids)
+        tlogits, tkv, _ = self.target.prefill(prompt_ids, tkv)
+        nt = len(prompt_ids)
+        _, dkv, _ = self.draft.prefill(prompt_ids, dkv)
+        nd = len(prompt_ids)
+
+        p0 = tgt_sampler.probs(np.asarray(tlogits), hist)
+        first = int(rng.choice(p0.shape[0], p=p0))
+        hist.append(first)
+        out = [first]
+        if is_eog and is_eog(first):
+            return out
+
+        max_seq = self.target.max_seq
+        while len(out) < max_tokens and len(hist) + self.k + 1 < max_seq:
+            k = min(self.k, max_tokens - len(out))
+
+            dlog, dkv = _window(self.draft, hist[nd:], nd, dkv)
+            nd = len(hist)
+            drafts: list[int] = []
+            draft_probs: list[np.ndarray] = []
+            cur_logits = dlog[-1]
+            for i in range(k):
+                p = dft_sampler.probs(cur_logits, hist + drafts)
+                tok = int(rng.choice(p.shape[0], p=p))
+                drafts.append(tok)
+                draft_probs.append(p)
+                if i < k - 1:
+                    dlog1, dkv = self.draft.decode_one(tok, nd + i, dkv)
+                    cur_logits = np.asarray(dlog1)
+            nd_base = nd
+            nd = nd + k - 1
+            self.stats.drafted += k
+
+            # one target pass over [tail..., drafts] -> k+1 rows; row i
+            # gives p_target at the position of drafts[i], the last row the
+            # distribution after all k drafts
+            window = hist[nt:] + drafts
+            start = nt
+            vlogits, tkv = _window(self.target, window, start, tkv)
+            nt = start + len(window)
+            trows = vlogits[-(k + 1):]
+
+            accepted = 0
+            resampled: int | None = None
+            for i in range(k):
+                pt = tgt_sampler.probs(trows[i], hist + drafts[:i])
+                pd = draft_probs[i]
+                x = drafts[i]
+                ratio = pt[x] / pd[x] if pd[x] > 0 else 0.0
+                if rng.random() < min(1.0, ratio):
+                    accepted += 1
+                    continue
+                residual = np.maximum(pt - pd, 0.0)
+                tot = residual.sum()
+                if tot <= 0:
+                    residual, tot = pt, pt.sum()
+                resampled = int(rng.choice(residual.shape[0],
+                                           p=residual / tot))
+                break
+            self.stats.accepted += accepted
+            self.stats.rounds += 1
+
+            new_tokens = drafts[:accepted]
+            if resampled is not None:
+                new_tokens = new_tokens + [resampled]
+                self.stats.bonus += 1
+                nt = len(hist) + accepted
+                nd = min(nd, nd_base + accepted)
+            else:
+                # all accepted: bonus token from the last target row
+                pt = tgt_sampler.probs(trows[k], hist + drafts)
+                new_tokens = new_tokens + [int(rng.choice(pt.shape[0], p=pt))]
+                self.stats.bonus += 1
+
+            stop = False
+            for tok in new_tokens:
+                hist.append(tok)
+                out.append(tok)
+                if (is_eog and is_eog(tok)) or len(out) >= max_tokens:
+                    stop = True
+                    break
+            if stop:
+                break
+        return out
+
     # -- convenience -----------------------------------------------------------
 
     def generate_plain_greedy(self, prompt_ids: list[int],

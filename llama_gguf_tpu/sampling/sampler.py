@@ -60,11 +60,37 @@ class Sampler:
     def sample(self, logits: np.ndarray, history: Sequence[int] = (),
                mask: np.ndarray | None = None) -> int:
         cfg = self.config
-        logits = np.asarray(logits, np.float32).copy()
+        logits = self._apply_penalties(logits, history, mask)
+        if cfg.is_greedy:
+            return int(np.argmax(logits))
+        if cfg.mirostat == 2:
+            return self._sample_mirostat_v2(logits)
+        probs = self._pipeline_probs(logits)
+        if probs is None:
+            return int(np.argmax(logits))
+        return int(self.rng.choice(probs.shape[0], p=probs))
 
+    def probs(self, logits: np.ndarray, history: Sequence[int] = (),
+              mask: np.ndarray | None = None) -> np.ndarray:
+        """Full post-pipeline probability distribution (for speculative
+        acceptance sampling). Greedy config -> one-hot."""
+        cfg = self.config
+        logits = self._apply_penalties(logits, history, mask)
+        if cfg.is_greedy:
+            p = np.zeros(logits.shape[0], np.float32)
+            p[int(np.argmax(logits))] = 1.0
+            return p
+        p = self._pipeline_probs(logits)
+        if p is None:
+            p = np.zeros(logits.shape[0], np.float32)
+            p[int(np.argmax(logits))] = 1.0
+        return p
+
+    def _apply_penalties(self, logits, history, mask) -> np.ndarray:
+        cfg = self.config
+        logits = np.asarray(logits, np.float32).copy()
         if mask is not None:  # grammar constraint: True = allowed
             logits[~mask] = -np.inf
-
         if cfg.repetition_penalty != 1.0 and history:
             recent = np.unique(np.asarray(history[-cfg.repetition_last_n:], np.int64))
             recent = recent[(recent >= 0) & (recent < logits.shape[0])]
@@ -72,20 +98,18 @@ class Sampler:
             logits[recent] = np.where(
                 vals > 0, vals / cfg.repetition_penalty, vals * cfg.repetition_penalty
             )
-
         if (cfg.frequency_penalty != 0.0 or cfg.presence_penalty != 0.0) and history:
             hist = np.asarray(history, np.int64)
             hist = hist[(hist >= 0) & (hist < logits.shape[0])]
             ids, counts = np.unique(hist, return_counts=True)
             logits[ids] -= cfg.frequency_penalty * counts
             logits[ids] -= cfg.presence_penalty
+        return logits
 
-        if cfg.is_greedy:
-            return int(np.argmax(logits))
-
-        if cfg.mirostat == 2:
-            return self._sample_mirostat_v2(logits)
-
+    def _pipeline_probs(self, logits: np.ndarray) -> np.ndarray | None:
+        """temperature -> softmax -> min-p -> top-k -> top-p -> renorm.
+        None when everything got filtered out."""
+        cfg = self.config
         logits = logits / max(cfg.temperature, 1e-6)
         probs = _softmax(logits)
 
@@ -109,9 +133,8 @@ class Sampler:
 
         total = probs.sum()
         if total <= 0:
-            return int(np.argmax(logits))
-        probs = probs / total
-        return int(self.rng.choice(probs.shape[0], p=probs))
+            return None
+        return probs / total
 
     def _sample_mirostat_v2(self, logits: np.ndarray) -> int:
         cfg = self.config
