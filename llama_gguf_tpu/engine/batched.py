@@ -166,11 +166,13 @@ class BatchedEngine:
     """
 
     def __init__(self, runner: ModelRunner, tokenizer, max_queue: int = 64,
-                 default_sampler: SamplerConfig | None = None):
+                 default_sampler: SamplerConfig | None = None,
+                 prompt_cache=None):
         self.runner = runner
         self.tokenizer = tokenizer
         self.max_queue = max_queue
         self.default_sampler = default_sampler or SamplerConfig()
+        self.prompt_cache = prompt_cache  # optional engine.prompt_cache.PromptCache
         self.stats = BatchedStats()
 
         self._pending: queue.Queue[_Sequence] = queue.Queue()
@@ -288,10 +290,18 @@ class BatchedEngine:
                 self._pending_count -= 1
             seq.slot = slot
             t = len(seq.token_ids)
+            shared = 0
+            if self.prompt_cache is not None:
+                self._kv, shared = self.prompt_cache.restore(
+                    seq.token_ids, self._kv, batch_idx=slot)
             logits, self._kv, _ = self.runner.prefill(
-                seq.token_ids, self._kv, batch_idx=slot
+                seq.token_ids[shared:], self._kv, batch_idx=slot,
+                start_pos=shared,
             )
-            self.stats.prefill_tokens += t
+            if self.prompt_cache is not None:
+                self.prompt_cache.put(seq.token_ids, self._kv,
+                                      batch_idx=slot)
+            self.stats.prefill_tokens += t - shared
             seq.pos = t
             self._slots[slot] = seq
             self._sample_and_emit(seq, np.asarray(logits))

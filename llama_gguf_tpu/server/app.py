@@ -55,6 +55,7 @@ class ServerConfig:
     api_keys: list[str] = field(default_factory=list)
     served_model_name: str | None = None
     rag_db: str | None = None  # sqlite path enabling /v1/rag/* endpoints
+    prompt_cache_bytes: int = 0  # >0 enables prefix-sharing KV snapshots
 
 
 class ServerState:
@@ -83,8 +84,14 @@ class ServerState:
         cfg = EngineConfig(max_batch=self.config.max_batch,
                            weight_mode=self.config.weight_mode)
         engine = Engine.load(path, cfg)
+        pcache = None
+        if self.config.prompt_cache_bytes > 0:
+            from ..engine.prompt_cache import PromptCache
+
+            pcache = PromptCache(max_bytes=self.config.prompt_cache_bytes)
         batched = BatchedEngine(engine.runner, engine.tokenizer,
-                                max_queue=self.config.max_queue)
+                                max_queue=self.config.max_queue,
+                                prompt_cache=pcache)
         with self.lock:
             old = self.batched
             self.engine = engine

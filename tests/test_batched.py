@@ -119,3 +119,24 @@ def test_stop_buffer_no_false_hold():
     out, hit = sb.push("abc")
     assert out == "abc" and not hit
     assert sb.flush() == ""
+
+
+def test_batched_prompt_cache(tiny_model_path):
+    """Prefix-shared prefill in the batched engine produces identical
+    output and registers cache hits."""
+    from llama_gguf_tpu.engine.prompt_cache import PromptCache
+
+    eng = Engine.load(tiny_model_path,
+                      EngineConfig(weight_mode="dequant", max_batch=2))
+    cache = PromptCache(max_bytes=64 << 20, min_prefix=4)
+    be = BatchedEngine(eng.runner, eng.tokenizer, max_queue=8,
+                       prompt_cache=cache)
+    try:
+        prompt = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8"
+        a = be.submit(prompt, max_tokens=6, sampler=GREEDY).text(timeout=120)
+        assert cache.stats.stored >= 1
+        b = be.submit(prompt, max_tokens=6, sampler=GREEDY).text(timeout=120)
+        assert b == a
+        assert cache.stats.hits >= 1
+    finally:
+        be.shutdown()
