@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_flags(p)
     p.add_argument("-p", "--prompt", default=None)
     p.add_argument("--no-stream", action="store_true")
+    p.add_argument("--draft", default=None,
+                   help="draft model gguf for speculative decoding")
+    p.add_argument("--self-speculative", type=int, default=None,
+                   metavar="N", help="early-exit self-draft after N layers")
+    p.add_argument("--num-draft", type=int, default=4,
+                   help="draft tokens per speculative round")
     _add_gen_flags(p)
     _add_common(p)
 
@@ -300,6 +306,9 @@ def cmd_run(args) -> int:
     max_tokens = args.max_tokens or cfg.generation.max_tokens
     stop = args.stop if args.stop is not None else cfg.generation.stop
 
+    if args.draft or args.self_speculative:
+        return _run_speculative(cfg, args, engine, prompt, sampler,
+                                max_tokens)
     if args.no_stream:
         print(engine.generate(prompt, max_tokens=max_tokens, sampler=sampler,
                               stop=stop, grammar=grammar))
@@ -313,6 +322,39 @@ def cmd_run(args) -> int:
     print(f"[prefill {s.prompt_tokens} tok @ {s.prefill_tps:.1f} tok/s | "
           f"decode {s.generated_tokens} tok @ {s.decode_tps:.1f} tok/s]",
           file=sys.stderr)
+    return 0
+
+
+def _run_speculative(cfg, args, engine, prompt, sampler, max_tokens) -> int:
+    """run --draft / --self-speculative path."""
+    import time as _time
+
+    from .engine.engine import Engine
+    from .engine.speculative import SpeculativeDecoder
+
+    if args.draft:
+        draft_engine = Engine.load(args.draft, _engine_config(cfg, args))
+        dec = SpeculativeDecoder(engine.runner, draft_engine.runner,
+                                 num_draft=args.num_draft)
+    else:
+        dec = SpeculativeDecoder.self_speculative(
+            engine.runner, exit_layer=args.self_speculative,
+            num_draft=args.num_draft)
+    ids = engine.tokenizer.encode(prompt)
+    t0 = _time.time()
+    if sampler.is_greedy:
+        out = dec.generate_greedy(ids, max_tokens,
+                                  is_eog=engine.tokenizer.is_eog)
+    else:
+        out = dec.generate_sampled(ids, max_tokens, sampler,
+                                   seed=sampler.seed,
+                                   is_eog=engine.tokenizer.is_eog)
+    dt = _time.time() - t0
+    print(engine.tokenizer.decode(out))
+    s = dec.stats
+    print(f"[speculative: {len(out)} tok @ {len(out) / dt:.1f} tok/s | "
+          f"acceptance {s.acceptance_rate:.0%} | "
+          f"{s.tokens_per_round:.2f} tok/round]", file=sys.stderr)
     return 0
 
 

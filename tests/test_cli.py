@@ -170,3 +170,12 @@ def test_python_m_entrypoint(model_path):
     )
     assert r.returncode == 0, r.stderr
     assert "qwen2" in r.stdout
+
+
+def test_cmd_run_self_speculative(model_path, capsys):
+    rc = main(["run", model_path, "-p", "hi there", "-n", "8", "-t", "0",
+               "--weight-mode", "dequant", "--self-speculative", "1",
+               "--num-draft", "3"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "speculative" in err and "acceptance" in err
