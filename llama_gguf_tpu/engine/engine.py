@@ -87,7 +87,15 @@ class Engine:
             return cls._load_onnx(path, config, t0)
         gguf = GGUFFile.open(path)
         tokenizer = Tokenizer.from_gguf(gguf.metadata)
-        loader = ModelLoader(gguf, mode=config.weight_mode)
+        # mesh loads keep weights on host (numpy) so the full model is never
+        # materialized on one device before sharding — shard_params then
+        # device_puts each leaf straight to its NamedSharding
+        needs_mesh = config.mesh_model != 1 or config.mesh_data != 1
+        loader = ModelLoader(
+            gguf, mode=config.weight_mode,
+            to_device=(lambda arr, name: np.asarray(arr)) if needs_mesh
+            else None,
+        )
         if loader.config.arch_info is not None and \
                 loader.config.arch_info.is_encoder_only:
             from ..models.bert import BertEncoder, load_bert
@@ -114,6 +122,8 @@ class Engine:
             mesh = make_mesh(n_model=n_model, n_data=n_data)
             params = shard_params(params, mesh)
             log.info("sharded over mesh (data=%d, model=%d)", n_data, n_model)
+        elif needs_mesh:  # auto-fit resolved to a single device
+            params = jax.tree_util.tree_map(jnp.asarray, params)
         runner = ModelRunner(
             params, cfg, max_batch=config.max_batch, max_seq=max_seq,
             kv_dtype=jnp.bfloat16 if config.kv_dtype == "bfloat16" else jnp.float32,

@@ -53,11 +53,22 @@ class PromptCache:
 
     # -- store --------------------------------------------------------------------
 
+    # positional cache entries: [L, B, S, ...] indexed by sequence position.
+    # Recurrent state ("mamba"/"deltanet") is a running summary, not
+    # positional — prefixes of it cannot be snapshotted, so hybrid models
+    # bypass the prompt cache entirely.
+    _POSITIONAL_KEYS = ("k", "v", "k_scale", "v_scale")
+
+    @classmethod
+    def _cacheable(cls, kv: dict[str, Any]) -> bool:
+        return all(name in cls._POSITIONAL_KEYS for name in kv)
+
     def put(self, tokens: list[int], kv: dict[str, Any],
             batch_idx: int = 0) -> None:
         """Snapshot the first len(tokens) positions of one batch row."""
         key = tuple(tokens)
-        if len(key) < self.min_prefix or key in self._entries:
+        if len(key) < self.min_prefix or key in self._entries or \
+                not self._cacheable(kv):
             return
         t = len(key)
         arrays = {}
@@ -94,6 +105,8 @@ class PromptCache:
         Returns (kv', shared_len); prefill should continue from shared_len.
         A full match restores len-1 so the caller still has a last token to
         feed for logits."""
+        if not self._cacheable(kv):
+            return kv, 0
         entry = self.longest_prefix(tokens)
         if entry is None:
             self.stats.misses += 1

@@ -186,6 +186,10 @@ class SpeculativeDecoder:
         sampling the target directly."""
         from ..sampling.sampler import Sampler
 
+        if getattr(sampler_config, "mirostat", 0):
+            raise ValueError(
+                "speculative sampling is incompatible with Mirostat (its "
+                "state adapts per observed token); use plain decoding")
         tgt_sampler = Sampler(sampler_config)
         dft_sampler = Sampler(sampler_config)
         rng = np.random.default_rng(seed)

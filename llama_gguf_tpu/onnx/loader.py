@@ -187,10 +187,14 @@ _HF_LAYER_MAP = {
 
 
 def _strip_hf_name(name: str) -> str:
+    # slash-style node names ('/model/layers.0/self_attn/q_proj/MatMul')
+    # normalize to dotted form BEFORE prefix/suffix stripping
+    name = name.strip("/").replace("/", ".")
+    name = name.removesuffix(".MatMul")
     for prefix in ("model.", "transformer.", "onnx::MatMul_"):
         if name.startswith(prefix):
             name = name[len(prefix):]
-    return name.removesuffix(".MatMul")
+    return name
 
 
 class OnnxModelLoader:
@@ -211,37 +215,63 @@ class OnnxModelLoader:
         tensors, nodes = parse_onnx(self.onnx_path)
         named = self._resolve_names(tensors, nodes)
 
-        def lin(key: str, transpose: bool = True) -> DenseLinear | None:
+        # the runtime assumes GGUF-converted conventions; apply the same
+        # transforms the HF->GGUF converter does:
+        #  * NORMAL-rope archs (llama/mistral): q/k rows permuted
+        #    rotate-half -> interleaved
+        #  * gemma family: (1+w) norms stored with the +1 baked in
+        info = cfg.arch_info
+        permute_qk = info is not None and not info.uses_neox_rope
+        norm_offset = 1.0 if (info is not None and info.is_gemma) else 0.0
+
+        def permute_rows(w: np.ndarray, n_head: int) -> np.ndarray:
+            out_dim = w.shape[0]
+            rest = w.shape[1:]
+            return (w.reshape(n_head, 2, out_dim // n_head // 2, *rest)
+                    .swapaxes(1, 2).reshape(out_dim, *rest))
+
+        def lin(key: str, transpose: bool = True,
+                permute_heads: int = 0) -> DenseLinear | None:
             w = named.get(f"{key}.weight")
             if w is None:
                 return None
             w = np.asarray(w, np.float32)
+            b = named.get(f"{key}.bias")
+            b = np.asarray(b, np.float32) if b is not None else None
+            if permute_heads:
+                w = permute_rows(w, permute_heads)
+                if b is not None:
+                    b = permute_rows(b, permute_heads)
             if transpose:  # HF stores [out, in]; we want [in, out]
                 w = np.ascontiguousarray(w.T)
-            b = named.get(f"{key}.bias")
             return DenseLinear(jnp.asarray(w),
-                               jnp.asarray(np.asarray(b, np.float32))
-                               if b is not None else None)
+                               jnp.asarray(b) if b is not None else None)
 
         params: dict[str, Any] = {}
         emb = named.get("embed_tokens.weight")
         if emb is None:
             raise OnnxError("embed_tokens.weight not found in ONNX graph")
         params["embed"] = jnp.asarray(np.asarray(emb, np.float32))
+        def norm(key: str):
+            w = np.asarray(named[key], np.float32) + norm_offset
+            return {"weight": jnp.asarray(w)}
+
         layers = []
         for i in range(cfg.num_layers):
             lp = f"layers.{i}"
             layer: dict[str, Any] = {
-                "attn_norm": {"weight": jnp.asarray(np.asarray(
-                    named[f"{lp}.input_layernorm.weight"], np.float32))},
-                "ffn_norm": {"weight": jnp.asarray(np.asarray(
-                    named[f"{lp}.post_attention_layernorm.weight"],
-                    np.float32))},
+                "attn_norm": norm(f"{lp}.input_layernorm.weight"),
+                "ffn_norm": norm(f"{lp}.post_attention_layernorm.weight"),
                 "attn": {},
                 "ffn": {},
             }
             for hf_key, (group, name) in _HF_LAYER_MAP.items():
-                l = lin(f"{lp}.{hf_key}")
+                heads = 0
+                if permute_qk and name == "wq":
+                    heads = cfg.num_heads
+                elif permute_qk and name == "wk":
+                    heads = cfg.num_kv_heads
+                l = lin(f"{lp}.{hf_key}", permute_heads=heads)
                 if l is not None:
                     layer[group][name] = l
             qn = named.get(f"{lp}.self_attn.q_norm.weight")
@@ -252,8 +282,7 @@ class OnnxModelLoader:
             layers.append(layer)
         params["layers"] = layers
         cfg.layer_kinds = ("attn",) * cfg.num_layers
-        params["final_norm"] = {"weight": jnp.asarray(np.asarray(
-            named["norm.weight"], np.float32))}
+        params["final_norm"] = norm("norm.weight")
         out = lin("lm_head", transpose=True)
         if out is None and not cfg.tie_word_embeddings:
             cfg.tie_word_embeddings = True
@@ -277,7 +306,7 @@ class OnnxModelLoader:
                 used = [i for i in node["input"] if i in opaque]
                 if not used or not node["name"]:
                     continue
-                sem = _strip_hf_name(node["name"]).strip("/").replace("/", ".")
+                sem = _strip_hf_name(node["name"])
                 # MatMul B operands are [in, out]; store back in the HF
                 # [out, in] layout so the uniform transpose below applies
                 named[f"{sem}.weight"] = np.asarray(tensors[used[0]]).T

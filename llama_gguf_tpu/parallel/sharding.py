@@ -146,6 +146,11 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
             nl["deltanet"] = rep_tree(layer["deltanet"])
         if "ffn" in layer:
             nl["ffn"] = _shard_ffn(layer["ffn"], mesh)
+        # anything not covered above (e.g. mamba ssm_* weights) must not be
+        # silently dropped: replicate it
+        for key, value in layer.items():
+            if key not in nl:
+                nl[key] = rep_tree(value)
         layers.append(nl)
     out["layers"] = layers
     return out
@@ -204,11 +209,12 @@ def shard_kv(kv: dict, mesh: Mesh, num_kv_heads: int) -> dict:
         s4 = NamedSharding(mesh, P(None, batch_axis, None, head_axis))
         out["k_scale"] = jax.device_put(kv["k_scale"], s4)
         out["v_scale"] = jax.device_put(kv["v_scale"], s4)
-    if "deltanet" in kv:
-        rep = NamedSharding(mesh, P())
-        out["deltanet"] = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), kv["deltanet"]
-        )
+    rep = NamedSharding(mesh, P())
+    for key in ("deltanet", "mamba"):  # recurrent state: replicated
+        if key in kv:
+            out[key] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), kv[key]
+            )
     return out
 
 

@@ -133,20 +133,27 @@ def dequantize_iq2_xxs(raw) -> np.ndarray:
     return out.reshape(-1).astype(F32)
 
 
+def _half_scales(sc: np.ndarray) -> np.ndarray:
+    """scales u8 [nb, 8] -> [nb, 32]: per 32-group byte ib32, the low nibble
+    scales index slots l<2 (elements 0..15) and the high nibble slots l>=2
+    (elements 16..31) — iq_quants.rs:153-163."""
+    nb = sc.shape[0]
+    lo = (sc & 0xF).astype(F32)
+    hi = (sc >> 4).astype(F32)
+    # per group: [lo, lo, hi, hi] over the four 8-element index slots
+    return np.stack([lo, lo, hi, hi], axis=-1).reshape(nb, 32)
+
+
 def dequantize_iq2_xs(raw) -> np.ndarray:
     g = _grid("IQ2_XS").astype(F32)
     b = _blocks(raw, 74)
     nb = b.shape[0]
     d = _f16(b[:, 0:2])
     q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(nb, 32)
-    sc = b[:, 66:70]  # [nb, 4] two 4-bit scales each
-    scales = np.empty((nb, 8), F32)
-    scales[:, 0::2] = (sc & 0xF).astype(F32)
-    scales[:, 1::2] = (sc >> 4).astype(F32)
-    db = d * (0.5 + scales) * 0.25  # [nb, 8] per 32-element group
+    db = d * (0.5 + _half_scales(b[:, 66:74])) * 0.25  # [nb, 32] per slot
     vals = g[q16 & 511]  # [nb, 32, 8]
     signs = _signs_from_index((q16 >> 9).astype(np.uint8))  # [nb,32,8]
-    out = db.repeat(4, axis=1)[:, :, None] * vals * signs
+    out = db[:, :, None] * vals * signs
     return out.reshape(-1).astype(F32)
 
 
@@ -155,14 +162,10 @@ def dequantize_iq2_s(raw) -> np.ndarray:
     b = _blocks(raw, 82)
     nb = b.shape[0]
     d = _f16(b[:, 0:2])
-    qs = b[:, 2:34]       # [nb, 32] grid low byte
-    qh = b[:, 34:42]      # [nb, 8] 2 high bits per index, 4 idx/byte
-    signs = b[:, 42:74]   # [nb, 32] explicit sign bytes (8 elems each)
-    sc = b[:, 74:78]
-    scales = np.empty((nb, 8), F32)
-    scales[:, 0::2] = (sc & 0xF).astype(F32)
-    scales[:, 1::2] = (sc >> 4).astype(F32)
-    db = d * (0.5 + scales) * 0.25
+    qs = b[:, 2:34]       # [nb, 32] grid low byte (first half of qs[64])
+    signs = b[:, 34:66]   # [nb, 32] explicit sign bytes (second half)
+    qh = b[:, 66:74]      # [nb, 8] 2 high bits per index slot, 4 slots/byte
+    db = d * (0.5 + _half_scales(b[:, 74:82])) * 0.25  # [nb, 32]
     shift = (np.arange(32) % 4 * 2).astype(np.uint8)
     hi = (qh[:, np.arange(32) // 4] >> shift) & 3
     idx = qs.astype(np.uint16) | (hi.astype(np.uint16) << 8)
@@ -170,7 +173,7 @@ def dequantize_iq2_s(raw) -> np.ndarray:
     sgn = np.empty((nb, 32, 8), F32)
     for j in range(8):
         sgn[:, :, j] = np.where((signs >> j) & 1, -1.0, 1.0)
-    out = db.repeat(4, axis=1)[:, :, None] * vals * sgn
+    out = db[:, :, None] * vals * sgn
     return out.reshape(-1).astype(F32)
 
 

@@ -144,6 +144,69 @@ def test_other_iq_formats_shape_and_finite(fake_grids, fmt, block):
     assert np.abs(out).max() > 0
 
 
+def test_iq2_xs_against_reference_decoder(fake_grids):
+    rng = np.random.default_rng(4)
+    nb = 3
+    raw = np.zeros((nb, 74), np.uint8)
+    raw[:, 0:2] = np.frombuffer(
+        np.full(nb, 0.75, np.float16).tobytes(), np.uint8).reshape(nb, 2)
+    raw[:, 2:] = rng.integers(0, 256, size=(nb, 72), dtype=np.uint8)
+
+    got = IQ.dequantize_iq2_xs(raw.reshape(-1)).reshape(nb, 256)
+
+    grid = IQ._grid("IQ2_XS").astype(np.float32)
+    ks = IQ.ksigns()
+    want = np.zeros((nb, 256), np.float32)
+    for b in range(nb):
+        d = float(np.frombuffer(raw[b, 0:2].tobytes(), np.float16)[0])
+        q16 = np.frombuffer(raw[b, 2:66].tobytes(), "<u2")
+        scales = raw[b, 66:74]
+        for ib32 in range(8):
+            db0 = d * (0.5 + (scales[ib32] & 0xF)) * 0.25
+            db1 = d * (0.5 + (scales[ib32] >> 4)) * 0.25
+            for l in range(4):
+                qv = int(q16[4 * ib32 + l])
+                sbits = ks[qv >> 9]
+                db = db0 if l < 2 else db1
+                for j in range(8):
+                    s = -1.0 if (int(sbits) >> j) & 1 else 1.0
+                    want[b, ib32 * 32 + l * 8 + j] = \
+                        db * grid[qv & 511, j] * s
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_iq2_s_against_reference_decoder(fake_grids):
+    rng = np.random.default_rng(5)
+    nb = 3
+    raw = np.zeros((nb, 82), np.uint8)
+    raw[:, 0:2] = np.frombuffer(
+        np.full(nb, 0.75, np.float16).tobytes(), np.uint8).reshape(nb, 2)
+    raw[:, 2:] = rng.integers(0, 256, size=(nb, 80), dtype=np.uint8)
+
+    got = IQ.dequantize_iq2_s(raw.reshape(-1)).reshape(nb, 256)
+
+    grid = IQ._grid("IQ2_S").astype(np.float32)
+    want = np.zeros((nb, 256), np.float32)
+    for b in range(nb):
+        d = float(np.frombuffer(raw[b, 0:2].tobytes(), np.float16)[0])
+        qs = raw[b, 2:66]           # [64]: low bytes then sign bytes
+        qh = raw[b, 66:74]
+        scales = raw[b, 74:82]
+        signs = qs[32:64]
+        for ib32 in range(8):
+            db0 = d * (0.5 + (scales[ib32] & 0xF)) * 0.25
+            db1 = d * (0.5 + (scales[ib32] >> 4)) * 0.25
+            for l in range(4):
+                idx = int(qs[4 * ib32 + l]) | \
+                    ((int(qh[ib32]) << (8 - 2 * l)) & 0x300)
+                sbits = int(signs[4 * ib32 + l])
+                db = db0 if l < 2 else db1
+                for j in range(8):
+                    s = -1.0 if (sbits >> j) & 1 else 1.0
+                    want[b, ib32 * 32 + l * 8 + j] = db * grid[idx, j] * s
+    assert np.allclose(got, want, atol=1e-5)
+
+
 def test_iq1_zero_stub():
     out = dequantize(np.zeros(50 * 3, np.uint8), GGMLType.IQ1_S)
     assert out.shape == (768,) and np.all(out == 0)

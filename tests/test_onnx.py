@@ -155,3 +155,83 @@ def test_missing_config_raises(tmp_path):
     p.write_bytes(b"")
     with pytest.raises(OnnxError, match="config.json"):
         load_onnx_model(str(p))
+
+
+def test_llama_onnx_matches_hf(tmp_path, rng):
+    """ONNX path applies GGUF conventions (q/k permutation for NORMAL-rope
+    archs) to raw HF weights: logits must match transformers directly."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=96, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attention_bias=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(21)
+    with torch.no_grad():
+        model = LlamaForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    graph = b""
+    for name, arr in sd.items():
+        graph += field_bytes(5, _tensor_proto(name, arr))
+    model_pb = field_varint(1, 8) + field_bytes(7, graph)
+    onnx_path = os.path.join(str(tmp_path), "model.onnx")
+    with open(onnx_path, "wb") as f:
+        f.write(model_pb)
+    with open(os.path.join(str(tmp_path), "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["LlamaForCausalLM"], "vocab_size": 96,
+            "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "intermediate_size": 96, "max_position_embeddings": 64,
+            "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+            "tie_word_embeddings": False, "attention_bias": False,
+        }, f)
+
+    params, cfg = load_onnx_model(onnx_path)
+    r = ModelRunner(params, cfg, max_batch=1, max_seq=64)
+    kv = r.init_kv()
+    tokens = rng.integers(0, 96, size=8).tolist()
+    import jax.numpy as jnp
+
+    logits, _ = r.step(jnp.asarray([tokens], jnp.int32),
+                       jnp.asarray([list(range(8))], jnp.int32),
+                       jnp.asarray([8], jnp.int32), kv)
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    np.testing.assert_allclose(np.asarray(logits[0]), want,
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_opaque_matmul_name_recovery(tmp_path, twin):
+    """Slash-style node names with onnx::MatMul_* initializers resolve to
+    semantic weight names (Optimum export style)."""
+    from llama_gguf_tpu.onnx.loader import OnnxModelLoader
+
+    rng = np.random.default_rng(0)
+    w_hf = rng.normal(size=(32, 64)).astype(np.float32)  # HF [out, in]
+    graph = b""
+    # opaque initializer holds the MatMul B operand = [in, out]
+    graph += field_bytes(5, _tensor_proto("onnx::MatMul_123", w_hf.T))
+    graph += field_bytes(1, _node(
+        "MatMul", "/model/layers.0/self_attn/q_proj/MatMul",
+        ["x", "onnx::MatMul_123"], ["y"]))
+    tensors = {"onnx::MatMul_123": w_hf.T}
+    from llama_gguf_tpu.onnx.loader import parse_onnx
+
+    path = os.path.join(str(tmp_path), "m.onnx")
+    with open(path, "wb") as f:
+        f.write(field_varint(1, 8) + field_bytes(7, graph))
+    tensors, nodes = parse_onnx(path)
+    named = OnnxModelLoader._resolve_names(tensors, nodes)
+    assert "layers.0.self_attn.q_proj.weight" in named
+    np.testing.assert_allclose(named["layers.0.self_attn.q_proj.weight"],
+                               w_hf)
