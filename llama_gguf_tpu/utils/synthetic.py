@@ -75,7 +75,10 @@ def build_synthetic_gguf(
 
     def addq(name, arr, q=quant):
         k = arr.shape[-1]
-        if q != GGMLType.F32 and k % 256 == 0:
+        if q != GGMLType.F32 and k % 256 != 0 and k % 32 == 0:
+            q = GGMLType.Q5_1  # llama.cpp K-quant fallback for odd widths
+        if q != GGMLType.F32 and k % 256 == 0 or \
+                (q == GGMLType.Q5_1 and k % 32 == 0):
             raw = quantize(arr, q)
             w.add_tensor_raw(name, tuple(reversed(arr.shape)), q, raw.tobytes())
         else:

@@ -53,3 +53,49 @@ def test_qmatmul_fallback_on_odd_shapes(rng):
     want = np.asarray(_apply_quant_xla(x, lin))
     got = np.asarray(qmatmul(x, lin, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q5_1, GGMLType.Q8_0])
+def test_qmatmul_non_256_k(rng, t):
+    """k=896 (Qwen2.5-0.5B geometry): legacy 32-block formats must run
+    through the fused kernel path (tk=896 tiles), matching the XLA oracle."""
+    k, n = 896, 256
+    w = rng.normal(size=(n, k)).astype(np.float32) * 0.05
+    raw = quantize(w, t)
+    rw = repack(raw, t, (n, k))
+    lin = QuantLinear(
+        jnp.asarray(rw.packed), jnp.asarray(rw.scales),
+        jnp.asarray(rw.mins) if rw.mins is not None else None,
+        None, rw.fmt, rw.group, rw.k, rw.n, t.name,
+    )
+    x = jnp.asarray(rng.normal(size=(2, k)).astype(np.float32))
+    got = np.asarray(qmatmul(x, lin, interpret=True))
+    from llama_gguf_tpu.quant.dequant import dequantize as _dq
+
+    want = np.asarray(x) @ _dq(raw, t, (n, k)).T
+    assert np.allclose(got, want, atol=2e-3, rtol=2e-3), \
+        np.abs(got - want).max()
+
+
+def test_loader_keeps_896_wide_quantized(tmp_path):
+    """Loader keeps k=896 legacy-format tensors in fused layouts instead of
+    falling back to dense f32."""
+    from llama_gguf_tpu.gguf.writer import GGUFWriter
+    from llama_gguf_tpu.models.loader import ModelLoader
+    from llama_gguf_tpu.gguf.reader import GGUFFile
+
+    rng = np.random.default_rng(0)
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "llama")
+    w.add_metadata("llama.embedding_length", 896)
+    w.add_metadata("llama.block_count", 1)
+    w.add_metadata("llama.attention.head_count", 4)
+    arr = rng.normal(size=(128, 896)).astype(np.float32) * 0.05
+    w.add_tensor_raw("x.weight", (896, 128), GGMLType.Q5_1,
+                     quantize(arr, GGMLType.Q5_1).tobytes())
+    p = str(tmp_path / "w.gguf")
+    w.write_to_path(p)
+    loader = ModelLoader(GGUFFile.open(p), mode="quant")
+    lin = loader.linear("x")
+    assert isinstance(lin, QuantLinear)
+    assert lin.k == 896 and lin.n == 128
