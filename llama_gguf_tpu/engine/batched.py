@@ -102,6 +102,12 @@ class _Sequence:
     last_token: int = 0
     generated: int = 0
     decoder: Any = None
+    prefilled: int = 0    # prompt tokens already written to the KV cache
+    prompt_len: int = 0
+
+    @property
+    def decoding(self) -> bool:
+        return self.prefilled >= self.prompt_len
 
 
 class RequestHandle:
@@ -167,12 +173,17 @@ class BatchedEngine:
 
     def __init__(self, runner: ModelRunner, tokenizer, max_queue: int = 64,
                  default_sampler: SamplerConfig | None = None,
-                 prompt_cache=None):
+                 prompt_cache=None, prefill_chunk: int = 512):
+        """``prefill_chunk``: long prompts are prefilled in chunks of this
+        many tokens interleaved with decode steps, so admitting a long
+        prompt never stalls in-flight sequences for its whole prefill
+        (chunked prefill; the reference has no batched prefill at all)."""
         self.runner = runner
         self.tokenizer = tokenizer
         self.max_queue = max_queue
         self.default_sampler = default_sampler or SamplerConfig()
         self.prompt_cache = prompt_cache  # optional engine.prompt_cache.PromptCache
+        self.prefill_chunk = prefill_chunk
         self.stats = BatchedStats()
 
         self._pending: queue.Queue[_Sequence] = queue.Queue()
@@ -212,6 +223,7 @@ class BatchedEngine:
             request_id=handle.request_id,
             handle=handle,
             token_ids=ids,
+            prompt_len=len(ids),
             max_tokens=max_tokens,
             sampler=Sampler(sampler or self.default_sampler),
             stop=_StopBuffer(stop or []),
@@ -252,6 +264,7 @@ class BatchedEngine:
         while self._running:
             try:
                 did_work = self._admit()
+                did_work |= self._prefill_step()
                 did_work |= self._decode_step()
             except Exception:
                 log.exception("batched engine step failed")
@@ -277,7 +290,8 @@ class BatchedEngine:
             seq.handle._finish("aborted")
 
     def _admit(self) -> bool:
-        """Prefill queued sequences into free slots."""
+        """Assign queued sequences to free slots (prefill happens in chunks
+        via _prefill_step, interleaved with decode)."""
         admitted = False
         for slot, cur in enumerate(self._slots):
             if cur is not None:
@@ -289,27 +303,35 @@ class BatchedEngine:
             with self._lock:
                 self._pending_count -= 1
             seq.slot = slot
-            t = len(seq.token_ids)
-            shared = 0
             if self.prompt_cache is not None:
-                self._kv, shared = self.prompt_cache.restore(
+                self._kv, seq.prefilled = self.prompt_cache.restore(
                     seq.token_ids, self._kv, batch_idx=slot)
-            logits, self._kv, _ = self.runner.prefill(
-                seq.token_ids[shared:], self._kv, batch_idx=slot,
-                start_pos=shared,
-            )
-            if self.prompt_cache is not None:
-                self.prompt_cache.put(seq.token_ids, self._kv,
-                                      batch_idx=slot)
-            self.stats.prefill_tokens += t - shared
-            seq.pos = t
             self._slots[slot] = seq
-            self._sample_and_emit(seq, np.asarray(logits))
             admitted = True
         return admitted
 
+    def _prefill_step(self) -> bool:
+        """Prefill ONE chunk of one admitted-but-not-ready sequence, so long
+        prompts never block in-flight decoding for their whole prefill."""
+        seq = next((s for s in self._slots
+                    if s is not None and not s.decoding), None)
+        if seq is None:
+            return False
+        chunk = seq.token_ids[seq.prefilled: seq.prefilled + self.prefill_chunk]
+        logits, self._kv, _ = self.runner.prefill(
+            chunk, self._kv, batch_idx=seq.slot, start_pos=seq.prefilled)
+        seq.prefilled += len(chunk)
+        self.stats.prefill_tokens += len(chunk)
+        if seq.decoding:  # prompt complete: snapshot + first token
+            if self.prompt_cache is not None:
+                self.prompt_cache.put(seq.token_ids[:seq.prompt_len],
+                                      self._kv, batch_idx=seq.slot)
+            seq.pos = seq.prompt_len
+            self._sample_and_emit(seq, np.asarray(logits))
+        return True
+
     def _decode_step(self) -> bool:
-        active = [s for s in self._slots if s is not None]
+        active = [s for s in self._slots if s is not None and s.decoding]
         if not active:
             return False
         b = len(self._slots)

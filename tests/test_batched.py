@@ -140,3 +140,30 @@ def test_batched_prompt_cache(tiny_model_path):
         assert cache.stats.hits >= 1
     finally:
         be.shutdown()
+
+
+def test_chunked_prefill_interleaves(tiny_model_path):
+    """A long prompt prefills in chunks; short requests decode meanwhile,
+    and output matches the unchunked result exactly."""
+    eng = Engine.load(tiny_model_path,
+                      EngineConfig(weight_mode="dequant", max_batch=2))
+    # reference output with one-shot prefill
+    be_ref = BatchedEngine(eng.runner, eng.tokenizer, max_queue=8,
+                           prefill_chunk=4096)
+    long_prompt = " ".join(f"tok{i % 200}" for i in range(60))
+    want = be_ref.submit(long_prompt, max_tokens=5,
+                         sampler=GREEDY).text(timeout=180)
+    be_ref.shutdown()
+
+    be = BatchedEngine(eng.runner, eng.tokenizer, max_queue=8,
+                       prefill_chunk=8)  # force many chunks
+    try:
+        h_long = be.submit(long_prompt, max_tokens=5, sampler=GREEDY)
+        h_short = be.submit("hi", max_tokens=5, sampler=GREEDY)
+        short_out = h_short.text(timeout=180)
+        long_out = h_long.text(timeout=180)
+        assert long_out == want
+        assert h_short.finish_reason in ("stop", "length")
+        assert isinstance(short_out, str)
+    finally:
+        be.shutdown()
