@@ -48,7 +48,7 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--weight-mode", choices=["quant", "dequant"], default=None)
     p.add_argument("--kv-cache-type", default=None,
                    choices=["f32", "bf16", "i8", "f8_e4m3", "f8_e5m2",
-                            "tq2", "tq3", "tq4"])
+                            "tq2", "tq3", "tq4", "qjl"])
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel mesh axis (0 = auto-fit HBM)")
     p.add_argument("--dp", type=int, default=None,

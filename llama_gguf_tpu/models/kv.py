@@ -28,7 +28,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-FORMATS = ("f32", "bf16", "i8", "f8_e4m3", "f8_e5m2", "tq2", "tq3", "tq4")
+FORMATS = ("f32", "bf16", "i8", "f8_e4m3", "f8_e5m2", "tq2", "tq3", "tq4",
+           "qjl")
 
 _STORE_DTYPE = {
     "f32": jnp.float32,
@@ -51,6 +52,20 @@ def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
     if fmt not in FORMATS:
         raise ValueError(f"unknown kv format {fmt!r} (one of {FORMATS})")
     vd = head_dim if v_head_dim is None else v_head_dim
+    if fmt == "qjl":
+        # keys as 1-bit QJL sign sketches + norms; attention scores are
+        # computed directly ON the compressed keys (the literal analogue of
+        # kv_turboquant.rs:176 'attention on compressed keys'); values tq4
+        return {
+            "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
+                            head_dim // 8), jnp.uint8),
+            "v": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
+                            vd // 2), jnp.uint8),
+            "k_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
+                                 jnp.float32),
+            "v_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
+                                 jnp.float32),
+        }
     if fmt.startswith("tq"):
         bits = int(fmt[2])
         kv = {
@@ -83,10 +98,11 @@ def cache_shape(kv: dict[str, Any]) -> tuple[int, int, int, int, int]:
 
 def cache_format(kv: dict[str, Any], head_dim: int | None = None) -> str:
     dt = kv["k"].dtype
-    if dt == jnp.uint8:  # TurboQuant: packed, bits inferred from head_dim
+    if dt == jnp.uint8:  # TurboQuant/QJL: packed, bits inferred from head_dim
         if head_dim is None:
             return "tq"
-        return f"tq{kv['k'].shape[-1] * 8 // head_dim}"
+        bits = kv["k"].shape[-1] * 8 // head_dim
+        return "qjl" if bits == 1 else f"tq{bits}"
     if dt == jnp.int8:
         return "i8"
     if dt == jnp.float8_e4m3fn:
@@ -116,6 +132,18 @@ def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
     fmt = cache_format(kv, head_dim=k.shape[-1])
     b_idx = jnp.arange(k.shape[0])[:, None]
     kv = dict(kv)
+    if fmt == "qjl":
+        from .turboquant import compress, qjl_compress
+
+        kp, knorm = qjl_compress(k.astype(jnp.float32))
+        vp, vs = compress(v.astype(jnp.float32), 4)
+        kv["k"] = kv["k"].at[layer, b_idx, positions].set(kp, mode="drop")
+        kv["v"] = kv["v"].at[layer, b_idx, positions].set(vp, mode="drop")
+        kv["k_scale"] = kv["k_scale"].at[layer, b_idx, positions].set(
+            knorm, mode="drop")
+        kv["v_scale"] = kv["v_scale"].at[layer, b_idx, positions].set(
+            vs, mode="drop")
+        return kv
     if fmt.startswith("tq"):
         from .turboquant import compress
 

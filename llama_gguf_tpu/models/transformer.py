@@ -76,20 +76,30 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     k = apply_rope(k, cos, sin, cfg.rope)
 
     kv = KV.write(kv, layer_idx, k, v, positions)
-    keys, vals = KV.read(kv, layer_idx, head_dim=hd, v_head_dim=vd)
 
     rep = nh // nkv
     qg = q.reshape(b, t, nkv, rep, hd).astype(jnp.float32)
-    from ..ops.attention import attention_scores
+    if cfg.kv_format == "qjl":  # attention on compressed keys (QJL)
+        from ..ops.attention import qjl_attention
 
-    sinks = None
-    if "sinks" in layer:  # attention sinks (gpt-oss): extra logit per head
-        sinks = layer["sinks"].reshape(nkv, rep).astype(jnp.float32)
-    ctx = attention_scores(
-        qg, keys, vals, positions, lengths,
-        scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
-        sliding_window=cfg.sliding_window, sinks=sinks,
-    )
+        ctx = qjl_attention(
+            qg, kv["k"][layer_idx], kv["k_scale"][layer_idx],
+            kv["v"][layer_idx], kv["v_scale"][layer_idx], positions,
+            lengths, scale=hd**-0.5, v_head_dim=vd,
+            sliding_window=cfg.sliding_window,
+        )
+    else:
+        keys, vals = KV.read(kv, layer_idx, head_dim=hd, v_head_dim=vd)
+        from ..ops.attention import attention_scores
+
+        sinks = None
+        if "sinks" in layer:  # attention sinks (gpt-oss): extra logit/head
+            sinks = layer["sinks"].reshape(nkv, rep).astype(jnp.float32)
+        ctx = attention_scores(
+            qg, keys, vals, positions, lengths,
+            scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
+            sliding_window=cfg.sliding_window, sinks=sinks,
+        )
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
 
     if "gate" in layer:  # Qwen3Next sigmoid attention gate

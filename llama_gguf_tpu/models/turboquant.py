@@ -157,6 +157,21 @@ def qjl_compress(k: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return packed, norms.astype(jnp.float32)
 
 
+def qjl_scores_batched(q: jnp.ndarray, packed: jnp.ndarray,
+                       norms: jnp.ndarray) -> jnp.ndarray:
+    """Batched unbiased inner-product estimates for GQA attention.
+
+    q: [B,T,K,R,D] (un-rotated); packed: [B,S,K,D/8] sign bits;
+    norms: [B,S,K] -> scores [B,T,K,R,S]."""
+    d = q.shape[-1]
+    bits = jnp.stack([(packed >> i) & 1 for i in range(8)], axis=-1)
+    signs = bits.reshape(*packed.shape[:-1], d).astype(jnp.float32) * 2 - 1
+    r = rotate(q)
+    raw = jnp.einsum("btkrd,bskd->btkrs", r, signs) / jnp.sqrt(float(d))
+    scale = jnp.sqrt(jnp.pi / 2).astype(jnp.float32)
+    return raw * jnp.moveaxis(norms, 1, 2)[:, None, :, None, :] * scale
+
+
 def qjl_scores(q: jnp.ndarray, packed: jnp.ndarray,
                norms: jnp.ndarray) -> jnp.ndarray:
     """Unbiased estimate of <q, k> for every stored key.

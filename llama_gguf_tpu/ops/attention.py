@@ -107,6 +107,28 @@ def chunked_attention(qg, keys, vals, positions, lengths, *, scale: float,
     return acc / jnp.maximum(l[..., None], 1e-30)
 
 
+def qjl_attention(qg, k_packed, k_norms, v_packed, v_scale, positions,
+                  lengths, *, scale: float, v_head_dim: int,
+                  sliding_window: int = 0):
+    """Attention computed ON compressed keys: scores come from the QJL
+    sign-sketch estimator without reconstructing K (the literal analogue of
+    the reference's TurboQuant attention_layer, kv_turboquant.rs:176);
+    values are tq4-decompressed for the weighted sum.
+
+    qg [B,T,K,R,D]; k_packed [B,S,K,D/8]; k_norms [B,S,K];
+    v_packed [B,S,K,Dv/2]; v_scale [B,S,K]."""
+    from ..models.turboquant import decompress, qjl_scores_batched
+
+    s = k_packed.shape[1]
+    scores = qjl_scores_batched(qg, k_packed, k_norms) * scale
+    valid = _mask_block(positions, lengths, jnp.arange(s), sliding_window)
+    scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(valid.any(-1)[:, :, None, None, None], probs, 0.0)
+    vals = decompress(v_packed, v_scale, 4, v_head_dim)
+    return jnp.einsum("btkrs,bskd->btkrd", probs, vals)
+
+
 def attention_scores(qg, keys, vals, positions, lengths, *, scale: float,
                      softcap: float = 0.0, sliding_window: int = 0,
                      sinks=None):
