@@ -86,6 +86,19 @@ class EmbedSection:
 
 
 @dataclass
+class RagSection:
+    db: str = "knowledge.db"
+    backend: str = "sqlite"   # sqlite | pgvector
+    dsn: str | None = None    # postgres DSN for pgvector
+    chunker: str = "recursive"
+    chunk_size: int = 512
+    chunk_overlap: int = 64
+    embed_model: str | None = None
+    top_k: int = 5
+    search: str = "hybrid"    # semantic | keyword | hybrid
+
+
+@dataclass
 class ParallelSection:
     data: int = 1
     model: int = 1
@@ -103,6 +116,7 @@ class Config:
     quantize: QuantizeSection = field(default_factory=QuantizeSection)
     bench: BenchSection = field(default_factory=BenchSection)
     embed: EmbedSection = field(default_factory=EmbedSection)
+    rag: RagSection = field(default_factory=RagSection)
     parallel: ParallelSection = field(default_factory=ParallelSection)
 
     # -- loading ----------------------------------------------------------------
@@ -218,6 +232,15 @@ batch = 1
 [embed]
 pooling = "mean"             # mean | last | first | max
 normalize = true
+
+[rag]
+db = "knowledge.db"          # sqlite store path (backend = "sqlite")
+# backend = "pgvector"       # requires psycopg2 + dsn
+chunker = "recursive"        # recursive | markdown | sliding | sentence | paragraph
+chunk_size = 512
+chunk_overlap = 64
+top_k = 5
+search = "hybrid"            # semantic | keyword | hybrid
 
 [parallel]
 data = 1                     # mesh axes; model = tensor-parallel size

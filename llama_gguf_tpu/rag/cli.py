@@ -4,11 +4,15 @@ from __future__ import annotations
 
 
 def run_rag_command(args) -> int:
+    from ..config import Config
     from .knowledge_base import KnowledgeBase
     from .sqlite_store import SqliteVectorStore
 
-    store = SqliteVectorStore(args.db)
-    kb = KnowledgeBase(store, embed_model_path=args.model)
+    cfg = Config.load(getattr(args, "config", None)).rag
+    store = SqliteVectorStore(args.db or cfg.db)
+    kb = KnowledgeBase(store, embed_model_path=args.model or cfg.embed_model,
+                       chunker=cfg.chunker, chunk_size=cfg.chunk_size,
+                       chunk_overlap=cfg.chunk_overlap)
     if args.rag_command == "ingest":
         total = 0
         for path in args.paths:
