@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("chat", help="interactive chat")
     _add_model_flags(p)
     p.add_argument("--system", default=None, help="system prompt")
+    p.add_argument("--template", default=None,
+                   choices=["chatml", "llama2", "llama3", "gemma", "phi",
+                            "plain"], help="override chat template style")
     _add_gen_flags(p)
     _add_common(p)
 
@@ -186,6 +189,7 @@ def _engine_config(cfg: Config, args):
         weight_mode=getattr(args, "weight_mode", None) or cfg.model.weight_mode,
         kv_format=getattr(args, "kv_cache_type", None) or cfg.model.kv_cache_type,
         matmul_precision=cfg.model.matmul_precision,
+        chat_template=getattr(args, "template", None) or cfg.chat.template,
         seed=getattr(args, "seed", None) or cfg.generation.seed,
         mesh_model=(getattr(args, "tp", None)
                     if getattr(args, "tp", None) is not None

@@ -120,20 +120,39 @@ class RequestHandle:
         self.request_id = request_id
         self.prompt_tokens = prompt_tokens
         self.created = time.time()
+        self.first_token_at: float | None = None
+        self.finished_at: float | None = None
         self._q: queue.Queue = queue.Queue()
         self.finish_reason: str | None = None
         self.completion_tokens = 0
         self._text_parts: list[str] = []
 
+    @property
+    def timings(self) -> dict:
+        """Per-request latency metrics (parity: forward_latency_us
+        self-reporting, reference shard.rs:437)."""
+        now = self.finished_at or time.time()
+        return {
+            "time_to_first_token_s": round(
+                (self.first_token_at or now) - self.created, 4),
+            "total_s": round(now - self.created, 4),
+            "tokens_per_s": round(
+                self.completion_tokens
+                / max(now - (self.first_token_at or self.created), 1e-9), 2),
+        }
+
     # -- producer (scheduler thread) -----------------------------------------
 
     def _emit(self, piece: str) -> None:
         if piece:
+            if self.first_token_at is None:
+                self.first_token_at = time.time()
             self._text_parts.append(piece)
             self._q.put(("piece", piece))
 
     def _finish(self, reason: str) -> None:
         self.finish_reason = reason
+        self.finished_at = time.time()
         self._q.put(("done", reason))
 
     def _fail(self, exc: Exception) -> None:

@@ -38,6 +38,7 @@ class EngineConfig:
     kv_format: str | None = None  # f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
     matmul_precision: str = "highest"
     seed: int | None = None
+    chat_template: str | None = None  # override autodetected style
     prompt_cache: bool = False  # prefix-sharing KV snapshots (LRU)
     prompt_cache_bytes: int = 2 << 30
     # tensor/data-parallel mesh axes over local devices (1,1 = single chip);
@@ -71,7 +72,9 @@ class Engine:
         self.tokenizer = tokenizer
         self.config = config
         self.gguf = gguf
-        self.chat_template = ChatTemplate.detect(tokenizer)
+        self.chat_template = (ChatTemplate(config.chat_template)
+                              if config.chat_template
+                              else ChatTemplate.detect(tokenizer))
         self.stats = GenerationStats()
         self.prompt_cache = None
         if config.prompt_cache:

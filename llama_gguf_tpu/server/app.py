@@ -321,6 +321,7 @@ def create_app(state: ServerState) -> "web.Application":
                          "finish_reason": handle.finish_reason,
                          "logprobs": None}],
             "usage": _usage(handle),
+            "timings": handle.timings,
         })
 
     async def _completion_chunks(st, rid, created, handle):
@@ -403,6 +404,7 @@ def create_app(state: ServerState) -> "web.Application":
             "choices": [{"index": 0, "message": message,
                          "finish_reason": finish}],
             "usage": _usage(handle),
+            "timings": handle.timings,
         })
 
     async def _chat_chunks(st, rid, created, handle):
