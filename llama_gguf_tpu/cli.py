@@ -124,6 +124,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None, help="write a jax.profiler trace to DIR")
     _add_common(p)
 
+    p = sub.add_parser("perplexity", help="perplexity over a text file")
+    _add_model_flags(p)
+    p.add_argument("-f", "--file", required=True, help="input text file")
+    p.add_argument("--chunk", type=int, default=512)
+    p.add_argument("--json", dest="json_out", action="store_true")
+    _add_common(p)
+
     p = sub.add_parser("embed", help="compute text embeddings")
     _add_model_flags(p)
     p.add_argument("-p", "--text", action="append", required=True)
@@ -513,6 +520,32 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_perplexity(args) -> int:
+    cfg = _load_config(args)
+    from .engine.engine import Engine
+    from .engine.perplexity import perplexity
+
+    engine = Engine.load(_model_path(cfg, args), _engine_config(cfg, args))
+    with open(args.file, errors="replace") as f:
+        text = f.read()
+    ids = engine.tokenizer.encode(text)
+
+    def progress(done, total, ppl):
+        print(f"\r[{done}/{total}] ppl={ppl:.4f}   ", end="",
+              file=sys.stderr, flush=True)
+
+    result = perplexity(engine.runner, ids, chunk=args.chunk,
+                        progress=progress)
+    print(file=sys.stderr)
+    if args.json_out:
+        print(json.dumps({"ppl": result.ppl, "nll": result.nll,
+                          "tokens": result.count}))
+    else:
+        print(f"perplexity: {result.ppl:.4f} over {result.count} tokens "
+              f"(nll {result.nll:.4f})")
+    return 0
+
+
 def cmd_embed(args) -> int:
     cfg = _load_config(args)
     import numpy as np
@@ -591,7 +624,7 @@ def cmd_manpages(args) -> int:
 COMMANDS = {
     "info": cmd_info, "run": cmd_run, "chat": cmd_chat, "serve": cmd_serve,
     "quantize": cmd_quantize, "sysinfo": cmd_sysinfo, "bench": cmd_bench,
-    "embed": cmd_embed, "download": cmd_download, "models": cmd_models,
+    "perplexity": cmd_perplexity, "embed": cmd_embed, "download": cmd_download, "models": cmd_models,
     "rag": cmd_rag, "init-config": cmd_init_config, "manpages": cmd_manpages,
 }
 

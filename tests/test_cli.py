@@ -179,3 +179,36 @@ def test_cmd_run_self_speculative(model_path, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "speculative" in err and "acceptance" in err
+
+
+def test_cmd_perplexity(model_path, tmp_path, capsys):
+    f = tmp_path / "text.txt"
+    f.write_text("tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8 " * 4)
+    rc = main(["perplexity", model_path, "-f", str(f), "--chunk", "16",
+               "--weight-mode", "dequant", "--json"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["ppl"] > 1.0 and d["tokens"] > 0
+
+
+def test_perplexity_matches_manual(model_path):
+    """Chunked device NLL == manual numpy log-softmax computation."""
+    import jax.numpy as jnp
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+    from llama_gguf_tpu.engine.perplexity import perplexity
+
+    eng = Engine.load(model_path, EngineConfig(weight_mode="dequant"))
+    ids = eng.tokenizer.encode("tok1 tok2 tok3 tok4 tok5 tok6")
+    res = perplexity(eng.runner, ids, chunk=len(ids))
+
+    kv = eng.runner.init_kv()
+    t = len(ids)
+    logits, _ = eng.runner.step(
+        jnp.asarray([ids], jnp.int32),
+        jnp.asarray([list(range(t))], jnp.int32),
+        jnp.asarray([t], jnp.int32), kv)
+    lg = np.asarray(logits[0], np.float64)
+    lse = np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1)) + \
+        lg.max(-1, keepdims=True)[:, 0]
+    nll = -(lg[np.arange(t - 1), ids[1:]] - lse[: t - 1]).sum()
+    assert res.nll_sum == pytest.approx(nll, rel=1e-4)
