@@ -158,14 +158,19 @@ def build_parser() -> argparse.ArgumentParser:
                         ("search", "search the knowledge base"),
                         ("ask", "retrieve-and-generate with citations")):
         rp = rag_sub.add_parser(name, help=help_)
-        rp.add_argument("--db", required=True, help="sqlite database path")
+        rp.add_argument("--db", default=None,
+                        help="sqlite database path (default: [rag].db)")
         rp.add_argument("--model", help="embedding model gguf", default=None)
         if name == "ingest":
             rp.add_argument("paths", nargs="+")
-            rp.add_argument("--chunker", default="recursive")
+            rp.add_argument("--chunker", default=None,
+                            choices=["recursive", "markdown", "sliding",
+                                     "sentence", "paragraph"])
         else:
             rp.add_argument("query")
-            rp.add_argument("-k", type=int, default=5)
+            rp.add_argument("-k", type=int, default=None)
+            rp.add_argument("--search", default=None,
+                            choices=["semantic", "keyword", "hybrid"])
         _add_common(rp)
 
     p = sub.add_parser("init-config", help="write an example config file")

@@ -132,13 +132,14 @@ class RequestHandle:
         """Per-request latency metrics (parity: forward_latency_us
         self-reporting, reference shard.rs:437)."""
         now = self.finished_at or time.time()
+        # rate over the decode window, floored at 1 ms so a stop string
+        # hitting in the first piece can't report absurd throughput
+        window = max(now - (self.first_token_at or self.created), 1e-3)
         return {
             "time_to_first_token_s": round(
                 (self.first_token_at or now) - self.created, 4),
             "total_s": round(now - self.created, 4),
-            "tokens_per_s": round(
-                self.completion_tokens
-                / max(now - (self.first_token_at or self.created), 1e-9), 2),
+            "tokens_per_s": round(self.completion_tokens / window, 2),
         }
 
     # -- producer (scheduler thread) -----------------------------------------

@@ -53,17 +53,20 @@ def perplexity(runner, token_ids: list[int], chunk: int = 512,
                progress=None) -> PerplexityResult:
     """Chunked perplexity over a token stream (non-overlapping windows,
     llama.cpp-style)."""
+    if len(token_ids) < 2:
+        raise ValueError("perplexity needs at least 2 tokens")
     chunk = min(chunk, runner.max_seq)
     result = PerplexityResult()
-    nchunks = len(token_ids) // chunk
-    if nchunks == 0 and len(token_ids) >= 2:
-        nchunks, chunk = 1, len(token_ids)
-    for c in range(nchunks):
-        ids = token_ids[c * chunk: (c + 1) * chunk]
+    # full chunks plus the trailing partial window (>= 2 tokens)
+    windows = [token_ids[i: i + chunk]
+               for i in range(0, len(token_ids), chunk)]
+    if len(windows[-1]) < 2:
+        windows.pop()
+    for c, ids in enumerate(windows):
         nll, n = _chunk_nll(runner, ids)
         result.nll_sum += nll
         result.count += n
         result.per_chunk_ppl.append(float(np.exp(nll / max(n, 1))))
         if progress:
-            progress(c + 1, nchunks, result.ppl)
+            progress(c + 1, len(windows), result.ppl)
     return result

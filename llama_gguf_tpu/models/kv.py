@@ -197,6 +197,11 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
         return kf.astype(compute_dtype), vf.astype(compute_dtype)
     if fmt == "tq":
         raise ValueError("tq cache read requires head_dim")
+    if fmt == "qjl":
+        raise ValueError(
+            "qjl caches cannot be read back as K/V (keys are sign sketches);"
+            " attention runs on the compressed keys via ops.attention."
+            "qjl_attention")
     if fmt == "i8":
         k = k.astype(compute_dtype) * kv["k_scale"][layer][..., None].astype(compute_dtype)
         v = v.astype(compute_dtype) * kv["v_scale"][layer][..., None].astype(compute_dtype)

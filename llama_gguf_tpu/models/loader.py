@@ -110,10 +110,11 @@ class ModelLoader:
 
         t = info.ggml_type
         nk = info.np_shape
-        # K must tile for the fused kernel: any multiple of 64 works
-        # (qmatmul falls back to the XLA dequant path when it can't tile)
+        # keep any repackable 2D weight compressed in HBM; qmatmul falls
+        # back to the in-graph XLA dequant path when the fused kernel can't
+        # tile the shape, so the only requirement is the repack block size
         if self.mode == "quant" and t in _QUANTIZED_KEEP and len(nk) == 2 \
-                and nk[1] % 64 == 0 and nk[0] % 128 == 0:
+                and nk[1] % 32 == 0:
             rw = repack(self.gguf.tensor_bytes(wname), t, nk)
             sdt = self.scale_dtype
             return QuantLinear(

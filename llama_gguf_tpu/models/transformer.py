@@ -80,12 +80,17 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     rep = nh // nkv
     qg = q.reshape(b, t, nkv, rep, hd).astype(jnp.float32)
     if cfg.kv_format == "qjl":  # attention on compressed keys (QJL)
+        if "sinks" in layer:
+            raise ValueError(
+                "kv_format=qjl cannot represent attention sinks "
+                "(scores are sign-sketch estimates); use another format")
         from ..ops.attention import qjl_attention
 
         ctx = qjl_attention(
             qg, kv["k"][layer_idx], kv["k_scale"][layer_idx],
             kv["v"][layer_idx], kv["v_scale"][layer_idx], positions,
             lengths, scale=hd**-0.5, v_head_dim=vd,
+            softcap=cfg.attn_logit_softcap,
             sliding_window=cfg.sliding_window,
         )
     else:

@@ -109,7 +109,7 @@ def chunked_attention(qg, keys, vals, positions, lengths, *, scale: float,
 
 def qjl_attention(qg, k_packed, k_norms, v_packed, v_scale, positions,
                   lengths, *, scale: float, v_head_dim: int,
-                  sliding_window: int = 0):
+                  softcap: float = 0.0, sliding_window: int = 0):
     """Attention computed ON compressed keys: scores come from the QJL
     sign-sketch estimator without reconstructing K (the literal analogue of
     the reference's TurboQuant attention_layer, kv_turboquant.rs:176);
@@ -121,6 +121,8 @@ def qjl_attention(qg, k_packed, k_norms, v_packed, v_scale, positions,
 
     s = k_packed.shape[1]
     scores = qjl_scores_batched(qg, k_packed, k_norms) * scale
+    if softcap > 0.0:
+        scores = jnp.tanh(scores / softcap) * softcap
     valid = _mask_block(positions, lengths, jnp.arange(s), sliding_window)
     scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)

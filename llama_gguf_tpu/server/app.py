@@ -594,5 +594,8 @@ def run_server(config: ServerConfig) -> None:
         loop = None
 
     log.info("serving on http://%s:%d", config.host, config.port)
+    # handle_signals only works on the main thread; allow run_server to be
+    # hosted in a background thread (examples/serve_and_query.py, tests)
+    on_main = threading.current_thread() is threading.main_thread()
     web.run_app(app, host=config.host, port=config.port,
-                loop=loop, print=None)
+                loop=loop, print=None, handle_signals=on_main)

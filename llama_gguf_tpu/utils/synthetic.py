@@ -74,11 +74,15 @@ def build_synthetic_gguf(
         return (rng.standard_normal(shape).astype(np.float32) * scale)
 
     def addq(name, arr, q=quant):
+        from ..gguf.constants import type_traits
+
         k = arr.shape[-1]
-        if q != GGMLType.F32 and k % 256 != 0 and k % 32 == 0:
-            q = GGMLType.Q5_1  # llama.cpp K-quant fallback for odd widths
-        if q != GGMLType.F32 and k % 256 == 0 or \
-                (q == GGMLType.Q5_1 and k % 32 == 0):
+        if q != GGMLType.F32 and k % type_traits(q).block_size != 0 \
+                and k % 32 == 0:
+            # llama.cpp falls back to a legacy 32-block format when a
+            # K-quant's 256-superblock doesn't divide the row
+            q = GGMLType.Q5_1
+        if q != GGMLType.F32 and k % type_traits(q).block_size == 0:
             raw = quantize(arr, q)
             w.add_tensor_raw(name, tuple(reversed(arr.shape)), q, raw.tobytes())
         else:
