@@ -232,13 +232,41 @@ class ModelLoader:
         return ffn
 
     def _expert_stack(self, name: str, transpose: bool) -> Any:
-        """Stacked expert weights [E, in, out] for gathered-expert einsum."""
+        """Stacked expert weights [E, in, out] for gathered-expert dispatch.
+
+        In quant mode the experts stay COMPRESSED on device
+        (QuantExpertStack): the MoE layer gathers and dequantizes only the
+        routed experts — for Mixtral-class models this is the difference
+        between ~4.5 bits and 32 bits per expert weight in HBM."""
+        del transpose
         info = self.gguf.tensors[name]
+        t = info.ggml_type
+        e, n_out, k_in = info.np_shape  # [E, out, in]
+        if self.mode == "quant" and t in _QUANTIZED_KEEP and k_in % 32 == 0:
+            from ..ops.linear import QuantExpertStack
+            from ..quant.repack import repack
+
+            raw = np.frombuffer(self.gguf.tensor_bytes(name), np.uint8)
+            per = raw.size // e
+            packs, scales, mins = [], [], []
+            fmt = group = None
+            for i in range(e):
+                rw = repack(raw[i * per: (i + 1) * per], t, (n_out, k_in))
+                packs.append(rw.packed)
+                scales.append(rw.scales)
+                mins.append(rw.mins)
+                fmt, group = rw.fmt, rw.group
+            has_mins = mins[0] is not None
+            return QuantExpertStack(
+                packed=self._put(np.stack(packs), name),
+                scales=self._put(np.stack(scales), name),
+                mins=self._put(np.stack(mins), name) if has_mins else None,
+                fmt=fmt, group=group, k=k_in, n=n_out,
+            )
         w = self.dense(name)  # np shape [E, out, in]
         if w.ndim != 3:
             raise ValueError(f"{name}: expected 3D expert stack, got {w.shape}")
         w = np.ascontiguousarray(np.swapaxes(w, 1, 2))  # [E, in, out]
-        del info, transpose
         return self._put(w.astype(self._np_dtype()), name)
 
     def _split_qkv(self, i: int, cfg: ModelConfig) -> dict:

@@ -151,12 +151,18 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         topv, topi = jax.lax.top_k(router_logits, k)
         topv = jax.nn.softmax(topv, axis=-1)
 
-    wg = ffn["experts"]["gate"]  # [E, H, F]
-    wu = ffn["experts"]["up"]
-    wd = ffn["experts"]["down"]  # [E, F, H]
-    gsel = jnp.take(wg, topi, axis=0)  # [N, k, H, F]
-    usel = jnp.take(wu, topi, axis=0)
-    dsel = jnp.take(wd, topi, axis=0)
+    from ..ops.linear import QuantExpertStack
+
+    def gather(stack):
+        # quantized stacks gather only the routed experts' compressed bytes
+        # and dequantize in-graph; dense stacks gather rows directly
+        if isinstance(stack, QuantExpertStack):
+            return stack.gather_dequant(topi)
+        return jnp.take(stack, topi, axis=0)
+
+    gsel = gather(ffn["experts"]["gate"])  # [N, k, H, F]
+    usel = gather(ffn["experts"]["up"])
+    dsel = gather(ffn["experts"]["down"])  # [N, k, F, H]
     g = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32), gsel.astype(jnp.float32))
     u = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32), usel.astype(jnp.float32))
     act = _act(g, cfg.hidden_act) * u

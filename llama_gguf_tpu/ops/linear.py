@@ -111,6 +111,57 @@ class LoraLinear:
         return self.base.shape
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantExpertStack:
+    """Stacked quantized expert weights [E, ...] for MoE gathered dispatch.
+
+    The analogue of the reference keeping expert weights compressed and
+    streaming only the routed experts (moe.rs:321-416 + the CUDA expert
+    streaming in gpu_only.rs): `gather_dequant` reads ONLY the selected
+    experts' packed bytes from HBM and dequantizes them in-graph."""
+
+    packed: Any  # [E, K/2, N] uint8 (q4) or [E, K, N] int8 (q8)
+    scales: Any  # [E, K/g, N]
+    mins: Any | None
+    fmt: str = field(metadata=dict(static=True), default="q8")
+    group: int = field(metadata=dict(static=True), default=32)
+    k: int = field(metadata=dict(static=True), default=0)
+    n: int = field(metadata=dict(static=True), default=0)
+
+    def tree_flatten(self):
+        return ((self.packed, self.scales, self.mins),
+                (self.fmt, self.group, self.k, self.n))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.k, self.n)
+
+    def gather_dequant(self, idx: jnp.ndarray,
+                       dtype=jnp.float32) -> jnp.ndarray:
+        """Dequantized weights for expert ids ``idx`` [...]: [..., K, N]."""
+        p = jnp.take(self.packed, idx, axis=0)
+        s = jnp.take(self.scales, idx, axis=0).astype(jnp.float32)
+        lead = p.shape[:-2]
+        if self.fmt == "q4":
+            h = self.group // 2
+            p3 = p.reshape(*lead, self.k // self.group, h, self.n)
+            q = jnp.concatenate([p3 & 0x0F, p3 >> 4], axis=-2).astype(
+                jnp.float32)
+        else:
+            q = p.reshape(*lead, self.k // self.group, self.group,
+                          self.n).astype(jnp.float32)
+        w = q * s[..., :, None, :]
+        if self.mins is not None:
+            m = jnp.take(self.mins, idx, axis=0).astype(jnp.float32)
+            w = w - m[..., :, None, :]
+        return w.reshape(*lead, self.k, self.n).astype(dtype)
+
+
 def fuse_linears(lins: list) -> Any | None:
     """Fuse same-input linears into one wide matmul (concat along N).
 

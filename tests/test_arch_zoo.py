@@ -483,3 +483,79 @@ def test_mixtral_expert_parallel_mesh(mixtral_pair):
         jnp.asarray([t], jnp.int32), kv)
     got = np.asarray(logits[0])
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_quantized_expert_stack_matches_dense(tmp_path, rng):
+    """MoE with Q8_0-compressed expert stacks (gathered in-graph dequant)
+    matches the dense-f32 path logits."""
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.ops.linear import QuantExpertStack
+    from llama_gguf_tpu.quant.quantize import quantize
+
+    c = dict(vocab=64, hidden=64, layers=1, heads=4, kv_heads=2, ffn=96,
+             ctx=32, experts=4, topk=2)
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "llama")
+    w.add_metadata("llama.embedding_length", c["hidden"])
+    w.add_metadata("llama.block_count", c["layers"])
+    w.add_metadata("llama.attention.head_count", c["heads"])
+    w.add_metadata("llama.attention.head_count_kv", c["kv_heads"])
+    w.add_metadata("llama.feed_forward_length", c["ffn"])
+    w.add_metadata("llama.context_length", c["ctx"])
+    w.add_metadata("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata("llama.rope.freq_base", 10000.0)
+    w.add_metadata("llama.expert_count", c["experts"])
+    w.add_metadata("llama.expert_used_count", c["topk"])
+    w.add_metadata("llama.vocab_size", c["vocab"])
+
+    def t(name, shape, scale=0.05):
+        arr = rng.normal(size=shape).astype(np.float32) * scale
+        w.add_tensor_np(name, arr)
+        return arr
+
+    t("token_embd.weight", (c["vocab"], c["hidden"]))
+    p = "blk.0"
+    t(f"{p}.attn_q.weight", (c["hidden"], c["hidden"]))
+    t(f"{p}.attn_k.weight", (c["kv_heads"] * 16, c["hidden"]))
+    t(f"{p}.attn_v.weight", (c["kv_heads"] * 16, c["hidden"]))
+    t(f"{p}.attn_output.weight", (c["hidden"], c["hidden"]))
+    w.add_tensor_np(f"{p}.attn_norm.weight", np.ones(c["hidden"], np.float32))
+    w.add_tensor_np(f"{p}.ffn_norm.weight", np.ones(c["hidden"], np.float32))
+    t(f"{p}.ffn_gate_inp.weight", (c["experts"], c["hidden"]))
+    for nm, shape in ((f"{p}.ffn_gate_exps.weight",
+                       (c["experts"], c["ffn"], c["hidden"])),
+                      (f"{p}.ffn_up_exps.weight",
+                       (c["experts"], c["ffn"], c["hidden"])),
+                      (f"{p}.ffn_down_exps.weight",
+                       (c["experts"], c["hidden"], c["ffn"]))):
+        arr = rng.normal(size=shape).astype(np.float32) * 0.05
+        raw = quantize(arr, GGMLType.Q8_0)
+        w.add_tensor_np  # noqa — keep reference alive
+        w.add_tensor_raw(nm, tuple(reversed(shape)), GGMLType.Q8_0,
+                         raw.tobytes())
+    w.add_tensor_np("output_norm.weight", np.ones(c["hidden"], np.float32))
+    t("output.weight", (c["vocab"], c["hidden"]))
+    path = str(tmp_path / "moe_q.gguf")
+    w.write_to_path(path)
+
+    tokens = [3, 17, 42, 5]
+    dense = run_ours(path, tokens, c["ctx"])  # mode=dequant
+
+    params, cfg, _ = load_model(path, mode="quant")
+    assert isinstance(params["layers"][0]["ffn"]["experts"]["gate"],
+                      QuantExpertStack)
+    from llama_gguf_tpu.ops.linear import set_use_pallas
+
+    set_use_pallas(False)  # CPU tests: XLA path for the non-expert weights
+    try:
+        import jax.numpy as jnp
+
+        r = ModelRunner(params, cfg, max_batch=1, max_seq=c["ctx"])
+        kv = r.init_kv()
+        logits, _ = r.step(jnp.asarray([tokens], jnp.int32),
+                           jnp.asarray([list(range(4))], jnp.int32),
+                           jnp.asarray([4], jnp.int32), kv)
+        got = np.asarray(logits[0])
+    finally:
+        set_use_pallas(None)
+    np.testing.assert_allclose(got, dense, rtol=2e-4, atol=2e-4)
