@@ -75,7 +75,8 @@ LAYER_NORM = {
 }
 
 GELU = {
-    "phi2", "phi3", "phimoe", "gpt2", "gptj", "gptneox", "bloom", "opt",
+    # NOTE: phi3/phimoe are SwiGLU (silu), unlike phi2's gelu_new
+    "phi2", "gpt2", "gptj", "gptneox", "bloom", "opt",
     "falcon", "stablelm", "bert", "modern-bert", "starcoder", "starcoder2",
     "codeshell", "refact",
     # gemma family uses gated GELU (geglu) rather than SwiGLU
@@ -91,8 +92,9 @@ ENCODER_ONLY = {
 RECURRENT = {"mamba", "mamba2", "rwkv6", "rwkv7", "arwkv7", "rwkv6qwen2"}
 
 NO_GATE_FFN = {
+    # NOTE: phi3/phimoe use gated SwiGLU, unlike phi/phi2's plain GELU MLP
     "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
-    "phi3", "phimoe", "stablelm", "codeshell", "bert", "modern-bert",
+    "stablelm", "codeshell", "bert", "modern-bert",
     "nomic-bert", "t5", "t5encoder",
 }
 

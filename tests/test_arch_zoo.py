@@ -559,3 +559,73 @@ def test_quantized_expert_stack_matches_dense(tmp_path, rng):
     finally:
         set_use_pallas(None)
     np.testing.assert_allclose(got, dense, rtol=2e-4, atol=2e-4)
+
+
+# -- phi3 (combined QKV projection) -------------------------------------------------
+
+P3 = dict(vocab=96, hidden=64, layers=2, heads=4, kv_heads=2, ffn=96, ctx=64)
+
+
+def test_phi3_combined_qkv_matches_hf(tmp_path_factory, rng):
+    """phi3 GGUFs store one attn_qkv tensor with rows [q|k|v]; the loader
+    split (loader._split_qkv) must reproduce HF Phi3 logits."""
+    import torch
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    c = P3
+    hf_cfg = Phi3Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv_heads"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(9)
+    with torch.no_grad():
+        model = Phi3ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "phi3")
+    w.add_metadata("phi3.embedding_length", c["hidden"])
+    w.add_metadata("phi3.block_count", c["layers"])
+    w.add_metadata("phi3.attention.head_count", c["heads"])
+    w.add_metadata("phi3.attention.head_count_kv", c["kv_heads"])
+    w.add_metadata("phi3.feed_forward_length", c["ffn"])
+    w.add_metadata("phi3.context_length", c["ctx"])
+    w.add_metadata("phi3.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata("phi3.rope.freq_base", 10000.0)
+    w.add_metadata("phi3.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        # phi3 keeps qkv combined in GGUF (rows [q|k|v])
+        w.add_tensor_np(f"{p}.attn_qkv.weight",
+                        sd[f"{h}.self_attn.qkv_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        # HF gate_up_proj rows are [gate|up]: split like the converter
+        gu = sd[f"{h}.mlp.gate_up_proj.weight"]
+        w.add_tensor_np(f"{p}.ffn_gate.weight", gu[: c["ffn"]])
+        w.add_tensor_np(f"{p}.ffn_up.weight", gu[c["ffn"]:])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("p3") / "phi3.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
