@@ -91,6 +91,9 @@ ENCODER_ONLY = {
 
 RECURRENT = {"mamba", "mamba2", "rwkv6", "rwkv7", "arwkv7", "rwkv6qwen2"}
 
+# learned absolute position embeddings instead of RoPE
+NO_ROPE = {"gpt2", "bloom", "opt", "starcoder", "mpt", "jais", "refact"}
+
 NO_GATE_FFN = {
     # NOTE: phi3/phimoe use gated SwiGLU, unlike phi/phi2's plain GELU MLP
     "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
@@ -182,6 +185,10 @@ class ArchInfo:
     @property
     def uses_neox_rope(self) -> bool:
         return self.name in NEOX_ROPE
+
+    @property
+    def has_rope(self) -> bool:
+        return self.name not in NO_ROPE
 
     @property
     def default_attention_bias(self) -> bool:

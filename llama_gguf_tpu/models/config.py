@@ -189,7 +189,8 @@ def parse_config(metadata: Mapping[str, Any],
     rope = RopeConfig(
         freq_base=freq_base,
         freq_scale=freq_scale,
-        n_dims=gi("rope.dimension_count", head_dim),
+        n_dims=gi("rope.dimension_count",
+                  head_dim if info.has_rope else 0),
         scaling_type=scaling_type,
         original_max_position_embeddings=orig_ctx,
         rope_type=RopeType.NEOX if info.uses_neox_rope else RopeType.NORMAL,

@@ -294,6 +294,9 @@ class ModelLoader:
         params: dict[str, Any] = {}
         emb = self.dense("token_embd.weight")  # [V, H]
         params["embed"] = self._put(emb.astype(self._np_dtype()), "token_embd.weight")
+        if self.has("position_embd.weight"):  # learned positions (gpt2...)
+            params["position_embed"] = self._put(
+                self.dense("position_embd.weight"), "position_embd.weight")
         params["layers"] = [self.load_layer(i, cfg) for i in range(cfg.num_layers)]
         recurrent = cfg.arch_info is not None and cfg.arch_info.is_recurrent
 

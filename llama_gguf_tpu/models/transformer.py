@@ -71,9 +71,11 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
 
-    cos, sin = rope_cos_sin(positions, cfg.rope)  # [B, T, nd/2]
-    q = apply_rope(q, cos, sin, cfg.rope)
-    k = apply_rope(k, cos, sin, cfg.rope)
+    if cfg.rope.n_dims > 0:
+        cos, sin = rope_cos_sin(positions, cfg.rope)  # [B, T, nd/2]
+        q = apply_rope(q, cos, sin, cfg.rope)
+        k = apply_rope(k, cos, sin, cfg.rope)
+    # else: learned absolute positions added at the embedding (gpt2 family)
 
     kv = KV.write(kv, layer_idx, k, v, positions)
 
@@ -213,8 +215,14 @@ def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     return x + ffn_out, kv
 
 
-def embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+def embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
+          positions: jnp.ndarray | None = None) -> jnp.ndarray:
     x = jnp.take(params["embed"], tokens, axis=0)
+    if params.get("position_embed") is not None and positions is not None:
+        # learned absolute positions (gpt2/bloom/opt family); OOB padding
+        # positions clamp to row 0, whose contribution is masked downstream
+        idx = jnp.clip(positions, 0, params["position_embed"].shape[0] - 1)
+        x = x + jnp.take(params["position_embed"], idx, axis=0)
     if cfg.embedding_scale != 1.0:
         x = x * jnp.asarray(cfg.embedding_scale, x.dtype)
     return x
@@ -249,7 +257,7 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
     after writing this step. Returns (logits [B, T, V], kv')."""
     from ..utils.debug import trace_activation
 
-    x = embed(params, cfg, tokens)
+    x = embed(params, cfg, tokens, positions)
     trace_activation("embed", -1, x)
     kinds = cfg.layer_kinds or ("attn",) * len(params["layers"])
     for i, layer in enumerate(params["layers"]):

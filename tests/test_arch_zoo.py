@@ -629,3 +629,158 @@ def test_phi3_combined_qkv_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+# -- gpt2 (learned positions, LayerNorm, no rope, Conv1D weights) -------------------
+
+def test_gpt2_matches_hf(tmp_path_factory, rng):
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ffn=128, ctx=64)
+    hf_cfg = GPT2Config(
+        vocab_size=c["vocab"], n_embd=c["hidden"], n_layer=c["layers"],
+        n_head=c["heads"], n_inner=c["ffn"], n_positions=c["ctx"],
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(15)
+    with torch.no_grad():
+        model = GPT2LMHeadModel(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "gpt2"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["transformer.wte.weight"])
+    w.add_tensor_np("position_embd.weight", sd["transformer.wpe.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"transformer.h.{i}"
+        # HF GPT2 Conv1D stores [in, out]; GGUF wants [out, in]
+        w.add_tensor_np(f"{p}.attn_qkv.weight",
+                        sd[f"{h}.attn.c_attn.weight"].T.copy())
+        w.add_tensor_np(f"{p}.attn_qkv.bias", sd[f"{h}.attn.c_attn.bias"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.attn.c_proj.weight"].T.copy())
+        w.add_tensor_np(f"{p}.attn_output.bias", sd[f"{h}.attn.c_proj.bias"])
+        w.add_tensor_np(f"{p}.attn_norm.weight", sd[f"{h}.ln_1.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias", sd[f"{h}.ln_1.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight", sd[f"{h}.ln_2.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias", sd[f"{h}.ln_2.bias"])
+        w.add_tensor_np(f"{p}.ffn_up.weight",
+                        sd[f"{h}.mlp.c_fc.weight"].T.copy())
+        w.add_tensor_np(f"{p}.ffn_up.bias", sd[f"{h}.mlp.c_fc.bias"])
+        w.add_tensor_np(f"{p}.ffn_down.weight",
+                        sd[f"{h}.mlp.c_proj.weight"].T.copy())
+        w.add_tensor_np(f"{p}.ffn_down.bias", sd[f"{h}.mlp.c_proj.bias"])
+    w.add_tensor_np("output_norm.weight", sd["transformer.ln_f.weight"])
+    w.add_tensor_np("output_norm.bias", sd["transformer.ln_f.bias"])
+    # gpt2 ties lm_head to wte: omit output.weight
+    path = str(tmp_path_factory.mktemp("g2p") / "gpt2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.rope.n_dims == 0 and cfg.uses_layer_norm
+
+
+# -- gptneox (parallel residual, interleaved QKV, partial rope) ---------------------
+
+def test_gptneox_parallel_residual_matches_hf(tmp_path_factory, rng):
+    import torch
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ffn=128, ctx=64)
+    hd = c["hidden"] // c["heads"]
+    hf_cfg = GPTNeoXConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        intermediate_size=c["ffn"], max_position_embeddings=c["ctx"],
+        rotary_pct=0.25, rotary_emb_base=10000,
+        use_parallel_residual=True, layer_norm_eps=1e-5,
+        hidden_act="gelu", attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    torch.manual_seed(23)
+    with torch.no_grad():
+        model = GPTNeoXForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "gptneox"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.rope.dimension_count", int(hd * 0.25))
+    w.add_metadata(f"{a}.use_parallel_residual", True)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["gpt_neox.embed_in.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"gpt_neox.layers.{i}"
+        # HF neox qkv is interleaved per head [q_i; k_i; v_i]; GGUF wants
+        # flat [q | k | v] (the converter de-interleaves)
+        qkv = sd[f"{h}.attention.query_key_value.weight"].reshape(
+            c["heads"], 3, hd, c["hidden"])
+        bias = sd[f"{h}.attention.query_key_value.bias"].reshape(
+            c["heads"], 3, hd)
+        w.add_tensor_np(f"{p}.attn_qkv.weight",
+                        qkv.transpose(1, 0, 2, 3).reshape(-1, c["hidden"]).copy())
+        w.add_tensor_np(f"{p}.attn_qkv.bias",
+                        bias.transpose(1, 0, 2).reshape(-1).copy())
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.attention.dense.weight"])
+        w.add_tensor_np(f"{p}.attn_output.bias",
+                        sd[f"{h}.attention.dense.bias"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias",
+                        sd[f"{h}.post_attention_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_up.weight",
+                        sd[f"{h}.mlp.dense_h_to_4h.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.bias", sd[f"{h}.mlp.dense_h_to_4h.bias"])
+        w.add_tensor_np(f"{p}.ffn_down.weight",
+                        sd[f"{h}.mlp.dense_4h_to_h.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.bias",
+                        sd[f"{h}.mlp.dense_4h_to_h.bias"])
+    w.add_tensor_np("output_norm.weight", sd["gpt_neox.final_layer_norm.weight"])
+    w.add_tensor_np("output_norm.bias", sd["gpt_neox.final_layer_norm.bias"])
+    w.add_tensor_np("output.weight", sd["embed_out.weight"])
+    path = str(tmp_path_factory.mktemp("nx") / "neox.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.use_parallel_residual and cfg.rope.n_dims == int(hd * 0.25)
