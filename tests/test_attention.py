@@ -78,3 +78,33 @@ def test_model_forward_long_prefill_chunked(monkeypatch, tmp_path):
     eng2 = Engine.load(path, EngineConfig(weight_mode="dequant"))
     chunk_out = eng2.greedy_tokens(ids, 4)
     assert chunk_out == dense_out
+
+
+def test_attention_sinks_against_numpy(rng):
+    """Attention-sinks semantics (gpt-oss): one extra per-head logit joins
+    the softmax and its probability mass is dropped."""
+    b, t, k, r, d, s = 1, 4, 2, 2, 8, 16
+    qg = jnp.asarray(rng.normal(size=(b, t, k, r, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, s, k, d)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(b, s, k, d)).astype(np.float32))
+    pos = jnp.asarray(np.arange(t, dtype=np.int32)[None] + 5)
+    lens = jnp.asarray([t + 5], np.int32)
+    sinks = jnp.asarray(rng.normal(size=(k, r)).astype(np.float32))
+
+    got = np.asarray(A.dense_attention(qg, keys, vals, pos, lens, scale=0.4,
+                                       sinks=sinks))
+
+    qn, kn, vn, sn = map(np.asarray, (qg, keys, vals, sinks))
+    want = np.zeros_like(got)
+    for ti in range(t):
+        for ki in range(k):
+            for ri in range(r):
+                logits = np.array([
+                    qn[0, ti, ki, ri] @ kn[0, si, ki] * 0.4
+                    if (si <= ti + 5 and si < t + 5) else -1e30
+                    for si in range(s)
+                ] + [sn[ki, ri]])
+                e = np.exp(logits - logits.max())
+                probs = (e / e.sum())[:-1]  # sink mass dropped
+                want[0, ti, ki, ri] = probs @ vn[0, :, ki]
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()

@@ -1,0 +1,83 @@
+"""Real multi-process jax.distributed test on localhost CPU devices —
+the TPU-native mirror of the reference's localhost-gRPC shard test
+(tests/distributed_integration_test.rs): two actual processes rendezvous
+at a coordinator, form one global mesh, and run a sharded computation."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+
+from llama_gguf_tpu.parallel.multihost import ClusterConfig, initialize_cluster
+
+port = sys.argv[1]
+pid = int(sys.argv[2])
+info = initialize_cluster(ClusterConfig(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid))
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 8, info
+
+# sharded all-reduce over the global mesh: every process contributes its
+# local shard; the psum must see all 8 devices' values
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devs = np.array(jax.devices()).reshape(8)
+mesh = Mesh(devs, ("d",))
+x = jnp.arange(8, dtype=jnp.float32)  # globally replicated construction
+xs = jax.device_put(x, NamedSharding(mesh, P("d")))
+
+@jax.jit
+def total(v):
+    return jnp.sum(v)
+
+out = float(np.asarray(total(xs)))
+assert out == 28.0, out
+print(f"proc {pid} OK global_devices={info['global_devices']} sum={out}")
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed(tmp_path):
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert f"proc {pid} OK" in out
+        assert "global_devices=8" in out
