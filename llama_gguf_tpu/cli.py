@@ -49,6 +49,8 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kv-cache-type", default=None,
                    choices=["f32", "bf16", "i8", "f8_e4m3", "f8_e5m2",
                             "tq2", "tq3", "tq4", "qjl"])
+    p.add_argument("--context-shift", action="store_true",
+                   help="generate past the window by sliding the KV cache")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel mesh axis (0 = auto-fit HBM)")
     p.add_argument("--dp", type=int, default=None,
@@ -202,6 +204,7 @@ def _engine_config(cfg: Config, args):
         kv_format=getattr(args, "kv_cache_type", None) or cfg.model.kv_cache_type,
         matmul_precision=cfg.model.matmul_precision,
         chat_template=getattr(args, "template", None) or cfg.chat.template,
+        context_shift=getattr(args, "context_shift", False),
         seed=getattr(args, "seed", None) or cfg.generation.seed,
         mesh_model=(getattr(args, "tp", None)
                     if getattr(args, "tp", None) is not None

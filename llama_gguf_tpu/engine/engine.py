@@ -39,6 +39,9 @@ class EngineConfig:
     matmul_precision: str = "highest"
     seed: int | None = None
     chat_template: str | None = None  # override autodetected style
+    # generate past the context window by sliding the KV cache left
+    # (exact RoPE re-rotation; see models/kv.shift_left)
+    context_shift: bool = False
     prompt_cache: bool = False  # prefix-sharing KV snapshots (LRU)
     prompt_cache_bytes: int = 2 << 30
     # tensor/data-parallel mesh axes over local devices (1,1 = single chip);
@@ -267,7 +270,17 @@ class Engine:
                         on_token(piece)
                     yield piece
             if pos >= self.runner.max_seq - 1:
-                break
+                if not self.config.context_shift:
+                    break
+                # context shift: drop the oldest quarter of the window and
+                # slide the cache left with exact RoPE re-rotation
+                # (parity: KVCache::shift_left + ensure_context_space, but
+                # the reference's memmove leaves stale rotations)
+                from ..models import kv as KV
+
+                n = max(self.runner.max_seq // 4, 1)
+                kv = KV.shift_left(kv, n, rope_cfg=self.runner.cfg.rope)
+                pos -= n
             logits, kv = self.runner.decode_one(tok, pos, kv)
             pos += 1
         else:

@@ -67,3 +67,29 @@ def test_embed(engine):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
     w = engine.embed("tok9 tok8")
     assert not np.allclose(v, w)
+
+
+def test_context_shift_generates_past_window(tmp_path_factory):
+    """With context_shift the engine generates past max_seq by sliding the
+    KV window (exact RoPE re-rotation)."""
+    path = str(tmp_path_factory.mktemp("cs") / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=256, seed=11,
+                    tokenizer=True)
+    cfg = SamplerConfig(temperature=0.0, repetition_penalty=1.0)
+    eng = Engine.load(path, EngineConfig(weight_mode="dequant",
+                                         max_context_len=32,
+                                         context_shift=True))
+    out = eng.generate("tok1 tok2 tok3", max_tokens=60, sampler=cfg)
+    # without shifting, generation caps at ~32 - prompt; with shifting we
+    # must get well beyond the window (unless EOG fired, which greedy on
+    # this fixture does not)
+    assert eng.stats.generated_tokens > 40
+    out2 = eng.generate("tok1 tok2 tok3", max_tokens=60, sampler=cfg)
+    assert out2 == out  # deterministic across shifts
+
+    # default (no shift) stops at the window
+    eng2 = Engine.load(path, EngineConfig(weight_mode="dequant",
+                                          max_context_len=32))
+    eng2.generate("tok1 tok2 tok3", max_tokens=60, sampler=cfg)
+    assert eng2.stats.generated_tokens <= 32
