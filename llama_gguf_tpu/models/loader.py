@@ -149,7 +149,9 @@ class ModelLoader:
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
 
-        layer["attn_norm"] = self.norm(f"{p}.attn_norm")
+        attn_norm = self.norm(f"{p}.attn_norm", required=False)
+        if attn_norm is not None:
+            layer["attn_norm"] = attn_norm  # absent for olmo2 (post-norm only)
         attn: dict[str, Any] = {}
         if self.has(f"{p}.attn_qkv.weight"):
             attn.update(self._split_qkv(i, cfg))

@@ -59,15 +59,24 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     if "wqkv" in layer:  # fused projection (loader._fuse_attn)
         nq, nk, nv = layer["wqkv"].splits
         qkv = L.apply(layer["wqkv"], x)
-        q = qkv[..., :nq].reshape(b, t, nh, hd)
-        k = qkv[..., nq: nq + nk].reshape(b, t, nkv, hd)
-        v = qkv[..., nq + nk:].reshape(b, t, nkv, vd)
+        q = qkv[..., :nq]
+        k = qkv[..., nq: nq + nk]
+        v = qkv[..., nq + nk:]
     else:
-        q = L.apply(layer["wq"], x).reshape(b, t, nh, hd)
-        k = L.apply(layer["wk"], x).reshape(b, t, nkv, hd)
-        v = L.apply(layer["wv"], x).reshape(b, t, nkv, vd)
+        q = L.apply(layer["wq"], x)
+        k = L.apply(layer["wk"], x)
+        v = L.apply(layer["wv"], x)
 
-    if "q_norm" in layer:  # per-head QK RMSNorm before RoPE (Qwen3, Gemma2…)
+    if "q_norm" in layer and layer["q_norm"].shape[-1] == nh * hd:
+        # olmo2: QK RMSNorm over the FLAT projection (all heads at once)
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+    q = q.reshape(b, t, nh, hd)
+    k = k.reshape(b, t, nkv, hd)
+    v = v.reshape(b, t, nkv, vd)
+
+    if "q_norm" in layer and layer["q_norm"].shape[-1] == hd:
+        # per-head QK RMSNorm before RoPE (Qwen3, Gemma2...)
         q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
 
@@ -190,7 +199,9 @@ def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     def norm(p, xx):
         return apply_norm(xx, p, cfg.norm_eps, cfg.uses_layer_norm)
 
-    h = norm(layer["attn_norm"], x)
+    # olmo2-style models have no pre-norms: attn/ffn read x directly and
+    # only the post-norms apply
+    h = norm(layer["attn_norm"], x) if layer.get("attn_norm") else x
     attn_out, kv = attention(layer["attn"], cfg, h, positions, kv, layer_idx, lengths)
     if "post_attn_norm" in layer:  # Gemma2/3: norm applied to attn output
         attn_out = norm(layer["post_attn_norm"], attn_out)
@@ -204,7 +215,7 @@ def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         return x + attn_out + ffn_out, kv
 
     x = x + attn_out
-    h2 = norm(layer["ffn_norm"], x)
+    h2 = norm(layer["ffn_norm"], x) if layer.get("ffn_norm") else x
     ffn_out = (
         moe_layer(layer["ffn"], cfg, h2)
         if "router" in layer["ffn"]

@@ -784,3 +784,80 @@ def test_gptneox_parallel_residual_matches_hf(tmp_path_factory, rng):
 
     _, cfg, _ = load_model(path, mode="dequant")
     assert cfg.use_parallel_residual and cfg.rope.n_dims == int(hd * 0.25)
+
+
+# -- olmo2 (post-norm only, flat QK-norm) --------------------------------------------
+
+def test_olmo2_matches_hf(tmp_path_factory, rng):
+    import torch
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv_heads=2, ffn=96,
+             ctx=64)
+    hf_cfg = Olmo2Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv_heads"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attention_bias=False, attention_dropout=0.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(31)
+    with torch.no_grad():
+        model = Olmo2ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "olmo2"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv_heads"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        # olmo2 permutes like llama? NO: olmo2 q/k norm over flat dims +
+        # rotate-half rope; the converter permutes q/k AND their norms
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv_heads"]))
+        w.add_tensor_np(f"{p}.attn_q_norm.weight", permute_llama(
+            sd[f"{h}.self_attn.q_norm.weight"][:, None], c["heads"])[:, 0])
+        w.add_tensor_np(f"{p}.attn_k_norm.weight", permute_llama(
+            sd[f"{h}.self_attn.k_norm.weight"][:, None], c["kv_heads"])[:, 0])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.post_attention_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.post_ffw_norm.weight",
+                        sd[f"{h}.post_feedforward_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("ol2") / "olmo2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    params, cfg, _ = load_model(path, mode="dequant")
+    assert "attn_norm" not in params["layers"][0]
+    assert "post_attn_norm" in params["layers"][0]
