@@ -94,6 +94,9 @@ RECURRENT = {"mamba", "mamba2", "rwkv6", "rwkv7", "arwkv7", "rwkv6qwen2"}
 # learned absolute position embeddings instead of RoPE
 NO_ROPE = {"gpt2", "bloom", "opt", "starcoder", "mpt", "jais", "refact"}
 
+# ALiBi per-head linear attention biases instead of positional embeddings
+ALIBI = {"bloom", "mpt", "jais"}
+
 NO_GATE_FFN = {
     # NOTE: phi3/phimoe use gated SwiGLU, unlike phi/phi2's plain GELU MLP
     "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
@@ -189,6 +192,10 @@ class ArchInfo:
     @property
     def has_rope(self) -> bool:
         return self.name not in NO_ROPE
+
+    @property
+    def uses_alibi(self) -> bool:
+        return self.name in ALIBI
 
     @property
     def default_attention_bias(self) -> bool:

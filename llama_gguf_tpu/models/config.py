@@ -86,6 +86,7 @@ class ModelConfig:
     has_ffn_gate: bool = True
     uses_qk_norm: bool = False
     has_post_ffn_norm: bool = False
+    uses_alibi: bool = False
     embedding_scale: float = 1.0  # Gemma: sqrt(hidden_size)
     # runtime KV-cache storage format: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
     # (static — baked into the jitted step; set by the runner, not the GGUF)
@@ -239,6 +240,7 @@ def parse_config(metadata: Mapping[str, Any],
         has_ffn_gate=not info.has_no_gate_ffn,
         uses_qk_norm=info.uses_qk_norm,
         has_post_ffn_norm=info.has_post_ffn_norm,
+        uses_alibi=info.uses_alibi,
         embedding_scale=float(hidden_size) ** 0.5 if info.is_gemma else 1.0,
         arch_info=info,
     )

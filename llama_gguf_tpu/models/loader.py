@@ -299,6 +299,9 @@ class ModelLoader:
         if self.has("position_embd.weight"):  # learned positions (gpt2...)
             params["position_embed"] = self._put(
                 self.dense("position_embd.weight"), "position_embd.weight")
+        embed_norm = self.norm("token_embd_norm", required=False)
+        if embed_norm is not None:  # bloom word_embeddings_layernorm
+            params["embed_norm"] = embed_norm
         params["layers"] = [self.load_layer(i, cfg) for i in range(cfg.num_layers)]
         recurrent = cfg.arch_info is not None and cfg.arch_info.is_recurrent
 

@@ -115,6 +115,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
             qg, keys, vals, positions, lengths,
             scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
             sliding_window=cfg.sliding_window, sinks=sinks,
+            alibi=cfg.uses_alibi,
         )
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
 
@@ -234,6 +235,9 @@ def embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
         # positions clamp to row 0, whose contribution is masked downstream
         idx = jnp.clip(positions, 0, params["position_embed"].shape[0] - 1)
         x = x + jnp.take(params["position_embed"], idx, axis=0)
+    if params.get("embed_norm") is not None:  # bloom word_embeddings_layernorm
+        x = apply_norm(x, params["embed_norm"], cfg.norm_eps,
+                       cfg.uses_layer_norm)
     if cfg.embedding_scale != 1.0:
         x = x * jnp.asarray(cfg.embedding_scale, x.dtype)
     return x

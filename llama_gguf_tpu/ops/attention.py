@@ -21,6 +21,31 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 DEFAULT_BLOCK = 256
+
+
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi slopes: geometric sequence from 2^(-8/n) for the
+    largest power-of-two n <= num_heads, with interleaved extras."""
+    import math
+
+    n = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-8.0 / n)
+    slopes = [base ** (i + 1) for i in range(n)]
+    if n < num_heads:
+        extra_base = 2.0 ** (-4.0 / n)
+        extra = [extra_base ** (2 * i + 1) for i in range(num_heads - n)]
+        slopes = slopes + extra
+    return jnp.asarray(slopes, jnp.float32)
+
+
+def alibi_bias(positions: jnp.ndarray, s_idx: jnp.ndarray,
+               num_kv_heads: int, rep: int) -> jnp.ndarray:
+    """[B, T, K, R, S] bias: -slope_h * (q_pos - key_pos), clamped at 0
+    for future keys (masked anyway). s_idx: key positions [S]."""
+    slopes = alibi_slopes(num_kv_heads * rep).reshape(num_kv_heads, rep)
+    dist = positions[:, :, None] - s_idx[None, None, :]  # [B,T,S]
+    dist = jnp.maximum(dist, 0).astype(jnp.float32)
+    return -slopes[None, None, :, :, None] * dist[:, :, None, None, :]
 # use the chunked path when the dense score tensor would exceed this many
 # elements (B*T*H*S)
 CHUNK_THRESHOLD = 1 << 22
@@ -39,10 +64,13 @@ def _mask_block(positions, lengths, s_idx, sliding_window: int):
 
 def dense_attention(qg, keys, vals, positions, lengths, *, scale: float,
                     softcap: float = 0.0, sliding_window: int = 0,
-                    sinks=None):
+                    sinks=None, alibi: bool = False):
     """qg [B,T,K,R,D]; keys [B,S,K,D]; vals [B,S,K,Dv] -> [B,T,K,R,Dv]."""
     s = keys.shape[1]
     scores = jnp.einsum("btkrd,bskd->btkrs", qg, keys) * scale
+    if alibi:
+        scores = scores + alibi_bias(positions, jnp.arange(s),
+                                     qg.shape[2], qg.shape[3])
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
     s_idx = jnp.arange(s)
@@ -63,7 +91,7 @@ def dense_attention(qg, keys, vals, positions, lengths, *, scale: float,
 
 def chunked_attention(qg, keys, vals, positions, lengths, *, scale: float,
                       softcap: float = 0.0, sliding_window: int = 0,
-                      block: int = DEFAULT_BLOCK):
+                      alibi: bool = False, block: int = DEFAULT_BLOCK):
     """Flash-style attention over KV blocks with online softmax.
 
     Same signature/result as dense_attention (no sinks support — callers
@@ -85,9 +113,12 @@ def chunked_attention(qg, keys, vals, positions, lengths, *, scale: float,
         ks = jax.lax.dynamic_slice_in_dim(keys, blk * block, block, 1)
         vs = jax.lax.dynamic_slice_in_dim(vals, blk * block, block, 1)
         scores = jnp.einsum("btkrd,bskd->btkrs", qg, ks) * scale
+        s_idx = blk * block + jnp.arange(block)
+        if alibi:
+            scores = scores + alibi_bias(positions, s_idx, qg.shape[2],
+                                         qg.shape[3])
         if softcap > 0.0:
             scores = jnp.tanh(scores / softcap) * softcap
-        s_idx = blk * block + jnp.arange(block)
         valid = _mask_block(positions, lengths, s_idx, sliding_window)
         scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
 
@@ -133,7 +164,7 @@ def qjl_attention(qg, k_packed, k_norms, v_packed, v_scale, positions,
 
 def attention_scores(qg, keys, vals, positions, lengths, *, scale: float,
                      softcap: float = 0.0, sliding_window: int = 0,
-                     sinks=None):
+                     sinks=None, alibi: bool = False):
     """Pick dense vs chunked by the dense score-tensor size (static)."""
     b, t, k, r, _ = qg.shape
     s = keys.shape[1]
@@ -141,7 +172,7 @@ def attention_scores(qg, keys, vals, positions, lengths, *, scale: float,
             s >= 2 * DEFAULT_BLOCK:
         return chunked_attention(qg, keys, vals, positions, lengths,
                                  scale=scale, softcap=softcap,
-                                 sliding_window=sliding_window)
+                                 sliding_window=sliding_window, alibi=alibi)
     return dense_attention(qg, keys, vals, positions, lengths, scale=scale,
                            softcap=softcap, sliding_window=sliding_window,
-                           sinks=sinks)
+                           sinks=sinks, alibi=alibi)

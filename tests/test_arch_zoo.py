@@ -861,3 +861,88 @@ def test_olmo2_matches_hf(tmp_path_factory, rng):
     params, cfg, _ = load_model(path, mode="dequant")
     assert "attn_norm" not in params["layers"][0]
     assert "post_attn_norm" in params["layers"][0]
+
+
+# -- bloom (ALiBi, LayerNorm, embed-norm, interleaved QKV) ---------------------------
+
+def test_bloom_alibi_matches_hf(tmp_path_factory, rng):
+    import torch
+    from transformers import BloomConfig, BloomForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ffn=256, ctx=64)
+    hd = c["hidden"] // c["heads"]
+    hf_cfg = BloomConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        n_layer=c["layers"], n_head=c["heads"],
+        layer_norm_epsilon=1e-5, hidden_dropout=0.0,
+        attention_dropout=0.0, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, slow_but_exact=False,
+    )
+    torch.manual_seed(41)
+    with torch.no_grad():
+        model = BloomForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "bloom"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight",
+                    sd["transformer.word_embeddings.weight"])
+    w.add_tensor_np("token_embd_norm.weight",
+                    sd["transformer.word_embeddings_layernorm.weight"])
+    w.add_tensor_np("token_embd_norm.bias",
+                    sd["transformer.word_embeddings_layernorm.bias"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"transformer.h.{i}"
+        # bloom qkv interleaved per head [q_i; k_i; v_i] like neox
+        qkv = sd[f"{h}.self_attention.query_key_value.weight"].reshape(
+            c["heads"], 3, hd, c["hidden"])
+        bias = sd[f"{h}.self_attention.query_key_value.bias"].reshape(
+            c["heads"], 3, hd)
+        w.add_tensor_np(f"{p}.attn_qkv.weight",
+                        qkv.transpose(1, 0, 2, 3).reshape(-1, c["hidden"]).copy())
+        w.add_tensor_np(f"{p}.attn_qkv.bias",
+                        bias.transpose(1, 0, 2).reshape(-1).copy())
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attention.dense.weight"])
+        w.add_tensor_np(f"{p}.attn_output.bias",
+                        sd[f"{h}.self_attention.dense.bias"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias", sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias",
+                        sd[f"{h}.post_attention_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_up.weight",
+                        sd[f"{h}.mlp.dense_h_to_4h.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.bias", sd[f"{h}.mlp.dense_h_to_4h.bias"])
+        w.add_tensor_np(f"{p}.ffn_down.weight",
+                        sd[f"{h}.mlp.dense_4h_to_h.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.bias",
+                        sd[f"{h}.mlp.dense_4h_to_h.bias"])
+    w.add_tensor_np("output_norm.weight", sd["transformer.ln_f.weight"])
+    w.add_tensor_np("output_norm.bias", sd["transformer.ln_f.bias"])
+    # bloom ties lm_head to word embeddings: omit output.weight
+    path = str(tmp_path_factory.mktemp("bl") / "bloom.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.uses_alibi and cfg.rope.n_dims == 0

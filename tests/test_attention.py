@@ -108,3 +108,26 @@ def test_attention_sinks_against_numpy(rng):
                 probs = (e / e.sum())[:-1]  # sink mass dropped
                 want[0, ti, ki, ri] = probs @ vn[0, :, ki]
     assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_alibi_dense_chunked_match():
+    """ALiBi bias must be identical between dense and chunked paths."""
+    from llama_gguf_tpu.ops.attention import (alibi_slopes, chunked_attention,
+                                              dense_attention)
+
+    rng = np.random.default_rng(7)
+    b, t, k, r, d, s = 2, 4, 2, 2, 8, 512
+    qg = jnp.asarray(rng.normal(size=(b, t, k, r, d)), jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(b, s, k, d)), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(b, s, k, d)), jnp.float32)
+    positions = jnp.asarray([[500, 501, 502, 503], [100, 101, 102, 103]])
+    lengths = jnp.asarray([504, 104])
+    a = dense_attention(qg, keys, vals, positions, lengths, scale=0.3,
+                        alibi=True)
+    c = chunked_attention(qg, keys, vals, positions, lengths, scale=0.3,
+                          alibi=True, block=128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=1e-5, atol=1e-5)
+    # slopes: power-of-two head count is the textbook geometric sequence
+    np.testing.assert_allclose(np.asarray(alibi_slopes(8)),
+                               [2.0 ** (-i) for i in range(1, 9)], rtol=1e-6)
