@@ -946,3 +946,63 @@ def test_bloom_alibi_matches_hf(tmp_path_factory, rng):
 
     _, cfg, _ = load_model(path, mode="dequant")
     assert cfg.uses_alibi and cfg.rope.n_dims == 0
+
+
+def test_mpt_alibi_matches_hf(tmp_path_factory, rng):
+    """MPT: straight-concat Wqkv, bias-free LayerNorm, ALiBi, tied embed.
+
+    HF MPT uses exact GELU while we follow ggml's tanh approximation
+    (layers.rs ggml_gelu parity), so the tolerance is looser than the
+    other oracles."""
+    import torch
+    from transformers import MptConfig, MptForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ffn=256, ctx=64)
+    hf_cfg = MptConfig(
+        vocab_size=c["vocab"], d_model=c["hidden"], n_heads=c["heads"],
+        n_layers=c["layers"], max_seq_len=c["ctx"],
+        layer_norm_epsilon=1e-5,
+    )
+    torch.manual_seed(43)
+    with torch.no_grad():
+        model = MptForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "mpt"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["transformer.wte.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"transformer.blocks.{i}"
+        # MPT Wqkv is a straight [q; k; v] row concat (no interleave)
+        w.add_tensor_np(f"{p}.attn_qkv.weight", sd[f"{h}.attn.Wqkv.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.attn.out_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight", sd[f"{h}.norm_1.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight", sd[f"{h}.norm_2.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.ffn.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight",
+                        sd[f"{h}.ffn.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["transformer.norm_f.weight"])
+    path = str(tmp_path_factory.mktemp("mp") / "mpt.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    # tanh-GELU vs exact GELU: allow a looser absolute band, but require
+    # the argmax (greedy token) to match at every position
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    assert (got.argmax(-1) == want.argmax(-1)).all()
