@@ -74,9 +74,12 @@ LAYER_NORM = {
     "eurobert", "t5", "t5encoder", "stablelm",
 }
 
+# OPT is plain ReLU MLP (HF activation_function="relu")
+RELU = {"opt"}
+
 GELU = {
     # NOTE: phi3/phimoe are SwiGLU (silu), unlike phi2's gelu_new
-    "phi2", "gpt2", "gptj", "gptneox", "bloom", "opt",
+    "phi2", "gpt2", "gptj", "gptneox", "bloom",
     "falcon", "stablelm", "bert", "modern-bert", "starcoder", "starcoder2",
     "codeshell", "refact",
     # gemma family uses gated GELU (geglu) rather than SwiGLU
@@ -172,6 +175,10 @@ class ArchInfo:
     @property
     def uses_gelu(self) -> bool:
         return self.name in GELU
+
+    @property
+    def uses_relu(self) -> bool:
+        return self.name in RELU
 
     @property
     def is_encoder_only(self) -> bool:

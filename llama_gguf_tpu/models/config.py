@@ -29,6 +29,7 @@ class RopeScalingType(enum.Enum):
 class Activation(enum.Enum):
     SILU = "silu"
     GELU = "gelu"
+    RELU = "relu"
 
 
 @dataclass
@@ -215,7 +216,9 @@ def parse_config(metadata: Mapping[str, Any],
         norm_eps=norm_eps,
         rope=rope,
         use_parallel_residual=info.uses_parallel_residual,
-        hidden_act=Activation.GELU if info.uses_gelu else Activation.SILU,
+        hidden_act=(Activation.GELU if info.uses_gelu
+                    else Activation.RELU if info.uses_relu
+                    else Activation.SILU),
         attention_bias=info.default_attention_bias,
         mlp_bias=info.default_mlp_bias,
         tie_word_embeddings=bool(tie),

@@ -41,6 +41,8 @@ def _act(x: jnp.ndarray, act: Activation) -> jnp.ndarray:
     if act == Activation.GELU:
         # tanh approximation — matches ggml_gelu (and HF gelu_pytorch_tanh)
         return jax.nn.gelu(x, approximate=True)
+    if act == Activation.RELU:  # OPT
+        return jax.nn.relu(x)
     return jax.nn.silu(x)
 
 

@@ -1006,3 +1006,74 @@ def test_mpt_alibi_matches_hf(tmp_path_factory, rng):
     # the argmax (greedy token) to match at every position
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
     assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_opt_matches_hf(tmp_path_factory, rng):
+    """OPT: learned positions (HF stores them with a +2 offset — the
+    conversion drops the first two rows so raw positions index directly),
+    ReLU MLP, LayerNorm with bias, separate biased q/k/v."""
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ffn=256, ctx=64)
+    hf_cfg = OPTConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        ffn_dim=c["ffn"], max_position_embeddings=c["ctx"],
+        word_embed_proj_dim=c["hidden"], dropout=0.0, attention_dropout=0.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(47)
+    with torch.no_grad():
+        model = OPTForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "opt"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight",
+                    sd["model.decoder.embed_tokens.weight"])
+    # drop the HF offset rows so position p reads row p
+    w.add_tensor_np("position_embd.weight",
+                    sd["model.decoder.embed_positions.weight"][2:])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.decoder.layers.{i}"
+        for ours, theirs in (("attn_q", "self_attn.q_proj"),
+                             ("attn_k", "self_attn.k_proj"),
+                             ("attn_v", "self_attn.v_proj"),
+                             ("attn_output", "self_attn.out_proj"),
+                             ("ffn_up", "fc1"), ("ffn_down", "fc2")):
+            w.add_tensor_np(f"{p}.{ours}.weight", sd[f"{h}.{theirs}.weight"])
+            w.add_tensor_np(f"{p}.{ours}.bias", sd[f"{h}.{theirs}.bias"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.self_attn_layer_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.self_attn_layer_norm.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.final_layer_norm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias",
+                        sd[f"{h}.final_layer_norm.bias"])
+    w.add_tensor_np("output_norm.weight",
+                    sd["model.decoder.final_layer_norm.weight"])
+    w.add_tensor_np("output_norm.bias",
+                    sd["model.decoder.final_layer_norm.bias"])
+    # OPT ties lm_head to embed_tokens
+    path = str(tmp_path_factory.mktemp("op") / "opt.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
