@@ -54,7 +54,7 @@ MOE = {
 
 QK_NORM = {
     "qwen3", "qwen35", "qwen35moe", "qwen3moe", "qwen3next",
-    "gemma2", "gemma3", "gemma3n", "cohere2", "olmo2",
+    "gemma2", "gemma3", "gemma3n", "olmo2",
 }
 
 COMBINED_QKV = {
@@ -62,7 +62,7 @@ COMBINED_QKV = {
     "stablelm", "refact", "codeshell", "bloom", "mpt",
 }
 
-POST_FFN_NORM = {"gemma2", "gemma3", "gemma3n", "cohere2", "olmo2"}
+POST_FFN_NORM = {"gemma2", "gemma3", "gemma3n", "olmo2"}
 
 LOGIT_SOFTCAP = {"gemma2"}
 
@@ -72,6 +72,8 @@ LAYER_NORM = {
     "gpt2", "bloom", "gptj", "gptneox", "falcon", "mpt", "opt", "phi2",
     "bert", "modern-bert", "nomic-bert", "jina-bert-v2", "jina-bert-v3",
     "eurobert", "t5", "t5encoder", "stablelm",
+    # Cohere family LayerNorm is mean-centered, weight-only (no bias)
+    "command", "command-r", "cohere2",
 }
 
 # OPT is plain ReLU MLP (HF activation_function="relu")
@@ -124,7 +126,11 @@ MLP_BIAS = {
     "gpt2", "gptj", "gptneox", "bloom", "opt", "stablelm", "phi2", "phi3",
 }
 
-PARALLEL_RESIDUAL = {"gptneox", "gptj", "stablelm", "phi", "phi2", "codeshell"}
+PARALLEL_RESIDUAL = {
+    "gptneox", "gptj", "stablelm", "phi", "phi2", "codeshell",
+    # Cohere family: attn and ffn both read the single pre-norm
+    "command", "command-r", "cohere2",
+}
 
 # Qwen3Next hybrid: DeltaNet linear-attention layers interleaved with GQA.
 DELTANET = {"qwen3next", "qwen35", "qwen35moe", "kimi-linear"}

@@ -80,6 +80,7 @@ class ModelConfig:
     ssm_conv_kernel: int = 0
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
+    logit_scale: float = 1.0  # Cohere: logits *= scale before sampling
     sliding_window: int = 0
     has_combined_qkv: bool = False
     uses_layer_norm: bool = False
@@ -235,6 +236,7 @@ def parse_config(metadata: Mapping[str, Any],
         ssm_dt_rank=gi("ssm.time_step_rank", 0),
         ssm_conv_kernel=gi("ssm.conv_kernel", 0),
         attn_logit_softcap=gf("attn_logit_softcapping", 0.0),
+        logit_scale=gf("logit_scale", 1.0),
         final_logit_softcap=gf("final_logit_softcapping", 0.0),
         sliding_window=gi("attention.sliding_window", 0),
         has_combined_qkv=info.has_combined_qkv,

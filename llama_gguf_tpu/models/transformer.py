@@ -261,6 +261,8 @@ def compute_logits(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarra
             preferred_element_type=jnp.float32,
         ).reshape(*lead, -1)
     logits = logits.astype(jnp.float32)
+    if cfg.logit_scale != 1.0:  # Cohere family
+        logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0.0:
         c = cfg.final_logit_softcap
         logits = jnp.tanh(logits / c) * c

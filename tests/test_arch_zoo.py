@@ -1077,3 +1077,69 @@ def test_opt_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_command_r_matches_hf(tmp_path_factory, rng):
+    """Cohere Command-R: parallel residual from one pre-norm, bias-free
+    mean-centered LayerNorm, interleaved (NORMAL) RoPE, logit_scale,
+    tied embeddings."""
+    import torch
+    from transformers import CohereConfig, CohereForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64)
+    hf_cfg = CohereConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        logit_scale=0.0625, attention_dropout=0.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(53)
+    with torch.no_grad():
+        model = CohereForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "command-r"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.logit_scale", 0.0625)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        # interleaved rope -> weights stored unpermuted (NORMAL rope type)
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    path = str(tmp_path_factory.mktemp("cr") / "commandr.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.logit_scale == 0.0625 and cfg.use_parallel_residual
