@@ -135,6 +135,16 @@ PARALLEL_RESIDUAL = {
 # Qwen3Next hybrid: DeltaNet linear-attention layers interleaved with GQA.
 DELTANET = {"qwen3next", "qwen35", "qwen35moe", "kimi-linear"}
 
+# Sliding-window layer pattern N: every Nth layer (il % N == N-1) is FULL
+# attention, the rest use the sliding window — llama.cpp set_swa_pattern
+# semantics (gemma2 alternates 1:1, gemma3 runs 5 local + 1 global,
+# cohere2 runs 3 local + 1 global).
+SWA_PATTERN = {"gemma2": 2, "gemma3": 6, "gemma3n": 6, "cohere2": 4}
+
+# archs whose full-attention (global) layers carry NO positional encoding
+# at all (cohere2 global layers are NoPE)
+NOPE_GLOBAL_LAYERS = {"cohere2"}
+
 # [nope | rope] head-dim layout instead of [rope | nope] for partial RoPE.
 # archs whose partial RoPE rotates the LAST n_dims of the head (HF Qwen3Next
 # rotates the FIRST rotary_dim, verified against transformers — see
@@ -229,6 +239,14 @@ class ArchInfo:
     @property
     def rope_partial_at_end(self) -> bool:
         return self.name in ROPE_PARTIAL_AT_END
+
+    @property
+    def swa_pattern(self) -> int:
+        return SWA_PATTERN.get(self.name, 1)
+
+    @property
+    def nope_global_layers(self) -> bool:
+        return self.name in NOPE_GLOBAL_LAYERS
 
     @property
     def is_llama_like(self) -> bool:

@@ -82,6 +82,12 @@ class ModelConfig:
     final_logit_softcap: float = 0.0
     logit_scale: float = 1.0  # Cohere: logits *= scale before sampling
     sliding_window: int = 0
+    # every Nth layer is full attention; 1 = window (if any) on all layers
+    swa_pattern: int = 1
+    nope_global_layers: bool = False  # cohere2: global layers skip RoPE
+    # local (sliding) layers' RoPE base when it differs from the global
+    # layers' (gemma3 locals use 10k while globals use 1M); 0 = same
+    rope_freq_base_swa: float = 0.0
     has_combined_qkv: bool = False
     uses_layer_norm: bool = False
     uses_gelu: bool = False
@@ -102,6 +108,15 @@ class ModelConfig:
     def n_rep(self) -> int:
         """GQA group size: query heads per KV head."""
         return self.num_heads // max(self.num_kv_heads, 1)
+
+    def layer_is_swa(self, i: int) -> bool:
+        """Does layer i use the sliding window? (llama.cpp set_swa_pattern:
+        every swa_pattern-th layer is full attention.)"""
+        if self.sliding_window <= 0:
+            return False
+        if self.swa_pattern <= 1:
+            return True
+        return i % self.swa_pattern != self.swa_pattern - 1
 
 
 def _get_int(md: Mapping[str, Any], key: str, default: int | None = None) -> int | None:
@@ -239,6 +254,12 @@ def parse_config(metadata: Mapping[str, Any],
         logit_scale=gf("logit_scale", 1.0),
         final_logit_softcap=gf("final_logit_softcapping", 0.0),
         sliding_window=gi("attention.sliding_window", 0),
+        swa_pattern=gi("attention.sliding_window_pattern",
+                       info.swa_pattern) or 1,
+        nope_global_layers=info.nope_global_layers,
+        rope_freq_base_swa=gf(
+            "rope.freq_base_swa",
+            10000.0 if arch in ("gemma3", "gemma3n") else 0.0),
         has_combined_qkv=info.has_combined_qkv,
         uses_layer_norm=info.uses_layer_norm,
         uses_gelu=info.uses_gelu,

@@ -82,11 +82,25 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
 
-    if cfg.rope.n_dims > 0:
-        cos, sin = rope_cos_sin(positions, cfg.rope)  # [B, T, nd/2]
-        q = apply_rope(q, cos, sin, cfg.rope)
-        k = apply_rope(k, cos, sin, cfg.rope)
-    # else: learned absolute positions added at the embedding (gpt2 family)
+    is_swa = cfg.layer_is_swa(layer_idx)
+    window = cfg.sliding_window if is_swa else 0
+    use_rope = cfg.rope.n_dims > 0 and not (
+        cfg.nope_global_layers and cfg.sliding_window > 0 and not is_swa)
+    if use_rope:
+        rope_cfg = cfg.rope
+        if is_swa and cfg.rope_freq_base_swa > 0:
+            # gemma3: local layers rope at 10k unscaled, globals at 1M+scaling
+            import dataclasses
+
+            from .config import RopeScalingType
+            rope_cfg = dataclasses.replace(
+                cfg.rope, freq_base=cfg.rope_freq_base_swa, freq_scale=1.0,
+                scaling_type=RopeScalingType.NONE)
+        cos, sin = rope_cos_sin(positions, rope_cfg)  # [B, T, nd/2]
+        q = apply_rope(q, cos, sin, rope_cfg)
+        k = apply_rope(k, cos, sin, rope_cfg)
+    # else: learned absolute positions at the embedding (gpt2 family), or a
+    # NoPE global layer (cohere2)
 
     kv = KV.write(kv, layer_idx, k, v, positions)
 
@@ -104,7 +118,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
             kv["v"][layer_idx], kv["v_scale"][layer_idx], positions,
             lengths, scale=hd**-0.5, v_head_dim=vd,
             softcap=cfg.attn_logit_softcap,
-            sliding_window=cfg.sliding_window,
+            sliding_window=window,
         )
     else:
         keys, vals = KV.read(kv, layer_idx, head_dim=hd, v_head_dim=vd)
@@ -116,7 +130,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         ctx = attention_scores(
             qg, keys, vals, positions, lengths,
             scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
-            sliding_window=cfg.sliding_window, sinks=sinks,
+            sliding_window=window, sinks=sinks,
             alibi=cfg.uses_alibi,
         )
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)

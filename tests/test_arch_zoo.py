@@ -130,7 +130,7 @@ def gemma2_pair(tmp_path_factory):
         head_dim=c["head_dim"], query_pre_attn_scalar=c["head_dim"],
         max_position_embeddings=c["ctx"], rms_norm_eps=1e-6,
         rope_theta=10000.0, attn_logit_softcapping=50.0,
-        final_logit_softcapping=30.0, sliding_window=c["ctx"] * 2,
+        final_logit_softcapping=30.0, sliding_window=8,
         hidden_activation="gelu_pytorch_tanh", attention_bias=False,
         attention_dropout=0.0, tie_word_embeddings=True,
     )
@@ -160,7 +160,7 @@ def gemma2_pair(tmp_path_factory):
     w.add_metadata("gemma2.rope.freq_base", 10000.0)
     w.add_metadata("gemma2.attn_logit_softcapping", 50.0)
     w.add_metadata("gemma2.final_logit_softcapping", 30.0)
-    w.add_metadata("gemma2.attention.sliding_window", c["ctx"] * 2)
+    w.add_metadata("gemma2.attention.sliding_window", 8)
     w.add_metadata("gemma2.vocab_size", c["vocab"])
     w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
     for i in range(c["layers"]):
@@ -192,7 +192,9 @@ def test_gemma2_logits_match_hf(gemma2_pair, rng):
     import torch
 
     path, model = gemma2_pair
-    tokens = rng.integers(0, G2["vocab"], size=10).tolist()
+    # 20 tokens > the 8-token window: layer 0 (sliding) and layer 1
+    # (global) must mask differently for parity to hold
+    tokens = rng.integers(0, G2["vocab"], size=20).tolist()
     with torch.no_grad():
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, G2["ctx"])
@@ -1143,3 +1145,84 @@ def test_command_r_matches_hf(tmp_path_factory, rng):
 
     _, cfg, _ = load_model(path, mode="dequant")
     assert cfg.logit_scale == 0.0625 and cfg.use_parallel_residual
+
+
+def test_swa_pattern_indexing():
+    """llama.cpp set_swa_pattern semantics: every Nth layer is full."""
+    from llama_gguf_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(sliding_window=8, swa_pattern=4, num_layers=8)
+    assert [cfg.layer_is_swa(i) for i in range(8)] == \
+        [True, True, True, False] * 2
+    cfg = ModelConfig(sliding_window=8, swa_pattern=2, num_layers=4)
+    assert [cfg.layer_is_swa(i) for i in range(4)] == [True, False] * 2
+    cfg = ModelConfig(sliding_window=8, swa_pattern=1, num_layers=3)
+    assert all(cfg.layer_is_swa(i) for i in range(3))
+    cfg = ModelConfig(sliding_window=0, swa_pattern=4)
+    assert not cfg.layer_is_swa(0)
+
+
+def test_cohere2_matches_hf(tmp_path_factory, rng):
+    """Cohere2 (Command-R7B): 3 sliding(+RoPE) : 1 full(NoPE) layer
+    pattern, window smaller than the prompt so both mask shapes and the
+    per-layer RoPE gating are actually exercised."""
+    import torch
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=4, heads=4, kv=2, ffn=128,
+             ctx=64, win=8)
+    hf_cfg = Cohere2Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        logit_scale=0.0625, sliding_window=c["win"],
+        attention_dropout=0.0, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(59)
+    with torch.no_grad():
+        model = Cohere2ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "cohere2"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.logit_scale", 0.0625)
+    w.add_metadata(f"{a}.attention.sliding_window", c["win"])
+    w.add_metadata(f"{a}.attention.sliding_window_pattern", 4)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    path = str(tmp_path_factory.mktemp("c2") / "cohere2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=20).tolist()  # > window
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
