@@ -1226,3 +1226,86 @@ def test_cohere2_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_gemma3_matches_hf(tmp_path_factory, rng):
+    """Gemma3: 5 sliding : 1 full pattern with DIFFERENT RoPE bases per
+    layer type (locals 10k, globals 1M), per-head QK-RMSNorm, sandwich
+    norms, +1 norm storage convention, tied embeddings."""
+    import torch
+    from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+    c = dict(vocab=96, hidden=64, layers=6, heads=4, kv=2, ffn=96, ctx=64,
+             hd=16, win=8)
+    hf_cfg = Gemma3TextConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        head_dim=c["hd"], max_position_embeddings=c["ctx"],
+        sliding_window=c["win"], query_pre_attn_scalar=c["hd"],
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        rms_norm_eps=1e-6, attention_dropout=0.0, attention_bias=False,
+        hidden_activation="gelu_pytorch_tanh", tie_word_embeddings=True,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(61)
+    with torch.no_grad():
+        model = Gemma3ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.25)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    plus1 = lambda name: sd[name] + 1.0  # gemma norm storage convention
+
+    w = GGUFWriter()
+    a = "gemma3"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv"])
+    w.add_metadata(f"{a}.attention.key_length", c["hd"])
+    w.add_metadata(f"{a}.attention.value_length", c["hd"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_metadata(f"{a}.rope.freq_base", 1000000.0)  # global layers
+    w.add_metadata(f"{a}.attention.sliding_window", c["win"])
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                        plus1(f"{h}.self_attn.q_norm.weight"))
+        w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                        plus1(f"{h}.self_attn.k_norm.weight"))
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        plus1(f"{h}.input_layernorm.weight"))
+        w.add_tensor_np(f"{p}.post_attention_norm.weight",
+                        plus1(f"{h}.post_attention_layernorm.weight"))
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        plus1(f"{h}.pre_feedforward_layernorm.weight"))
+        w.add_tensor_np(f"{p}.post_ffw_norm.weight",
+                        plus1(f"{h}.post_feedforward_layernorm.weight"))
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", plus1("model.norm.weight"))
+    path = str(tmp_path_factory.mktemp("g3") / "gemma3.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=20).tolist()  # > window
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.swa_pattern == 6 and cfg.rope_freq_base_swa == 10000.0
