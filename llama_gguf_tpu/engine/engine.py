@@ -135,6 +135,7 @@ class Engine:
             kv_dtype=jnp.bfloat16 if config.kv_dtype == "bfloat16" else jnp.float32,
             matmul_precision=config.matmul_precision,
             kv_format=config.kv_format, mesh=mesh,
+            swa_ring=not config.context_shift,
         )
         log.info("loaded %s (%s, %d layers, vocab %d) in %.1fs",
                  path, cfg.arch, cfg.num_layers, cfg.vocab_size,

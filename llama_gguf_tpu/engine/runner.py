@@ -40,7 +40,8 @@ class ModelRunner:
     def __init__(self, params: dict, cfg: ModelConfig, max_batch: int = 1,
                  max_seq: int | None = None, kv_dtype=jnp.float32,
                  matmul_precision: str = "highest",
-                 kv_format: str | None = None, mesh=None):
+                 kv_format: str | None = None, mesh=None,
+                 swa_ring: bool = True, swa_ring_extra: int = 1024):
         """``matmul_precision``: "highest" gives f32-accurate MXU matmuls for
         llama.cpp parity; "default" allows bf16 passes for speed.
         ``kv_format``: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2 KV-cache storage
@@ -60,6 +61,16 @@ class ModelRunner:
         self.kv_dtype = kv_dtype
         self.kv_format = kv_format
         self.matmul_precision = matmul_precision
+        # SWA ring cache (iSWA): only for interleaved local/global models
+        # (pattern > 1); ring = window + headroom for one prefill chunk.
+        # Incompatible with context shift — pass swa_ring=False there.
+        self.swa_layers = tuple(cfg.layer_is_swa(i)
+                                for i in range(cfg.num_layers))
+        self.ring_slots = 0
+        if swa_ring and cfg.swa_pattern > 1 and any(self.swa_layers):
+            want = -(-cfg.sliding_window // 128) * 128 + swa_ring_extra
+            if want < self.max_seq:
+                self.ring_slots = want
         self._steps: dict[tuple[int, int], Any] = {}
 
     # -- state ---------------------------------------------------------------
@@ -70,6 +81,7 @@ class ModelRunner:
             self.cfg.num_layers, b, self.max_seq, self.cfg.num_kv_heads,
             self.cfg.head_dim, dtype=self.kv_dtype, fmt=self.kv_format,
             v_head_dim=self.cfg.value_length or self.cfg.head_dim,
+            swa_layers=self.swa_layers, ring_slots=self.ring_slots,
         )
         if any(k == "deltanet" for k in (self.cfg.layer_kinds or ())):
             from ..models.deltanet import init_deltanet_state
@@ -169,7 +181,22 @@ class ModelRunner:
                 start_pos: int = 0) -> tuple[jnp.ndarray, dict, int]:
         """Prefill one sequence (padded to a bucket). Returns (last-token
         logits [V], kv, seq_len). ``start_pos`` > 0 continues from a shared
-        KV prefix (prompt cache): token_ids are the suffix only."""
+        KV prefix (prompt cache): token_ids are the suffix only.
+
+        With an SWA ring cache, prompts longer than the ring headroom are
+        fed in chunks so one scatter never wraps the ring."""
+        if self.ring_slots > 0:
+            # chunk to a bucket size: the padded T (not len(chunk)) is what
+            # must fit the ring's T <= R - window + 1 guard
+            safe = self.ring_slots - self.cfg.sliding_window + 1
+            chunk = max(b for b in PREFILL_BUCKETS if b <= safe)
+            if len(token_ids) > chunk:
+                out = None
+                for off in range(0, len(token_ids), chunk):
+                    out, kv, start_pos = self.prefill(
+                        token_ids[off: off + chunk], kv, batch_idx,
+                        start_pos)
+                return out, kv, start_pos
         t = len(token_ids)
         bt = bucket_len(t)
         b = KV.cache_shape(kv)[1]

@@ -109,6 +109,14 @@ class ModelConfig:
         """GQA group size: query heads per KV head."""
         return self.num_heads // max(self.num_kv_heads, 1)
 
+    def swa_index(self, i: int) -> int:
+        """Index of layer i within the SWA ring stack (# swa layers < i)."""
+        return sum(self.layer_is_swa(j) for j in range(i))
+
+    def full_index(self, i: int) -> int:
+        """Index of layer i within the full-cache stack."""
+        return sum(not self.layer_is_swa(j) for j in range(i))
+
     def layer_is_swa(self, i: int) -> bool:
         """Does layer i use the sliding window? (llama.cpp set_swa_pattern:
         every swa_pattern-th layer is full attention.)"""

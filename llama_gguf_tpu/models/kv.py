@@ -42,11 +42,34 @@ _STORE_DTYPE = {
 
 def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
                head_dim: int, dtype=jnp.float32, v_head_dim: int | None = None,
-               fmt: str | None = None) -> dict[str, Any]:
+               fmt: str | None = None, swa_layers: tuple = (),
+               ring_slots: int = 0) -> dict[str, Any]:
     """Create an empty cache. ``fmt`` picks the storage format; the legacy
     ``dtype`` arg maps f32/bf16 when fmt is not given. tq2/tq3/tq4 are
     TurboQuant compressed formats (Hadamard-rotated, bit-packed;
-    models/turboquant.py) — 16x/10.7x/8x smaller than f32."""
+    models/turboquant.py) — 16x/10.7x/8x smaller than f32.
+
+    ``swa_layers``/``ring_slots``: when given (and the format is scale-free
+    dense), sliding-window layers get RING buffers of ``ring_slots``
+    positions instead of ``max_seq`` — the analogue of llama.cpp's iSWA
+    cache. For gemma3-class models (5/6 layers windowed at 1k, ctx 128k)
+    this shrinks the KV cache ~50x. Ring slot j tracks its absolute
+    position in ``swa_pos`` (init -1 = empty); attention masks by stored
+    position, so the layout change is invisible to the math."""
+    use_ring = (ring_slots > 0 and any(swa_layers)
+                and fmt in (None, "f32", "bf16", "f8_e4m3", "f8_e5m2")
+                and ring_slots < max_seq)
+    if use_ring:
+        n_full = sum(not s for s in swa_layers)
+        n_swa = len(swa_layers) - n_full
+        base = init_cache(n_full, batch, max_seq, num_kv_heads, head_dim,
+                          dtype=dtype, v_head_dim=v_head_dim, fmt=fmt)
+        ring = init_cache(n_swa, batch, ring_slots, num_kv_heads, head_dim,
+                          dtype=dtype, v_head_dim=v_head_dim, fmt=fmt)
+        base["k_swa"] = ring["k"]
+        base["v_swa"] = ring["v"]
+        base["swa_pos"] = jnp.full((n_swa, batch, ring_slots), -1, jnp.int32)
+        return base
     if fmt is None:
         fmt = "bf16" if dtype == jnp.bfloat16 else "f32"
     if fmt not in FORMATS:
@@ -178,6 +201,45 @@ def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
     return kv
 
 
+def write_swa(kv: dict[str, Any], swa_idx: int, k: jnp.ndarray,
+              v: jnp.ndarray, positions: jnp.ndarray,
+              window: int) -> dict[str, Any]:
+    """Scatter K/V into a sliding-window ring buffer at slot pos % R.
+
+    Requires T <= R - window + 1 (checked at trace time): within one step,
+    the oldest key any query needs (q_pos - window + 1) must not share a
+    ring slot with a newer key written in the same scatter. Padding
+    positions (>= the full stack's max_seq) map to slot R and are dropped.
+    """
+    r = kv["k_swa"].shape[2]
+    t = k.shape[1]
+    if t > r - window + 1:
+        raise ValueError(
+            f"prefill chunk T={t} too large for SWA ring (R={r}, "
+            f"window={window}); chunk prefill to <= {r - window + 1} tokens "
+            "or disable the ring cache (swa_ring=False)")
+    max_seq = kv["k"].shape[2]  # full stack keeps the logical bound even
+    slot = jnp.where(positions < max_seq, positions % r, r)  # when empty
+    b_idx = jnp.arange(k.shape[0])[:, None]
+    kv = dict(kv)
+    kv["k_swa"] = kv["k_swa"].at[swa_idx, b_idx, slot].set(
+        k.astype(kv["k_swa"].dtype), mode="drop")
+    kv["v_swa"] = kv["v_swa"].at[swa_idx, b_idx, slot].set(
+        v.astype(kv["v_swa"].dtype), mode="drop")
+    kv["swa_pos"] = kv["swa_pos"].at[swa_idx, b_idx, slot].set(
+        positions, mode="drop")
+    return kv
+
+
+def read_swa(kv: dict[str, Any], swa_idx: int, compute_dtype=jnp.float32
+             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ring K/V + per-slot absolute positions: ([B,R,H,D], [B,R,H,Dv],
+    [B,R] int32, -1 = empty slot)."""
+    return (kv["k_swa"][swa_idx].astype(compute_dtype),
+            kv["v_swa"][swa_idx].astype(compute_dtype),
+            kv["swa_pos"][swa_idx])
+
+
 def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
          head_dim: int | None = None,
          v_head_dim: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -228,6 +290,11 @@ def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
     ``rope_cfg`` is given (the reference's memmove skips this and decodes
     against stale rotations). The caller subtracts n from its lengths.
     """
+    if "k_swa" in kv:
+        raise ValueError(
+            "context shift is not supported with the SWA ring cache "
+            "(ring slots alias positions modulo R); create the runner with "
+            "swa_ring=False to use context shift")
     kv = dict(kv)
     fmt = cache_format(kv)
     for key in ("k", "v", "k_scale", "v_scale"):

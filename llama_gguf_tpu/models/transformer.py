@@ -102,11 +102,30 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     # else: learned absolute positions at the embedding (gpt2 family), or a
     # NoPE global layer (cohere2)
 
-    kv = KV.write(kv, layer_idx, k, v, positions)
+    # SWA ring cache (llama.cpp iSWA analogue): sliding layers store only
+    # ~window positions in a ring; full layers use the contiguous stack.
+    # With no ring in the cache, every layer indexes the full stack directly.
+    ring = "k_swa" in kv and is_swa
+    cache_idx = (cfg.swa_index(layer_idx) if ring
+                 else cfg.full_index(layer_idx) if "k_swa" in kv
+                 else layer_idx)
+    if ring:
+        kv = KV.write_swa(kv, cache_idx, k, v, positions, window)
+    else:
+        kv = KV.write(kv, cache_idx, k, v, positions)
 
     rep = nh // nkv
     qg = q.reshape(b, t, nkv, rep, hd).astype(jnp.float32)
-    if cfg.kv_format == "qjl":  # attention on compressed keys (QJL)
+    if ring:
+        keys, vals, key_pos = KV.read_swa(kv, cache_idx)
+        from ..ops.attention import attention_scores
+
+        ctx = attention_scores(
+            qg, keys, vals, positions, lengths,
+            scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
+            sliding_window=window, key_positions=key_pos,
+        )
+    elif cfg.kv_format == "qjl":  # attention on compressed keys (QJL)
         if "sinks" in layer:
             raise ValueError(
                 "kv_format=qjl cannot represent attention sinks "
@@ -114,14 +133,14 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         from ..ops.attention import qjl_attention
 
         ctx = qjl_attention(
-            qg, kv["k"][layer_idx], kv["k_scale"][layer_idx],
-            kv["v"][layer_idx], kv["v_scale"][layer_idx], positions,
+            qg, kv["k"][cache_idx], kv["k_scale"][cache_idx],
+            kv["v"][cache_idx], kv["v_scale"][cache_idx], positions,
             lengths, scale=hd**-0.5, v_head_dim=vd,
             softcap=cfg.attn_logit_softcap,
             sliding_window=window,
         )
     else:
-        keys, vals = KV.read(kv, layer_idx, head_dim=hd, v_head_dim=vd)
+        keys, vals = KV.read(kv, cache_idx, head_dim=hd, v_head_dim=vd)
         from ..ops.attention import attention_scores
 
         sinks = None

@@ -41,9 +41,10 @@ def alibi_slopes(num_heads: int) -> jnp.ndarray:
 def alibi_bias(positions: jnp.ndarray, s_idx: jnp.ndarray,
                num_kv_heads: int, rep: int) -> jnp.ndarray:
     """[B, T, K, R, S] bias: -slope_h * (q_pos - key_pos), clamped at 0
-    for future keys (masked anyway). s_idx: key positions [S]."""
+    for future keys (masked anyway). s_idx: key positions [S] or [B, S]."""
     slopes = alibi_slopes(num_kv_heads * rep).reshape(num_kv_heads, rep)
-    dist = positions[:, :, None] - s_idx[None, None, :]  # [B,T,S]
+    si = s_idx[None, None, :] if s_idx.ndim == 1 else s_idx[:, None, :]
+    dist = positions[:, :, None] - si  # [B,T,S]
     dist = jnp.maximum(dist, 0).astype(jnp.float32)
     return -slopes[None, None, :, :, None] * dist[:, :, None, None, :]
 # use the chunked path when the dense score tensor would exceed this many
@@ -52,28 +53,34 @@ CHUNK_THRESHOLD = 1 << 22
 
 
 def _mask_block(positions, lengths, s_idx, sliding_window: int):
-    """[B, T, S_blk] bool visibility mask for key positions s_idx."""
-    valid = (s_idx[None, None, :] <= positions[:, :, None]) & (
-        s_idx[None, None, :] < lengths[:, None, None]
-    )
+    """[B, T, S_blk] bool visibility mask for key positions s_idx.
+
+    s_idx is [S] (contiguous cache: slot == position) or [B, S] (SWA ring
+    cache: per-slot stored absolute positions, -1 = empty)."""
+    si = s_idx[None, None, :] if s_idx.ndim == 1 else s_idx[:, None, :]
+    valid = (si <= positions[:, :, None]) & (si < lengths[:, None, None])
+    if s_idx.ndim == 2:
+        valid &= si >= 0  # never-written ring slots
     if sliding_window > 0:
-        valid &= s_idx[None, None, :] > (
-            positions[:, :, None] - sliding_window)
+        valid &= si > (positions[:, :, None] - sliding_window)
     return valid
 
 
 def dense_attention(qg, keys, vals, positions, lengths, *, scale: float,
                     softcap: float = 0.0, sliding_window: int = 0,
-                    sinks=None, alibi: bool = False):
-    """qg [B,T,K,R,D]; keys [B,S,K,D]; vals [B,S,K,Dv] -> [B,T,K,R,Dv]."""
+                    sinks=None, alibi: bool = False, key_positions=None):
+    """qg [B,T,K,R,D]; keys [B,S,K,D]; vals [B,S,K,Dv] -> [B,T,K,R,Dv].
+
+    ``key_positions`` [B,S]: per-slot absolute positions for ring-buffer
+    (SWA) caches where slot index != position; None = contiguous cache."""
     s = keys.shape[1]
+    s_idx = jnp.arange(s) if key_positions is None else key_positions
     scores = jnp.einsum("btkrd,bskd->btkrs", qg, keys) * scale
     if alibi:
-        scores = scores + alibi_bias(positions, jnp.arange(s),
+        scores = scores + alibi_bias(positions, s_idx,
                                      qg.shape[2], qg.shape[3])
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
-    s_idx = jnp.arange(s)
     valid = _mask_block(positions, lengths, s_idx, sliding_window)
     scores = jnp.where(valid[:, :, None, None, :], scores, NEG_INF)
     if sinks is not None:
@@ -164,15 +171,17 @@ def qjl_attention(qg, k_packed, k_norms, v_packed, v_scale, positions,
 
 def attention_scores(qg, keys, vals, positions, lengths, *, scale: float,
                      softcap: float = 0.0, sliding_window: int = 0,
-                     sinks=None, alibi: bool = False):
-    """Pick dense vs chunked by the dense score-tensor size (static)."""
+                     sinks=None, alibi: bool = False, key_positions=None):
+    """Pick dense vs chunked by the dense score-tensor size (static).
+    Ring caches (key_positions given) are window-sized, so always dense."""
     b, t, k, r, _ = qg.shape
     s = keys.shape[1]
-    if sinks is None and b * t * k * r * s > CHUNK_THRESHOLD and \
-            s >= 2 * DEFAULT_BLOCK:
+    if key_positions is None and sinks is None and \
+            b * t * k * r * s > CHUNK_THRESHOLD and s >= 2 * DEFAULT_BLOCK:
         return chunked_attention(qg, keys, vals, positions, lengths,
                                  scale=scale, softcap=softcap,
                                  sliding_window=sliding_window, alibi=alibi)
     return dense_attention(qg, keys, vals, positions, lengths, scale=scale,
                            softcap=softcap, sliding_window=sliding_window,
-                           sinks=sinks, alibi=alibi)
+                           sinks=sinks, alibi=alibi,
+                           key_positions=key_positions)

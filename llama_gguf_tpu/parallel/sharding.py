@@ -209,6 +209,11 @@ def shard_kv(kv: dict, mesh: Mesh, num_kv_heads: int) -> dict:
         s4 = NamedSharding(mesh, P(None, batch_axis, None, head_axis))
         out["k_scale"] = jax.device_put(kv["k_scale"], s4)
         out["v_scale"] = jax.device_put(kv["v_scale"], s4)
+    if "k_swa" in kv:  # SWA ring stacks: same layout, ring-sized seq axis
+        out["k_swa"] = jax.device_put(kv["k_swa"], s)
+        out["v_swa"] = jax.device_put(kv["v_swa"], s)
+        out["swa_pos"] = jax.device_put(
+            kv["swa_pos"], NamedSharding(mesh, P(None, batch_axis, None)))
     rep = NamedSharding(mesh, P())
     for key in ("deltanet", "mamba"):  # recurrent state: replicated
         if key in kv:

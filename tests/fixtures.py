@@ -40,6 +40,7 @@ def make_tiny_model(
     seed: int = 0,
     scale: float = 0.05,
     tokenizer: bool = False,
+    extra_metadata: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """Write a tiny random decoder-only model; returns the f32 weights dict
     keyed by GGUF tensor name (pre-quantization values)."""
@@ -64,6 +65,8 @@ def make_tiny_model(
     w.add_metadata(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_metadata(f"{arch}.rope.freq_base", float(rope_base))
     w.add_metadata(f"{arch}.vocab_size", vocab)
+    for mk, mv in (extra_metadata or {}).items():
+        w.add_metadata(mk, mv)
 
     if tokenizer:
         assert vocab >= 260, "tokenizer fixture needs vocab >= 260"

@@ -209,3 +209,81 @@ def test_prompt_cache_engine_integration(model_path):
                         max_tokens=6, sampler=GREEDY)
     assert out2 == out1  # cached-prefix decode matches cold decode
     assert eng.prompt_cache.stats.hits >= 1
+
+
+# -- SWA ring cache (iSWA) ----------------------------------------------------
+
+
+def _swa_model(tmp_path, ctx=2048, window=16):
+    """Tiny gemma2-flavored model: pattern 2 -> layer 0 sliding, 1 full."""
+    from fixtures import make_tiny_model
+
+    path = str(tmp_path / "swa.gguf")
+    make_tiny_model(
+        path, arch="gemma2", vocab=64, hidden=32, layers=2, heads=4,
+        kv_heads=2, ffn=64, ctx=ctx, attention_bias=False, seed=3,
+        extra_metadata={"gemma2.attention.sliding_window": window},
+    )
+    return path
+
+
+def test_swa_ring_matches_full_cache(tmp_path):
+    """Ring-buffer SWA cache must produce bit-identical logits to the full
+    cache through prefill + decode past the window."""
+    from llama_gguf_tpu.engine.runner import ModelRunner
+    from llama_gguf_tpu.models.loader import load_model
+
+    path = _swa_model(tmp_path)
+    params, cfg, _ = load_model(path, mode="dequant")
+    prompt = list(np.random.default_rng(0).integers(0, 64, size=40))
+
+    outs = {}
+    for ring in (False, True):
+        r = ModelRunner(params, cfg, max_batch=1, max_seq=2048,
+                        swa_ring=ring, swa_ring_extra=128)
+        assert (r.ring_slots > 0) == ring
+        kv = r.init_kv()
+        if ring:  # layer 1 (full) keeps 2048 slots; layer 0 rings at 128+16
+            assert kv["k"].shape[0] == 1 and kv["k_swa"].shape[0] == 1
+            assert kv["k_swa"].shape[2] == r.ring_slots
+        logits, kv, pos = r.prefill(prompt, kv)
+        toks, _ = r.greedy_decode(
+            np.asarray([int(np.argmax(np.asarray(logits)))]),
+            np.asarray([pos]), kv, steps=24)
+        outs[ring] = (np.asarray(logits), np.asarray(toks))
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+
+def test_swa_ring_long_prompt_chunks(tmp_path):
+    """Prompts longer than the ring headroom are chunked transparently and
+    still match the full cache."""
+    from llama_gguf_tpu.engine.runner import ModelRunner
+    from llama_gguf_tpu.models.loader import load_model
+
+    path = _swa_model(tmp_path)
+    params, cfg, _ = load_model(path, mode="dequant")
+    prompt = list(np.random.default_rng(1).integers(0, 64, size=300))
+
+    outs = {}
+    for ring in (False, True):
+        r = ModelRunner(params, cfg, max_batch=1, max_seq=2048,
+                        swa_ring=ring, swa_ring_extra=128)
+        kv = r.init_kv()
+        logits, _, _ = r.prefill(prompt, kv)  # 300 > 128-slot headroom
+        outs[ring] = np.asarray(logits)
+    np.testing.assert_allclose(outs[False], outs[True], rtol=2e-5, atol=2e-5)
+
+
+def test_swa_ring_rejects_context_shift(tmp_path):
+    from llama_gguf_tpu.engine.runner import ModelRunner
+    from llama_gguf_tpu.models import kv as KV
+    from llama_gguf_tpu.models.loader import load_model
+
+    path = _swa_model(tmp_path)
+    params, cfg, _ = load_model(path, mode="dequant")
+    r = ModelRunner(params, cfg, max_batch=1, max_seq=2048,
+                    swa_ring=True, swa_ring_extra=128)
+    kv = r.init_kv()
+    with pytest.raises(ValueError, match="context shift"):
+        KV.shift_left(kv, 4, cfg.rope)
