@@ -183,6 +183,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dir", default="man")
     _add_common(p)
 
+    p = sub.add_parser(
+        "shard", help="join a multi-host cluster and serve SPMD "
+        "(reference: gRPC shard node; here every process runs the same "
+        "sharded program)")
+    p.add_argument("model", nargs="?", help="GGUF model path")
+    p.add_argument("--coordinator", required=True,
+                   help="coordinator address host:port")
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--tp", type=int, default=0,
+                   help="model-axis size (0 = all devices)")
+    p.add_argument("--dp", type=int, default=1, help="data-axis size")
+    p.add_argument("--prompt", default=None,
+                   help="leader-only: generate for this prompt then stop")
+    p.add_argument("-n", "--max-tokens", type=int, default=32)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu) before cluster init")
+    _add_common(p)
+
+    p = sub.add_parser(
+        "cluster", help="show distributed cluster topology/status")
+    p.add_argument("--cluster-config", default=None,
+                   help="cluster TOML file")
+    p.add_argument("--model-bytes", type=int, default=0,
+                   help="planned model size for auto mesh sizing")
+    _add_common(p)
+
     return ap
 
 
@@ -629,11 +656,89 @@ def cmd_manpages(args) -> int:
     return 0
 
 
+def cmd_shard(args) -> int:
+    """Join a jax.distributed cluster and run the SPMD serve loop
+    (parity: reference `shard` command, src/main.rs:290-307, re-expressed:
+    no weight streaming — every host loads its own shard of the GGUF)."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .parallel.multihost import ClusterConfig, initialize_cluster
+    from .parallel.service import serve_spmd
+
+    info = initialize_cluster(ClusterConfig(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    ))
+    print(f"[shard {args.process_id}/{args.num_processes}] cluster up: "
+          f"{info}", file=sys.stderr)
+    if not args.model:
+        return 0
+
+    from .engine.engine import Engine
+
+    cfg = _load_config(args)
+    ecfg = _engine_config(cfg, args)
+    ecfg.mesh_model = args.tp or len(jax.devices()) // max(args.dp, 1)
+    ecfg.mesh_data = args.dp
+    engine = Engine.load(args.model, ecfg)
+
+    leader = jax.process_index() == 0
+    reqs = []
+    if leader and args.prompt is not None:
+        reqs = [(engine.tokenizer.encode(args.prompt), args.max_tokens)]
+    outs = serve_spmd(
+        engine.runner, engine.tokenizer, reqs,
+        on_text=lambda txt: print(txt, flush=True))
+    print(f"[shard {args.process_id}] served {len(outs)} request(s)",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_cluster(args) -> int:
+    """Cluster status (parity: reference `cluster` command): topology from
+    the TOML config / environment plus the auto-mesh plan."""
+    import json
+
+    from .parallel.multihost import ClusterConfig, auto_mesh
+
+    cc = ClusterConfig.from_env()
+    if args.cluster_config:
+        import tomllib
+
+        with open(args.cluster_config, "rb") as f:
+            t = tomllib.load(f).get("cluster", {})
+        cc = ClusterConfig(
+            coordinator_address=t.get("coordinator_address",
+                                      cc.coordinator_address),
+            num_processes=t.get("num_processes", cc.num_processes),
+            process_id=t.get("process_id", cc.process_id),
+            data=t.get("data", 0), model=t.get("model", 0),
+        )
+    import jax
+
+    out = {
+        "coordinator": cc.coordinator_address,
+        "num_processes": cc.num_processes,
+        "local_devices": len(jax.local_devices()),
+        "platform": jax.devices()[0].platform,
+    }
+    if args.model_bytes:
+        data, model = auto_mesh(args.model_bytes)
+        out["auto_mesh"] = {"data": data, "model": model}
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 COMMANDS = {
     "info": cmd_info, "run": cmd_run, "chat": cmd_chat, "serve": cmd_serve,
     "quantize": cmd_quantize, "sysinfo": cmd_sysinfo, "bench": cmd_bench,
     "perplexity": cmd_perplexity, "embed": cmd_embed, "download": cmd_download, "models": cmd_models,
     "rag": cmd_rag, "init-config": cmd_init_config, "manpages": cmd_manpages,
+    "shard": cmd_shard, "cluster": cmd_cluster,
 }
 
 

@@ -81,3 +81,45 @@ def test_two_process_distributed(tmp_path):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
         assert f"proc {pid} OK" in out
         assert "global_devices=8" in out
+
+
+def test_shard_cli_two_process(tmp_path):
+    """End-to-end `shard` CLI: two processes join one cluster, load the
+    same tiny GGUF sharded over the 8-device global mesh (tp=8), and the
+    leader generates greedily through the SPMD serve loop."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_tiny_model
+
+    model = str(tmp_path / "tiny.gguf")
+    make_tiny_model(model, arch="qwen2", vocab=260, hidden=64, layers=2,
+                    heads=8, kv_heads=8, ffn=128, ctx=128, tokenizer=True)
+
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=4").strip()
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "llama_gguf_tpu", "shard", model,
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--tp", "8", "--prompt", "hello world", "-n", "6",
+             "--platform", "cpu"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"shard {pid} failed:\n{out[-3000:]}"
+        assert "served 1 request(s)" in out
