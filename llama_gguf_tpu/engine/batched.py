@@ -331,23 +331,45 @@ class BatchedEngine:
         return admitted
 
     def _prefill_step(self) -> bool:
-        """Prefill ONE chunk of one admitted-but-not-ready sequence, so long
-        prompts never block in-flight decoding for their whole prefill."""
-        seq = next((s for s in self._slots
-                    if s is not None and not s.decoding), None)
-        if seq is None:
+        """Prefill ONE chunk of EVERY admitted-but-not-ready sequence in a
+        single batched step (each row at its own prompt offset), so an
+        admission burst costs one step per chunk instead of one per
+        sequence — and long prompts still never block in-flight decoding
+        for their whole prefill."""
+        from .runner import bucket_len
+
+        seqs = [s for s in self._slots if s is not None and not s.decoding]
+        if not seqs:
             return False
-        chunk = seq.token_ids[seq.prefilled: seq.prefilled + self.prefill_chunk]
-        logits, self._kv, _ = self.runner.prefill(
-            chunk, self._kv, batch_idx=seq.slot, start_pos=seq.prefilled)
-        seq.prefilled += len(chunk)
-        self.stats.prefill_tokens += len(chunk)
-        if seq.decoding:  # prompt complete: snapshot + first token
-            if self.prompt_cache is not None:
-                self.prompt_cache.put(seq.token_ids[:seq.prompt_len],
-                                      self._kv, batch_idx=seq.slot)
-            seq.pos = seq.prompt_len
-            self._sample_and_emit(seq, np.asarray(logits))
+        chunks = {
+            s.slot: s.token_ids[s.prefilled: s.prefilled + self.prefill_chunk]
+            for s in seqs
+        }
+        bt = bucket_len(max(len(c) for c in chunks.values()))
+        b = len(self._slots)
+        toks = np.zeros((b, bt), np.int32)
+        pos = np.full((b, bt), self.runner.max_seq, np.int32)  # OOB -> drop
+        lengths = np.zeros((b,), np.int32)
+        for s in seqs:
+            c = chunks[s.slot]
+            toks[s.slot, : len(c)] = c
+            pos[s.slot, : len(c)] = s.prefilled + np.arange(len(c))
+            lengths[s.slot] = s.prefilled + len(c)
+        logits, self._kv = self.runner.step(
+            np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv)
+        logits_np = None
+        for s in seqs:
+            n = len(chunks[s.slot])
+            s.prefilled += n
+            self.stats.prefill_tokens += n
+            if s.decoding:  # prompt complete: snapshot + first token
+                if logits_np is None:
+                    logits_np = np.asarray(logits)
+                if self.prompt_cache is not None:
+                    self.prompt_cache.put(s.token_ids[:s.prompt_len],
+                                          self._kv, batch_idx=s.slot)
+                s.pos = s.prompt_len
+                self._sample_and_emit(s, logits_np[s.slot, n - 1])
         return True
 
     def _decode_step(self) -> bool:

@@ -167,3 +167,31 @@ def test_chunked_prefill_interleaves(tiny_model_path):
         assert isinstance(short_out, str)
     finally:
         be.shutdown()
+
+
+def test_concurrent_prefill_burst_matches_sequential(tiny_model_path):
+    """Several prompts of different lengths admitted at once prefill in ONE
+    batched step per chunk (rows at different offsets) and still match the
+    one-at-a-time greedy output exactly."""
+    eng = Engine.load(tiny_model_path,
+                      EngineConfig(weight_mode="dequant", max_batch=4))
+    seq_eng = Engine.load(tiny_model_path,
+                          EngineConfig(weight_mode="dequant", max_batch=1))
+    prompts = [
+        " ".join(f"tok{i % 150}" for i in range(40)),
+        "short one",
+        " ".join(f"w{i}" for i in range(25)),
+        "x",
+    ]
+    want = [seq_eng.generate(p, max_tokens=6, sampler=GREEDY)
+            for p in prompts]
+
+    be = BatchedEngine(eng.runner, eng.tokenizer, max_queue=8,
+                       prefill_chunk=16)  # forces multi-chunk, mixed offsets
+    try:
+        handles = [be.submit(p, max_tokens=6, sampler=GREEDY)
+                   for p in prompts]
+        got = [h.text(timeout=240) for h in handles]
+    finally:
+        be.shutdown()
+    assert got == want
