@@ -198,24 +198,53 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         topv, topi = jax.lax.top_k(router_logits, k)
         topv = jax.nn.softmax(topv, axis=-1)
 
-    from ..ops.linear import QuantExpertStack
+    from ..ops.linear import QuantExpertStack, use_pallas_default
 
-    def gather(stack):
-        # quantized stacks gather only the routed experts' compressed bytes
-        # and dequantize in-graph; dense stacks gather rows directly
-        if isinstance(stack, QuantExpertStack):
-            return stack.gather_dequant(topi)
-        return jnp.take(stack, topi, axis=0)
+    ex = ffn["experts"]
+    fused = (use_pallas_default()
+             and all(isinstance(ex[key], QuantExpertStack)
+                     for key in ("gate", "up", "down")))
+    if fused:
+        # fused path: per-slot fused dequant-matvec Pallas kernels — only
+        # the routed experts' PACKED bytes leave HBM (no f32 expert
+        # materialization); falls back below when shapes don't tile
+        from ..ops.qmatmul import moe_qmatmul
 
-    gsel = gather(ffn["experts"]["gate"])  # [N, k, H, F]
-    usel = gather(ffn["experts"]["up"])
-    dsel = gather(ffn["experts"]["down"])  # [N, k, F, H]
-    g = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32), gsel.astype(jnp.float32))
-    u = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32), usel.astype(jnp.float32))
-    act = _act(g, cfg.hidden_act) * u
-    y = jnp.einsum(
-        "nkf,nkfh->nh", act * topv[:, :, None], dsel.astype(jnp.float32)
-    )
+        nt = xf.shape[0]
+        idx = topi.reshape(-1)  # [N*k]
+        xr = jnp.broadcast_to(
+            xf.astype(jnp.float32)[:, None, :], (nt, k, h)).reshape(-1, h)
+        g = moe_qmatmul(xr, ex["gate"], idx)
+        u = moe_qmatmul(xr, ex["up"], idx) if g is not None else None
+        if u is not None:
+            act = (_act(g, cfg.hidden_act) * u)  # [N*k, F]
+            dn = moe_qmatmul(act, ex["down"], idx)
+            if dn is not None:
+                y = (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
+            else:
+                fused = False
+        else:
+            fused = False
+    if not fused:
+
+        def gather(stack):
+            # quantized stacks gather only the routed experts' compressed
+            # bytes and dequantize in-graph; dense stacks gather directly
+            if isinstance(stack, QuantExpertStack):
+                return stack.gather_dequant(topi)
+            return jnp.take(stack, topi, axis=0)
+
+        gsel = gather(ex["gate"])  # [N, k, H, F]
+        usel = gather(ex["up"])
+        dsel = gather(ex["down"])  # [N, k, F, H]
+        g = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32),
+                       gsel.astype(jnp.float32))
+        u = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32),
+                       usel.astype(jnp.float32))
+        act = _act(g, cfg.hidden_act) * u
+        y = jnp.einsum(
+            "nkf,nkfh->nh", act * topv[:, :, None], dsel.astype(jnp.float32)
+        )
 
     if "shared" in ffn:  # DeepSeek/Qwen2Moe shared experts (+ optional gate)
         sh = feed_forward(ffn["shared"], cfg, xf[None])[0]

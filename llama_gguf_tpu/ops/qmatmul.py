@@ -58,16 +58,17 @@ def _repeat_rows(s: jnp.ndarray, rep: int) -> jnp.ndarray:
 
 
 def _q4_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
-               tk: int, prec, has_mins: bool):
+               tk: int, prec, has_mins: bool, k_axis: int = 1):
     """One (n, k) grid step for the group-split q4 layout.
 
     x_ref: [B, TK] — tile-arranged so columns [0, TK/2) hold the lo-plane
     elements (j < group/2 of each scale group) and [TK/2, TK) the hi-plane;
     p_ref: [TK//2, TN] uint8; s_ref: [TK//group, TN] f32; o_ref: [B, TN].
-    Packed row r belongs to scale group r // (group/2).
+    Packed row r belongs to scale group r // (group/2). ``k_axis`` is the
+    grid axis that tiles K (last axis for the MoE batched-expert variant).
     """
-    ki = pl.program_id(1)
-    nk = pl.num_programs(1)
+    ki = pl.program_id(k_axis)
+    nk = pl.num_programs(k_axis)
 
     @pl.when(ki == 0)
     def _():
@@ -97,9 +98,9 @@ def _q4_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
 
 
 def _q8_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
-               tk: int, prec, has_mins: bool):
-    k_idx = pl.program_id(1)
-    nk = pl.num_programs(1)
+               tk: int, prec, has_mins: bool, k_axis: int = 1):
+    k_idx = pl.program_id(k_axis)
+    nk = pl.num_programs(k_axis)
 
     @pl.when(k_idx == 0)
     def _():
@@ -231,3 +232,105 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
     if pad_b:
         y = y[:b]
     return y
+
+
+# ---------------------------------------------------------------------------
+# MoE: batched per-expert fused dequant-matvec
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "group", "k", "n", "tk", "tn", "interpret",
+                     "precision"),
+)
+def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
+                      interpret, precision=None):
+    """x [E, K] (one input row per routed expert slot); packed/scales/mins
+    [E, ...] gathered compressed blocks -> [E, N].
+
+    Grid (E, N-tiles, K-tiles): each e runs the same fused dequant-dot as
+    the 2-D kernel on its own expert's blocks — HBM reads stay at the
+    quantized width, the TPU analogue of the reference's CUDA expert
+    streaming (gpu_only.rs MoE path / moe.rs:321-416)."""
+    e = x.shape[0]
+    grid = (e, n // tn, k // tk)
+    prec = _PREC[precision]
+    has_mins = mins is not None
+    scale_spec = pl.BlockSpec((None, tk // group, tn),
+                              lambda ei, ni, ki: (ei, ki, ni),
+                              memory_space=pltpu.VMEM)
+    # x as [E, 8, K] with rows 1-7 zero: the f32 sublane tile is 8, so a
+    # 1-row block would be padded to 8 sublanes by Mosaic anyway; the zero
+    # rows cost nothing — the kernel is bound by the packed-weight reads
+    x_spec = pl.BlockSpec((None, 8, tk), lambda ei, ni, ki: (ei, 0, ki),
+                          memory_space=pltpu.VMEM)
+
+    if fmt == "q4":
+        kernel = functools.partial(_q4_kernel, group=group, tk=tk, prec=prec,
+                                   has_mins=has_mins, k_axis=2)
+        in_specs = [
+            x_spec,
+            pl.BlockSpec((None, tk // 2, tn), lambda ei, ni, ki: (ei, ki, ni),
+                         memory_space=pltpu.VMEM),
+            scale_spec,
+        ]
+        inputs = [jnp.pad(_arrange_x_q4(x, group, tk)[:, None, :],
+                          ((0, 0), (0, 7), (0, 0))), packed, scales]
+    else:
+        kernel = functools.partial(_q8_kernel, group=group, tk=tk, prec=prec,
+                                   has_mins=has_mins, k_axis=2)
+        in_specs = [
+            x_spec,
+            pl.BlockSpec((None, tk, tn), lambda ei, ni, ki: (ei, ki, ni),
+                         memory_space=pltpu.VMEM),
+            scale_spec,
+        ]
+        inputs = [jnp.pad(x[:, None, :], ((0, 0), (0, 7), (0, 0))),
+                  packed, scales]
+    if has_mins:
+        in_specs.append(scale_spec)
+        inputs.append(mins)
+    else:
+        def _wrap(kern):
+            def inner(x_ref, p_ref, s_ref, o_ref, acc_ref):
+                return kern(x_ref, p_ref, s_ref, None, o_ref, acc_ref)
+            return inner
+        kernel = _wrap(kernel)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, 8, tn), lambda ei, ni, ki: (ei, 0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, 8, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, 0, :]
+
+
+def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
+                interpret: bool = False,
+                precision: str | None = None) -> jnp.ndarray | None:
+    """Fused MoE dispatch: per-slot input rows [E, K] times the SELECTED
+    experts' quantized weights -> [E, N]; only the routed experts' packed
+    bytes leave HBM. Returns None when the shapes don't tile (caller falls
+    back to QuantExpertStack.gather_dequant + einsum)."""
+    e, k = x_rows.shape
+    assert k == stack.k, (k, stack.k)
+    n = stack.n
+    tk, tn = _pick_tiles(stack.fmt, stack.group, k, n)
+    if tk == 0 or n % tn != 0 or n % 128 != 0:
+        return None
+    packed = jnp.take(stack.packed, idx_flat, axis=0)
+    scales = jnp.take(stack.scales, idx_flat, axis=0)
+    mins = (jnp.take(stack.mins, idx_flat, axis=0)
+            if stack.mins is not None else None)
+    return _moe_qmatmul_call(
+        x_rows, packed, scales, mins, fmt=stack.fmt, group=stack.group,
+        k=k, n=n, tk=tk, tn=tn, interpret=interpret, precision=precision)

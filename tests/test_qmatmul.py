@@ -99,3 +99,45 @@ def test_loader_keeps_896_wide_quantized(tmp_path):
     lin = loader.linear("x")
     assert isinstance(lin, QuantLinear)
     assert lin.k == 896 and lin.n == 128
+
+
+def test_moe_qmatmul_matches_gather_dequant():
+    """Batched per-expert fused kernel == gather_dequant + einsum, both
+    q4 (affine, K-grouped split nibbles) and q8 layouts."""
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.ops.linear import QuantExpertStack
+    from llama_gguf_tpu.ops.qmatmul import moe_qmatmul
+    from llama_gguf_tpu.quant.quantize import quantize
+    from llama_gguf_tpu.quant.repack import repack
+
+    rng = np.random.default_rng(17)
+    E, K, N = 4, 256, 128
+    for t in (GGMLType.Q4_K, GGMLType.Q8_0):
+        packs, scales, mins = [], [], []
+        fmt = group = None
+        ws = []
+        for e in range(E):
+            w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+            ws.append(w)
+            rw = repack(quantize(w, t).tobytes(), t, (N, K))
+            packs.append(rw.packed)
+            scales.append(rw.scales)
+            mins.append(rw.mins)
+            fmt, group = rw.fmt, rw.group
+        has_mins = mins[0] is not None
+        stack = QuantExpertStack(
+            packed=jnp.asarray(np.stack(packs)),
+            scales=jnp.asarray(np.stack(scales)),
+            mins=jnp.asarray(np.stack(mins)) if has_mins else None,
+            fmt=fmt, group=group, k=K, n=N,
+        )
+        x = jnp.asarray(rng.standard_normal((6, K)), jnp.float32)
+        idx = jnp.asarray([0, 3, 1, 1, 2, 0], jnp.int32)
+        got = moe_qmatmul(x, stack, idx, interpret=True,
+                          precision="highest")
+        # baseline einsum on HOST f32: on TPU a device einsum without an
+        # explicit precision runs bf16 passes and would mask kernel bugs
+        w_sel = np.asarray(stack.gather_dequant(idx))  # [6, K, N]
+        want = np.einsum("ek,ekn->en", np.asarray(x), w_sel)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-5, atol=2e-5)
