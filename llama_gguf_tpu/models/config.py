@@ -80,7 +80,11 @@ class ModelConfig:
     ssm_conv_kernel: int = 0
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
-    logit_scale: float = 1.0  # Cohere: logits *= scale before sampling
+    # logits MULTIPLIER before sampling (Cohere stores the multiplier;
+    # Granite stores a divisor — parse_config inverts it at load)
+    logit_scale: float = 1.0
+    attention_scale: float = 0.0  # 0 = default head_dim**-0.5 (Granite)
+    residual_scale: float = 1.0  # Granite residual_multiplier
     sliding_window: int = 0
     # every Nth layer is full attention; 1 = window (if any) on all layers
     swa_pattern: int = 1
@@ -259,7 +263,13 @@ def parse_config(metadata: Mapping[str, Any],
         ssm_dt_rank=gi("ssm.time_step_rank", 0),
         ssm_conv_kernel=gi("ssm.conv_kernel", 0),
         attn_logit_softcap=gf("attn_logit_softcapping", 0.0),
-        logit_scale=gf("logit_scale", 1.0),
+        # granite.logit_scale is a DIVISOR (llama.cpp scales by 1/x);
+        # command-r's is a multiplier
+        logit_scale=(1.0 / gf("logit_scale", 1.0)
+                     if arch.startswith("granite") and gf("logit_scale", 1.0)
+                     else gf("logit_scale", 1.0)),
+        attention_scale=gf("attention.scale", 0.0),
+        residual_scale=gf("residual_scale", 1.0),
         final_logit_softcap=gf("final_logit_softcapping", 0.0),
         sliding_window=gi("attention.sliding_window", 0),
         swa_pattern=gi("attention.sliding_window_pattern",
@@ -275,7 +285,9 @@ def parse_config(metadata: Mapping[str, Any],
         uses_qk_norm=info.uses_qk_norm,
         has_post_ffn_norm=info.has_post_ffn_norm,
         uses_alibi=info.uses_alibi,
-        embedding_scale=float(hidden_size) ** 0.5 if info.is_gemma else 1.0,
+        embedding_scale=gf(
+            "embedding_scale",
+            float(hidden_size) ** 0.5 if info.is_gemma else 1.0),
         arch_info=info,
     )
     return cfg

@@ -122,7 +122,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
         ctx = attention_scores(
             qg, keys, vals, positions, lengths,
-            scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
+            scale=cfg.attention_scale or hd**-0.5, softcap=cfg.attn_logit_softcap,
             sliding_window=window, key_positions=key_pos,
         )
     elif cfg.kv_format == "qjl":  # attention on compressed keys (QJL)
@@ -135,7 +135,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         ctx = qjl_attention(
             qg, kv["k"][cache_idx], kv["k_scale"][cache_idx],
             kv["v"][cache_idx], kv["v_scale"][cache_idx], positions,
-            lengths, scale=hd**-0.5, v_head_dim=vd,
+            lengths, scale=cfg.attention_scale or hd**-0.5, v_head_dim=vd,
             softcap=cfg.attn_logit_softcap,
             sliding_window=window,
         )
@@ -148,7 +148,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
             sinks = layer["sinks"].reshape(nkv, rep).astype(jnp.float32)
         ctx = attention_scores(
             qg, keys, vals, positions, lengths,
-            scale=hd**-0.5, softcap=cfg.attn_logit_softcap,
+            scale=cfg.attention_scale or hd**-0.5, softcap=cfg.attn_logit_softcap,
             sliding_window=window, sinks=sinks,
             alibi=cfg.uses_alibi,
         )
@@ -279,6 +279,9 @@ def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         )
         return x + attn_out + ffn_out, kv
 
+    rs = cfg.residual_scale  # Granite residual_multiplier
+    if rs != 1.0:
+        attn_out = attn_out * jnp.asarray(rs, attn_out.dtype)
     x = x + attn_out
     h2 = norm(layer["ffn_norm"], x) if layer.get("ffn_norm") else x
     ffn_out = (
@@ -288,6 +291,8 @@ def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     )
     if "post_ffn_norm" in layer:
         ffn_out = norm(layer["post_ffn_norm"], ffn_out)
+    if rs != 1.0:
+        ffn_out = ffn_out * jnp.asarray(rs, ffn_out.dtype)
     return x + ffn_out, kv
 
 

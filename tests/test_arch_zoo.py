@@ -1309,3 +1309,84 @@ def test_gemma3_matches_hf(tmp_path_factory, rng):
 
     _, cfg, _ = load_model(path, mode="dequant")
     assert cfg.swa_pattern == 6 and cfg.rope_freq_base_swa == 10000.0
+
+
+def test_granite_matches_hf(tmp_path_factory, rng):
+    """Granite: llama-like but with four multipliers — embedding,
+    attention (replaces head_dim**-0.5), residual, and logits (stored as a
+    DIVISOR in the GGUF, llama.cpp convention)."""
+    import torch
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64)
+    hf_cfg = GraniteConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        embedding_multiplier=12.0, attention_multiplier=0.03,
+        residual_multiplier=0.22, logits_scaling=8.0,
+        rms_norm_eps=1e-5, attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=True, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(67)
+    with torch.no_grad():
+        model = GraniteForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    def permute(w, n_heads):  # llama.cpp rotate-half -> interleaved perm
+        return (w.reshape(n_heads, 2, w.shape[0] // n_heads // 2, w.shape[1])
+                 .swapaxes(1, 2).reshape(w.shape))
+
+    w = GGUFWriter()
+    a = "granite"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.embedding_scale", 12.0)
+    w.add_metadata(f"{a}.attention.scale", 0.03)
+    w.add_metadata(f"{a}.residual_scale", 0.22)
+    w.add_metadata(f"{a}.logit_scale", 8.0)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight",
+                        permute(sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight",
+                        permute(sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    path = str(tmp_path_factory.mktemp("gr") / "granite.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.attention_scale == pytest.approx(0.03)
+    assert cfg.logit_scale == pytest.approx(1 / 8.0)
+    assert cfg.embedding_scale == pytest.approx(12.0)
