@@ -78,9 +78,9 @@ class ModelRunner:
     def init_kv(self, batch: int | None = None) -> dict:
         b = batch or self.max_batch
         cache = KV.init_cache(
-            self.cfg.num_layers, b, self.max_seq, self.cfg.num_kv_heads,
-            self.cfg.head_dim, dtype=self.kv_dtype, fmt=self.kv_format,
-            v_head_dim=self.cfg.value_length or self.cfg.head_dim,
+            self.cfg.num_layers, b, self.max_seq, self.cfg.cache_kv_heads,
+            self.cfg.cache_k_dim, dtype=self.kv_dtype, fmt=self.kv_format,
+            v_head_dim=self.cfg.cache_v_dim,
             swa_layers=self.swa_layers, ring_slots=self.ring_slots,
         )
         if any(k == "deltanet" for k in (self.cfg.layer_kinds or ())):

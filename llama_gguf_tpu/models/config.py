@@ -71,6 +71,14 @@ class ModelConfig:
     expert_intermediate_size: int = 0
     expert_shared_count: int = 0
     expert_weights_norm: bool = False
+    expert_weights_scale: float = 1.0  # DeepSeek routed_scaling_factor
+    expert_gating_func: int = 1  # 1 = softmax (V2), 2 = sigmoid (V3)
+    expert_group_count: int = 0  # DeepSeek-V3 node-limited routing groups
+    expert_group_used_count: int = 0
+    # MLA (DeepSeek-V2/V3): low-rank q/kv projections. head_dim is the
+    # FULL qk head dim (nope + rope); rope.n_dims is the rope part.
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
     key_length: int = 0
     value_length: int = 0
     ssm_d_inner: int = 0
@@ -120,6 +128,25 @@ class ModelConfig:
     def full_index(self, i: int) -> int:
         """Index of layer i within the full-cache stack."""
         return sum(not self.layer_is_swa(j) for j in range(i))
+
+    # -- KV-cache storage dims (MLA caches the compressed latent + shared
+    # rope key at ONE kv head instead of per-head K/V: [c_kv | k_rope]
+    # as "K" (rank + rope dims) and c_kv as "V")
+    @property
+    def cache_kv_heads(self) -> int:
+        return 1 if self.kv_lora_rank > 0 else max(self.num_kv_heads, 1)
+
+    @property
+    def cache_k_dim(self) -> int:
+        if self.kv_lora_rank > 0:
+            return self.kv_lora_rank + self.rope.n_dims
+        return self.head_dim
+
+    @property
+    def cache_v_dim(self) -> int:
+        if self.kv_lora_rank > 0:
+            return self.kv_lora_rank
+        return self.value_length or self.head_dim
 
     def layer_is_swa(self, i: int) -> bool:
         """Does layer i use the sliding window? (llama.cpp set_swa_pattern:
@@ -255,6 +282,12 @@ def parse_config(metadata: Mapping[str, Any],
         expert_intermediate_size=gi("expert_feed_forward_length", 0),
         expert_shared_count=gi("expert_shared_count", 0),
         expert_weights_norm=bool(metadata.get(f"{arch}.expert_weights_norm", False)),
+        expert_weights_scale=gf("expert_weights_scale", 1.0),
+        expert_gating_func=gi("expert_gating_func", 1) or 1,
+        expert_group_count=gi("expert_group_count", 0),
+        expert_group_used_count=gi("expert_group_used_count", 0),
+        q_lora_rank=gi("attention.q_lora_rank", 0),
+        kv_lora_rank=gi("attention.kv_lora_rank", 0),
         key_length=gi("attention.key_length", head_dim),
         value_length=gi("attention.value_length", head_dim),
         ssm_d_inner=gi("ssm.inner_size", 0),

@@ -153,13 +153,16 @@ class ModelLoader:
         if attn_norm is not None:
             layer["attn_norm"] = attn_norm  # absent for olmo2 (post-norm only)
         attn: dict[str, Any] = {}
-        if self.has(f"{p}.attn_qkv.weight"):
+        if self.has(f"{p}.attn_kv_a_mqa.weight"):  # MLA (DeepSeek-V2/V3)
+            attn = self._load_mla_attn(i, cfg)
+        elif self.has(f"{p}.attn_qkv.weight"):
             attn.update(self._split_qkv(i, cfg))
         else:
             attn["wq"] = self.linear(f"{p}.attn_q")
             attn["wk"] = self.linear(f"{p}.attn_k")
             attn["wv"] = self.linear(f"{p}.attn_v")
-        attn["wo"] = self.linear(f"{p}.attn_output")
+        if "wo" not in attn:
+            attn["wo"] = self.linear(f"{p}.attn_output")
         if self.has(f"{p}.attn_q_norm.weight"):
             attn["q_norm"] = self._put(self.dense(f"{p}.attn_q_norm.weight"),
                                        f"{p}.attn_q_norm.weight")
@@ -186,6 +189,43 @@ class ModelLoader:
         if post_ffw is not None:
             layer["post_ffn_norm"] = post_ffw
         return layer
+
+    def _load_mla_attn(self, i: int, cfg: ModelConfig) -> dict:
+        """Multi-head Latent Attention (DeepSeek-V2/V3).
+
+        GGUF tensors (llama.cpp deepseek2 convention): attn_q_a/_b (+
+        attn_q_a_norm) or attn_q; attn_kv_a_mqa [rank+rope, H];
+        attn_kv_a_norm; attn_kv_b [nh*(nope+v), rank]; attn_output.
+        attn_kv_b is split host-side into the per-head up-projections
+        W_uk [nh, nope, rank] / W_uv [nh, v, rank] used by the ABSORBED
+        attention (models/transformer.mla_attention): scores and context
+        are computed in the rank space, so the KV cache stores one
+        compressed latent per token instead of per-head K/V."""
+        p = f"blk.{i}"
+        attn: dict[str, Any] = {}
+        if self.has(f"{p}.attn_q_a.weight"):
+            attn["q_a"] = self.linear(f"{p}.attn_q_a")
+            attn["q_a_norm"] = self._put(
+                self.dense(f"{p}.attn_q_a_norm.weight"),
+                f"{p}.attn_q_a_norm.weight")
+            attn["q_b"] = self.linear(f"{p}.attn_q_b")
+        else:  # V2-Lite: no q compression
+            attn["wq"] = self.linear(f"{p}.attn_q")
+        attn["kv_a"] = self.linear(f"{p}.attn_kv_a_mqa")
+        attn["kv_a_norm"] = self._put(
+            self.dense(f"{p}.attn_kv_a_norm.weight"),
+            f"{p}.attn_kv_a_norm.weight")
+        kvb = self.dense(f"{p}.attn_kv_b.weight")  # [nh*(nope+v), rank]
+        rank = cfg.kv_lora_rank
+        nope = cfg.head_dim - cfg.rope.n_dims
+        v = cfg.value_length or cfg.head_dim
+        kvb = kvb.reshape(cfg.num_heads, nope + v, rank)
+        attn["w_uk"] = self._put(
+            np.ascontiguousarray(kvb[:, :nope, :]), f"{p}.attn_kv_b.weight")
+        attn["w_uv"] = self._put(
+            np.ascontiguousarray(kvb[:, nope:, :]), f"{p}.attn_kv_b.weight")
+        attn["wo"] = self.linear(f"{p}.attn_output")
+        return attn
 
     def _fuse_attn(self, attn: dict, cfg: ModelConfig) -> None:
         """Fuse q/k/v into one wide matmul (decode is launch-overhead-bound;
@@ -216,6 +256,10 @@ class ModelLoader:
                 "up": self._expert_stack(f"{p}.ffn_up_exps.weight", transpose=True),
                 "down": self._expert_stack(f"{p}.ffn_down_exps.weight", transpose=True),
             }
+            if self.has(f"{p}.exp_probs_b.bias"):  # V3 gating bias
+                ffn["router_bias"] = self._put(
+                    self.dense(f"{p}.exp_probs_b.bias"),
+                    f"{p}.exp_probs_b.bias")
             if self.has(f"{p}.ffn_gate_shexp.weight"):
                 ffn["shared"] = {
                     "gate": self.linear(f"{p}.ffn_gate_shexp"),

@@ -46,6 +46,71 @@ def _act(x: jnp.ndarray, act: Activation) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
+def mla_attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
+                  positions: jnp.ndarray, kv: dict, layer_idx: int,
+                  lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    """Multi-head Latent Attention (DeepSeek-V2/V3), ABSORBED form.
+
+    Instead of reconstructing per-head K/V from the compressed latent
+    (the naive decode path), queries are projected into the rank space:
+        q_eff  = [q_nope @ W_uk | rope(q_rope)]        (rank + rope dims)
+        k_eff  = [c_kv          | rope(k_rope)]        (cached, ONE kv head)
+        ctx_r  = softmax(q_eff . k_eff * scale) @ c_kv  (rank dims)
+        out    = (ctx_r @ W_uv^T) @ W_o
+    The KV cache holds one (rank + rope)-dim latent per token — 576 dims
+    for V3 vs 128 heads x 192 dims reconstructed, a ~42x cache saving —
+    and attention runs as MQA over it. The inner products equal the
+    naive form exactly. Parity target: HF DeepseekV3Attention.forward.
+    """
+    b, t, _ = x.shape
+    nh = cfg.num_heads
+    rope_dim = cfg.rope.n_dims
+    rank = cfg.kv_lora_rank
+    nope = cfg.head_dim - rope_dim
+
+    if "q_a" in layer:  # low-rank q (V3/V2; V2-Lite uses a dense wq)
+        q = L.apply(layer["q_b"],
+                    rms_norm(L.apply(layer["q_a"], x).astype(jnp.float32),
+                             layer["q_a_norm"], cfg.norm_eps).astype(x.dtype))
+    else:
+        q = L.apply(layer["wq"], x)
+    q = q.reshape(b, t, nh, nope + rope_dim)
+    q_nope, q_rope = q[..., :nope], q[..., nope:]
+
+    kv_a = L.apply(layer["kv_a"], x).astype(jnp.float32)  # [B,T,rank+rope]
+    c_kv = rms_norm(kv_a[..., :rank], layer["kv_a_norm"], cfg.norm_eps)
+    k_rope = kv_a[..., None, rank:]  # [B,T,1,rope] shared across heads
+
+    cos, sin = rope_cos_sin(positions, cfg.rope)
+    q_rope = apply_rope(q_rope, cos, sin, cfg.rope)
+    k_rope = apply_rope(k_rope, cos, sin, cfg.rope)
+
+    # project q_nope through the per-head K up-projection: rank-space query
+    q_rank = jnp.einsum("bthn,hnr->bthr", q_nope.astype(jnp.float32),
+                        layer["w_uk"].astype(jnp.float32))
+    q_eff = jnp.concatenate([q_rank, q_rope.astype(jnp.float32)], axis=-1)
+
+    k_eff = jnp.concatenate([c_kv[:, :, None, :],
+                             k_rope.astype(jnp.float32)], axis=-1)
+    kv = KV.write(kv, layer_idx, k_eff, c_kv[:, :, None, :], positions)
+    keys, vals = KV.read(kv, layer_idx, head_dim=rank + rope_dim,
+                         v_head_dim=rank)
+
+    from ..ops.attention import attention_scores
+
+    qg = q_eff.reshape(b, t, 1, nh, rank + rope_dim)  # K=1 kv head, R=nh
+    ctx = attention_scores(
+        qg, keys, vals, positions, lengths,
+        scale=cfg.attention_scale or cfg.head_dim**-0.5,
+        softcap=cfg.attn_logit_softcap,
+    )  # [B,T,1,nh,rank]
+    out_v = jnp.einsum("bthr,hvr->bthv", ctx[:, :, 0],
+                       layer["w_uv"].astype(jnp.float32))
+    vd = cfg.value_length or cfg.head_dim
+    out = L.apply(layer["wo"], out_v.reshape(b, t, nh * vd).astype(x.dtype))
+    return out, kv
+
+
 def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
               positions: jnp.ndarray, kv: dict, layer_idx: int,
               lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
@@ -54,6 +119,9 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     x: [B, T, H]; positions: [B, T]; lengths: [B] (valid cache length AFTER
     this step's tokens are written). Returns ([B, T, H], kv').
     """
+    if "kv_a" in layer:  # MLA (DeepSeek-V2/V3)
+        return mla_attention(layer, cfg, x, positions, kv, layer_idx,
+                             lengths)
     b, t, _ = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     vd = cfg.value_length or hd
@@ -189,11 +257,40 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     xf = x.reshape(b * t, h)
     router_logits = L.apply(ffn["router"], xf).astype(jnp.float32)  # [N, E]
     k = cfg.num_experts_per_token
-    if ffn.get("router_softmax_before_topk", True):
+    if cfg.expert_gating_func == 2:
+        # DeepSeek-V3: sigmoid scoring; selection uses the score + a
+        # learned per-expert correction bias (exp_probs_b) and optional
+        # node-limited group routing; the mixing WEIGHTS use the raw
+        # sigmoid scores (no bias), renormalized, times the routed scale
+        # (HF DeepseekV3TopkRouter.forward parity)
+        scores = jax.nn.sigmoid(router_logits)
+        choice = scores
+        if "router_bias" in ffn:
+            choice = choice + ffn["router_bias"].astype(jnp.float32)
+        ng, tg = cfg.expert_group_count, cfg.expert_group_used_count
+        if ng > 1 and tg > 0:
+            e = choice.shape[-1]
+            grp = choice.reshape(-1, ng, e // ng)
+            # group score = sum of its top-2 expert choices
+            g2, _ = jax.lax.top_k(grp, 2)
+            gscore = g2.sum(-1)  # [N, ng]
+            _, gi = jax.lax.top_k(gscore, tg)
+            gmask = jnp.zeros_like(gscore).at[
+                jnp.arange(gscore.shape[0])[:, None], gi].set(1.0)
+            choice = jnp.where(
+                (gmask[:, :, None] > 0), grp, -jnp.inf).reshape(-1, e)
+        _, topi = jax.lax.top_k(choice, k)
+        topv = jnp.take_along_axis(scores, topi, axis=-1)
+        if cfg.expert_weights_norm:
+            topv = topv / (topv.sum(-1, keepdims=True) + 1e-20)
+        topv = topv * cfg.expert_weights_scale
+    elif ffn.get("router_softmax_before_topk", True):
         probs = jax.nn.softmax(router_logits, axis=-1)
         topv, topi = jax.lax.top_k(probs, k)  # [N, k]
         if cfg.expert_weights_norm:
             topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-9)
+        if cfg.expert_weights_scale != 1.0:  # DeepSeek-V2 routed scale
+            topv = topv * cfg.expert_weights_scale
     else:
         topv, topi = jax.lax.top_k(router_logits, k)
         topv = jax.nn.softmax(topv, axis=-1)

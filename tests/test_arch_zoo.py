@@ -1390,3 +1390,217 @@ def test_granite_matches_hf(tmp_path_factory, rng):
     assert cfg.attention_scale == pytest.approx(0.03)
     assert cfg.logit_scale == pytest.approx(1 / 8.0)
     assert cfg.embedding_scale == pytest.approx(12.0)
+
+
+def test_deepseek_v3_mla_matches_hf(tmp_path_factory, rng):
+    """DeepSeek-V3: MLA (low-rank q + compressed kv latent, decoupled
+    rope), leading dense layer + sigmoid-gated MoE with e_score correction
+    bias, node-limited group routing, routed scaling, shared expert.
+    Our runtime uses the ABSORBED rank-space attention; parity vs HF's
+    naive reconstruction confirms the algebraic equivalence too."""
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ctx=64,
+             q_rank=32, kv_rank=16, rope=8, nope=16, vdim=16,
+             E=8, topk=2, moe_ffn=32, ffn=128)
+    hf_cfg = DeepseekV3Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["heads"], max_position_embeddings=c["ctx"],
+        q_lora_rank=c["q_rank"], kv_lora_rank=c["kv_rank"],
+        qk_rope_head_dim=c["rope"], qk_nope_head_dim=c["nope"],
+        v_head_dim=c["vdim"], head_dim=c["rope"],
+        n_routed_experts=c["E"], num_experts_per_tok=c["topk"],
+        n_group=4, topk_group=2, routed_scaling_factor=2.5,
+        norm_topk_prob=True, n_shared_experts=1,
+        moe_intermediate_size=c["moe_ffn"], intermediate_size=c["ffn"],
+        first_k_dense_replace=1, rope_theta=10000.0, rope_scaling=None,
+        rms_norm_eps=1e-5, attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(71)
+    with torch.no_grad():
+        model = DeepseekV3ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "deepseek2"
+    w.add_metadata("general.architecture", a)
+    for key, val in [
+        ("embedding_length", c["hidden"]), ("block_count", c["layers"]),
+        ("attention.head_count", c["heads"]),
+        ("attention.head_count_kv", c["heads"]),
+        ("context_length", c["ctx"]),
+        ("attention.key_length", c["nope"] + c["rope"]),
+        ("attention.value_length", c["vdim"]),
+        ("rope.dimension_count", c["rope"]),
+        ("attention.q_lora_rank", c["q_rank"]),
+        ("attention.kv_lora_rank", c["kv_rank"]),
+        ("feed_forward_length", c["ffn"]),
+        ("expert_count", c["E"]), ("expert_used_count", c["topk"]),
+        ("expert_feed_forward_length", c["moe_ffn"]),
+        ("expert_shared_count", 1), ("expert_gating_func", 2),
+        ("expert_group_count", 4), ("expert_group_used_count", 2),
+        ("vocab_size", c["vocab"]),
+    ]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.expert_weights_scale", 2.5)
+    w.add_metadata(f"{a}.expert_weights_norm", True)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_q_a.weight",
+                        sd[f"{h}.self_attn.q_a_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_q_a_norm.weight",
+                        sd[f"{h}.self_attn.q_a_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_q_b.weight",
+                        sd[f"{h}.self_attn.q_b_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_kv_a_mqa.weight",
+                        sd[f"{h}.self_attn.kv_a_proj_with_mqa.weight"])
+        w.add_tensor_np(f"{p}.attn_kv_a_norm.weight",
+                        sd[f"{h}.self_attn.kv_a_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_kv_b.weight",
+                        sd[f"{h}.self_attn.kv_b_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        if i == 0:  # leading dense layer
+            for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                                 ("down", "down_proj")):
+                w.add_tensor_np(f"{p}.ffn_{ours}.weight",
+                                sd[f"{h}.mlp.{theirs}.weight"])
+        else:
+            w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                            sd[f"{h}.mlp.gate.weight"])
+            w.add_tensor_np(f"{p}.exp_probs_b.bias",
+                            sd[f"{h}.mlp.gate.e_score_correction_bias"])
+            for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                                 ("down", "down_proj")):
+                stacked = np.stack(
+                    [sd[f"{h}.mlp.experts.{e}.{theirs}.weight"]
+                     for e in range(c["E"])])
+                w.add_tensor_np(f"{p}.ffn_{ours}_exps.weight", stacked)
+                w.add_tensor_np(
+                    f"{p}.ffn_{ours}_shexp.weight",
+                    sd[f"{h}.mlp.shared_experts.{theirs}.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("ds") / "dsv3.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=8e-4, atol=8e-4)
+
+
+def test_deepseek_v2_lite_matches_hf(tmp_path_factory, rng):
+    """DeepSeek-V2-Lite flavor: MLA WITHOUT q compression (dense wq),
+    softmax greedy routing (no renorm, no bias, scale 1)."""
+    import torch
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ctx=64,
+             kv_rank=16, rope=8, nope=16, vdim=16,
+             E=4, topk=2, moe_ffn=32, ffn=128)
+    hf_cfg = DeepseekV2Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["heads"], max_position_embeddings=c["ctx"],
+        q_lora_rank=None, kv_lora_rank=c["kv_rank"],
+        qk_rope_head_dim=c["rope"], qk_nope_head_dim=c["nope"],
+        v_head_dim=c["vdim"], head_dim=c["rope"],
+        n_routed_experts=c["E"], num_experts_per_tok=c["topk"],
+        topk_method="greedy", norm_topk_prob=False,
+        routed_scaling_factor=1.0, n_shared_experts=1,
+        moe_intermediate_size=c["moe_ffn"], intermediate_size=c["ffn"],
+        first_k_dense_replace=1, rope_theta=10000.0, rope_scaling=None,
+        rms_norm_eps=1e-5, attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(73)
+    with torch.no_grad():
+        model = DeepseekV2ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "deepseek2"
+    w.add_metadata("general.architecture", a)
+    for key, val in [
+        ("embedding_length", c["hidden"]), ("block_count", c["layers"]),
+        ("attention.head_count", c["heads"]),
+        ("attention.head_count_kv", c["heads"]),
+        ("context_length", c["ctx"]),
+        ("attention.key_length", c["nope"] + c["rope"]),
+        ("attention.value_length", c["vdim"]),
+        ("rope.dimension_count", c["rope"]),
+        ("attention.kv_lora_rank", c["kv_rank"]),
+        ("feed_forward_length", c["ffn"]),
+        ("expert_count", c["E"]), ("expert_used_count", c["topk"]),
+        ("expert_feed_forward_length", c["moe_ffn"]),
+        ("expert_shared_count", 1), ("vocab_size", c["vocab"]),
+    ]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_q.weight",
+                        sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_kv_a_mqa.weight",
+                        sd[f"{h}.self_attn.kv_a_proj_with_mqa.weight"])
+        w.add_tensor_np(f"{p}.attn_kv_a_norm.weight",
+                        sd[f"{h}.self_attn.kv_a_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_kv_b.weight",
+                        sd[f"{h}.self_attn.kv_b_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        if i == 0:
+            for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                                 ("down", "down_proj")):
+                w.add_tensor_np(f"{p}.ffn_{ours}.weight",
+                                sd[f"{h}.mlp.{theirs}.weight"])
+        else:
+            w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                            sd[f"{h}.mlp.gate.weight"])
+            for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                                 ("down", "down_proj")):
+                stacked = np.stack(
+                    [sd[f"{h}.mlp.experts.{e}.{theirs}.weight"]
+                     for e in range(c["E"])])
+                w.add_tensor_np(f"{p}.ffn_{ours}_exps.weight", stacked)
+                w.add_tensor_np(
+                    f"{p}.ffn_{ours}_shexp.weight",
+                    sd[f"{h}.mlp.shared_experts.{theirs}.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("d2") / "dsv2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=8e-4, atol=8e-4)
