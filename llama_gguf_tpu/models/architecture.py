@@ -71,7 +71,7 @@ GEMMA_FAMILY = {"gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding"}
 LAYER_NORM = {
     "gpt2", "bloom", "gptj", "gptneox", "falcon", "mpt", "opt", "phi2",
     "bert", "modern-bert", "nomic-bert", "jina-bert-v2", "jina-bert-v3",
-    "eurobert", "t5", "t5encoder", "stablelm",
+    "eurobert", "t5", "t5encoder", "stablelm", "starcoder", "starcoder2",
     # Cohere family LayerNorm is mean-centered, weight-only (no bias)
     "command", "command-r", "cohere2",
 }
@@ -106,13 +106,13 @@ NO_GATE_FFN = {
     # NOTE: phi3/phimoe use gated SwiGLU, unlike phi/phi2's plain GELU MLP
     "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
     "stablelm", "codeshell", "bert", "modern-bert",
-    "nomic-bert", "t5", "t5encoder",
+    "nomic-bert", "t5", "t5encoder", "starcoder", "starcoder2",
 }
 
 NEOX_ROPE = {
     "qwen2", "qwen2moe", "qwen3", "qwen35", "qwen35moe", "qwen3moe",
     "qwen3next", "gptneox", "falcon", "phi", "phi2", "phi3", "phimoe",
-    "gptj", "stablelm",
+    "gptj", "stablelm", "starcoder2",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
 }

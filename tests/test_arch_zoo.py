@@ -1604,3 +1604,150 @@ def test_deepseek_v2_lite_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=8e-4, atol=8e-4)
+
+
+def test_glm4_matches_hf(tmp_path_factory, rng):
+    """GLM4: partial interleaved RoPE (half the head dims), biased q/k/v,
+    fused gate_up MLP (split at conversion), sandwich post-attn/post-mlp
+    norms alongside the usual pre-norms."""
+    import torch
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64,
+             hd=16)
+    hf_cfg = Glm4Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], head_dim=c["hd"],
+        rope_theta=10000.0, rms_norm_eps=1e-5, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(79)
+    with torch.no_grad():
+        model = Glm4ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "glm4"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("rope.dimension_count", c["hd"] // 2),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        for ours, theirs in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                             ("attn_v", "v_proj")):
+            w.add_tensor_np(f"{p}.{ours}.weight",
+                            sd[f"{h}.self_attn.{theirs}.weight"])
+            w.add_tensor_np(f"{p}.{ours}.bias",
+                            sd[f"{h}.self_attn.{theirs}.bias"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.post_attention_norm.weight",
+                        sd[f"{h}.post_self_attn_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.post_ffw_norm.weight",
+                        sd[f"{h}.post_mlp_layernorm.weight"])
+        gu = sd[f"{h}.mlp.gate_up_proj.weight"]  # [2F, H]: gate rows first
+        w.add_tensor_np(f"{p}.ffn_gate.weight", gu[: c["ffn"]])
+        w.add_tensor_np(f"{p}.ffn_up.weight", gu[c["ffn"]:])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("g4") / "glm4.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_starcoder2_matches_hf(tmp_path_factory, rng):
+    """StarCoder2: LayerNorm (with bias), NEOX rope, biased projections,
+    no-gate GELU MLP, tied embeddings."""
+    import torch
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64)
+    hf_cfg = Starcoder2Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        norm_epsilon=1e-5, use_bias=True, tie_word_embeddings=True,
+        residual_dropout=0.0, embedding_dropout=0.0, attention_dropout=0.0,
+        sliding_window=None, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(83)
+    with torch.no_grad():
+        model = Starcoder2ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "starcoder2"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        for ours, theirs in (("attn_q", "self_attn.q_proj"),
+                             ("attn_k", "self_attn.k_proj"),
+                             ("attn_v", "self_attn.v_proj"),
+                             ("attn_output", "self_attn.o_proj"),
+                             ("ffn_up", "mlp.c_fc"),
+                             ("ffn_down", "mlp.c_proj")):
+            w.add_tensor_np(f"{p}.{ours}.weight", sd[f"{h}.{theirs}.weight"])
+            w.add_tensor_np(f"{p}.{ours}.bias", sd[f"{h}.{theirs}.bias"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias",
+                        sd[f"{h}.post_attention_layernorm.bias"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output_norm.bias", sd["model.norm.bias"])
+    path = str(tmp_path_factory.mktemp("s2") / "sc2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
