@@ -1751,3 +1751,171 @@ def test_starcoder2_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_olmo2_matches_hf(tmp_path_factory, rng):
+    """OLMo2: NO pre-norms (attn/ffn read the residual stream directly),
+    post-attn/post-ffn RMSNorms, FLAT QK-RMSNorm over the whole projection
+    (not per head), llama-permuted q/k with consistently permuted norms."""
+    import torch
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64)
+    hd = c["hidden"] // c["heads"]
+    hf_cfg = Olmo2Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        rms_norm_eps=1e-5, attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(89)
+    with torch.no_grad():
+        model = Olmo2ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    def permute(w, n_heads):
+        return (w.reshape(n_heads, 2, w.shape[0] // n_heads // 2, *w.shape[1:])
+                 .swapaxes(1, 2).reshape(w.shape))
+
+    w = GGUFWriter()
+    a = "olmo2"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight",
+                        permute(sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight",
+                        permute(sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        # flat norms permuted to match the permuted projections
+        w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                        permute(sd[f"{h}.self_attn.q_norm.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                        permute(sd[f"{h}.self_attn.k_norm.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.post_attention_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.post_ffw_norm.weight",
+                        sd[f"{h}.post_feedforward_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("o2") / "olmo2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_qwen2moe_matches_hf(tmp_path_factory, rng):
+    """Qwen2MoE: softmax router WITHOUT topk renorm, plus an always-on
+    shared expert whose output is scaled by a learned sigmoid gate."""
+    import torch
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64,
+             E=4, topk=2, mffn=32, sffn=64)
+    hf_cfg = Qwen2MoeConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        moe_intermediate_size=c["mffn"],
+        shared_expert_intermediate_size=c["sffn"],
+        num_experts=c["E"], num_experts_per_tok=c["topk"],
+        decoder_sparse_step=1, norm_topk_prob=False,
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        rms_norm_eps=1e-5, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(97)
+    with torch.no_grad():
+        model = Qwen2MoeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    def permute(w, n_heads):
+        return (w.reshape(n_heads, 2, w.shape[0] // n_heads // 2, w.shape[-1])
+                 .swapaxes(1, 2).reshape(w.shape))
+
+    w = GGUFWriter()
+    a = "qwen2moe"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("expert_count", c["E"]),
+                     ("expert_used_count", c["topk"]),
+                     ("expert_feed_forward_length", c["mffn"]),
+                     ("expert_shared_feed_forward_length", c["sffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        # qwen2moe is NEOX-roped: no permutation at conversion
+        for ours, theirs in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                             ("attn_v", "v_proj")):
+            w.add_tensor_np(f"{p}.{ours}.weight",
+                            sd[f"{h}.self_attn.{theirs}.weight"])
+            w.add_tensor_np(f"{p}.{ours}.bias",
+                            sd[f"{h}.self_attn.{theirs}.bias"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight", sd[f"{h}.mlp.gate.weight"])
+        for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+            stacked = np.stack(
+                [sd[f"{h}.mlp.experts.{e}.{theirs}.weight"]
+                 for e in range(c["E"])])
+            w.add_tensor_np(f"{p}.ffn_{ours}_exps.weight", stacked)
+            w.add_tensor_np(f"{p}.ffn_{ours}_shexp.weight",
+                            sd[f"{h}.mlp.shared_expert.{theirs}.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp_shexp.weight",
+                        sd[f"{h}.mlp.shared_expert_gate.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("qm") / "q2moe.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
