@@ -55,8 +55,12 @@ def main():
     weight_bytes = sum(i.nbytes for i in gguf.tensors.values())
     load_s = time.time() - t0
 
+    # bf16 KV cache: llama.cpp's default KV type is f16, so this matches
+    # the reference's memory traffic; decode reads the whole padded cache
+    # each step, so halving it is a direct decode win
     runner = ModelRunner(params, cfg, max_batch=1, max_seq=2048,
-                         matmul_precision="default")
+                         matmul_precision="default",
+                         kv_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, size=32).tolist()
