@@ -336,7 +336,7 @@ class BatchedEngine:
         admission burst costs one step per chunk instead of one per
         sequence — and long prompts still never block in-flight decoding
         for their whole prefill."""
-        from .runner import bucket_len
+        from .runner import bucket_len, read_bucket
 
         seqs = [s for s in self._slots if s is not None and not s.decoding]
         if not seqs:
@@ -356,7 +356,8 @@ class BatchedEngine:
             pos[s.slot, : len(c)] = s.prefilled + np.arange(len(c))
             lengths[s.slot] = s.prefilled + len(c)
         logits, self._kv = self.runner.step(
-            np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv)
+            np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv,
+            read_bound=read_bucket(int(lengths.max()), self.runner.max_seq))
         logits_np = None
         for s in seqs:
             n = len(chunks[s.slot])
@@ -385,8 +386,12 @@ class BatchedEngine:
             pos[s.slot, 0] = s.pos
             lengths[s.slot] = s.pos + 1
 
+        from .runner import read_bucket
+
         t0 = time.time()
-        logits, self._kv = self.runner.step(toks, pos, lengths, self._kv)
+        logits, self._kv = self.runner.step(
+            toks, pos, lengths, self._kv,
+            read_bound=read_bucket(int(lengths.max()), self.runner.max_seq))
         logits_np = np.asarray(logits)  # [B, 1, V]
         self.stats.decode_time += time.time() - t0
         self.stats.decode_steps += 1

@@ -41,8 +41,11 @@ def _chunk_nll(runner, ids: list[int]) -> tuple[float, int]:
     pos[0] = np.arange(t)
     lengths = np.zeros((runner.max_batch,), np.int32)
     lengths[0] = t
+    from .runner import read_bucket
+
     logits, _ = runner.step(jnp.asarray(toks), jnp.asarray(pos),
-                            jnp.asarray(lengths), kv)
+                            jnp.asarray(lengths), kv,
+                            read_bound=read_bucket(t, runner.max_seq))
     logp = jax.nn.log_softmax(logits[0, : t - 1].astype(jnp.float32), axis=-1)
     targets = jnp.asarray(ids[1:], jnp.int32)
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1).sum()

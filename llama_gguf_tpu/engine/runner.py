@@ -36,6 +36,23 @@ def bucket_len(t: int) -> int:
     return int(2 ** math.ceil(math.log2(t)))
 
 
+READ_BOUND_MIN = 256
+
+
+def read_bucket(n: int, max_seq: int) -> int:
+    """Static KV read bound covering ``n`` live positions: the smallest
+    power-of-two >= n (floor 256, cap max_seq). Power-of-two bucketing keeps
+    the number of distinct compiled steps logarithmic while the decode-phase
+    cache read scales with the LIVE context instead of the padded max_seq —
+    the static-shape analogue of ragged/flash decode attention."""
+    if n >= max_seq:
+        return max_seq
+    b = READ_BOUND_MIN
+    while b < n:
+        b *= 2
+    return min(b, max_seq)
+
+
 class ModelRunner:
     def __init__(self, params: dict, cfg: ModelConfig, max_batch: int = 1,
                  max_seq: int | None = None, kv_dtype=jnp.float32,
@@ -99,8 +116,8 @@ class ModelRunner:
 
     # -- compiled steps ------------------------------------------------------
 
-    def _get_step(self, b: int, t: int):
-        key = (b, t)
+    def _get_step(self, b: int, t: int, read_bound: int | None = None):
+        key = (b, t, read_bound)
         fn = self._steps.get(key)
         if fn is None:
             cfg = self.cfg
@@ -108,17 +125,25 @@ class ModelRunner:
 
             def _step(params, tokens, positions, lengths, kv):
                 with jax.default_matmul_precision(prec):
-                    return forward(params, cfg, tokens, positions, kv, lengths)
+                    return forward(params, cfg, tokens, positions, kv,
+                                   lengths, read_bound=read_bound)
 
             fn = jax.jit(_step, donate_argnums=(4,))
             self._steps[key] = fn
         return fn
 
     def step(self, tokens: jnp.ndarray, positions: jnp.ndarray,
-             lengths: jnp.ndarray, kv: dict) -> tuple[jnp.ndarray, dict]:
-        """Run one step. tokens/positions [B, T], lengths [B]."""
+             lengths: jnp.ndarray, kv: dict,
+             read_bound: int | None = None) -> tuple[jnp.ndarray, dict]:
+        """Run one step. tokens/positions [B, T], lengths [B].
+
+        ``read_bound``: static cap on KV positions attention reads (all
+        valid positions must be < read_bound); use read_bucket() to pick.
+        None = whole padded cache."""
         b, t = tokens.shape
-        fn = self._get_step(b, t)
+        if read_bound is not None:
+            read_bound = min(read_bound, self.max_seq)
+        fn = self._get_step(b, t, read_bound)
         if self.mesh is not None:
             from ..parallel.sharding import replicate_inputs
 
@@ -129,11 +154,11 @@ class ModelRunner:
                 return fn(self.params, tokens, positions, lengths, kv)
         return fn(self.params, tokens, positions, lengths, kv)
 
-    def _get_greedy_scan(self, b: int):
+    def _get_greedy_scan(self, b: int, read_bound: int | None = None):
         """Jitted N-step greedy decode entirely on device via lax.scan:
         one dispatch, no per-token host round-trips (the reference pays ~770
         host<->device transfers per token, engine.rs:396-399; we pay none)."""
-        key = ("greedy_scan", b)
+        key = ("greedy_scan", b, read_bound)
         fn = self._steps.get(key)
         if fn is None:
             cfg = self.cfg
@@ -146,7 +171,7 @@ class ModelRunner:
                     with jax.default_matmul_precision(prec):
                         logits, kv = forward(
                             params, cfg, toks[:, None], pos[:, None], kv,
-                            pos + 1,
+                            pos + 1, read_bound=read_bound,
                         )
                     nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
                     return (nxt, pos + 1, kv), nxt
@@ -166,7 +191,11 @@ class ModelRunner:
         Returns (generated [B, steps], kv)."""
         tokens0 = jnp.asarray(tokens0, jnp.int32)
         pos0 = jnp.asarray(pos0, jnp.int32)
-        fn = self._get_greedy_scan(tokens0.shape[0])
+        # static KV read bound for the whole scan: the highest position any
+        # step will have written is max(pos0) + steps - 1
+        bound = read_bucket(int(np.max(np.asarray(pos0))) + steps,
+                            self.max_seq)
+        fn = self._get_greedy_scan(tokens0.shape[0], bound)
         if self.mesh is not None:
             from ..parallel.sharding import replicate_inputs
 
@@ -207,7 +236,8 @@ class ModelRunner:
         lengths = np.zeros((b,), np.int32)
         lengths[batch_idx] = start_pos + t
         logits, kv = self.step(
-            jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(lengths), kv
+            jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(lengths), kv,
+            read_bound=read_bucket(start_pos + t, self.max_seq),
         )
         return logits[batch_idx, t - 1], kv, start_pos + t
 
@@ -222,6 +252,7 @@ class ModelRunner:
         lengths = np.zeros((b,), np.int32)
         lengths[batch_idx] = pos + 1
         logits, kv = self.step(
-            jnp.asarray(toks), jnp.asarray(posa), jnp.asarray(lengths), kv
+            jnp.asarray(toks), jnp.asarray(posa), jnp.asarray(lengths), kv,
+            read_bound=read_bucket(pos + 1, self.max_seq),
         )
         return logits[batch_idx, 0], kv

@@ -75,8 +75,12 @@ def _window(runner: ModelRunner, tokens: list[int], start_pos: int,
     pos[0, :t] = start_pos + np.arange(t)
     lengths = np.zeros((b,), np.int32)
     lengths[0] = start_pos + t
+    from .runner import read_bucket
+
     logits, kv = runner.step(jnp.asarray(toks), jnp.asarray(pos),
-                             jnp.asarray(lengths), kv)
+                             jnp.asarray(lengths), kv,
+                             read_bound=read_bucket(start_pos + t,
+                                                    runner.max_seq))
     return np.asarray(logits[0, :t]), kv
 
 

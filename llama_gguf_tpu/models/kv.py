@@ -242,20 +242,35 @@ def read_swa(kv: dict[str, Any], swa_idx: int, compute_dtype=jnp.float32
 
 def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
          head_dim: int | None = None,
-         v_head_dim: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+         v_head_dim: int | None = None,
+         bound: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dequantized K/V for one layer: ([B,S,H,Dk], [B,S,H,Dv]) in
     ``compute_dtype``. For i8 the dequant multiply fuses into the attention
-    matmuls under XLA; tq formats unpack+de-rotate (head_dim required)."""
+    matmuls under XLA; tq formats unpack+de-rotate (head_dim required).
+
+    ``bound``: STATIC position count to read — slices the cache to
+    [:, :bound] so HBM traffic covers only live positions instead of the
+    whole padded max_seq (the ragged-decode analogue of the reference's
+    cached flash attention, /root/reference/src/backend/cuda/kernels.rs:1395
+    — but done with static shapes so XLA tiles it like any dense read).
+    The caller guarantees every valid position < bound."""
     fmt = cache_format(kv, head_dim=head_dim)
     k = kv["k"][layer]
     v = kv["v"][layer]
+    if bound is not None and bound < k.shape[1]:
+        k = k[:, :bound]
+        v = v[:, :bound]
     if fmt.startswith("tq") and len(fmt) > 2:
         from .turboquant import decompress
 
         bits = int(fmt[2])
         vd = v_head_dim or head_dim
-        kf = decompress(k, kv["k_scale"][layer], bits, head_dim)
-        vf = decompress(v, kv["v_scale"][layer], bits, vd)
+        ks = kv["k_scale"][layer]
+        vs = kv["v_scale"][layer]
+        if bound is not None and bound < ks.shape[1]:
+            ks, vs = ks[:, :bound], vs[:, :bound]
+        kf = decompress(k, ks, bits, head_dim)
+        vf = decompress(v, vs, bits, vd)
         return kf.astype(compute_dtype), vf.astype(compute_dtype)
     if fmt == "tq":
         raise ValueError("tq cache read requires head_dim")
@@ -265,8 +280,12 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
             " attention runs on the compressed keys via ops.attention."
             "qjl_attention")
     if fmt == "i8":
-        k = k.astype(compute_dtype) * kv["k_scale"][layer][..., None].astype(compute_dtype)
-        v = v.astype(compute_dtype) * kv["v_scale"][layer][..., None].astype(compute_dtype)
+        ks = kv["k_scale"][layer]
+        vs = kv["v_scale"][layer]
+        if bound is not None and bound < ks.shape[1]:
+            ks, vs = ks[:, :bound], vs[:, :bound]
+        k = k.astype(compute_dtype) * ks[..., None].astype(compute_dtype)
+        v = v.astype(compute_dtype) * vs[..., None].astype(compute_dtype)
         return k, v
     return k.astype(compute_dtype), v.astype(compute_dtype)
 

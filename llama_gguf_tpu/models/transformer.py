@@ -48,7 +48,8 @@ def _act(x: jnp.ndarray, act: Activation) -> jnp.ndarray:
 
 def mla_attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                   positions: jnp.ndarray, kv: dict, layer_idx: int,
-                  lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+                  lengths: jnp.ndarray,
+                  read_bound: int | None = None) -> tuple[jnp.ndarray, dict]:
     """Multi-head Latent Attention (DeepSeek-V2/V3), ABSORBED form.
 
     Instead of reconstructing per-head K/V from the compressed latent
@@ -94,7 +95,7 @@ def mla_attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                              k_rope.astype(jnp.float32)], axis=-1)
     kv = KV.write(kv, layer_idx, k_eff, c_kv[:, :, None, :], positions)
     keys, vals = KV.read(kv, layer_idx, head_dim=rank + rope_dim,
-                         v_head_dim=rank)
+                         v_head_dim=rank, bound=read_bound)
 
     from ..ops.attention import attention_scores
 
@@ -113,15 +114,18 @@ def mla_attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
 def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
               positions: jnp.ndarray, kv: dict, layer_idx: int,
-              lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+              lengths: jnp.ndarray,
+              read_bound: int | None = None) -> tuple[jnp.ndarray, dict]:
     """Attention with KV cache.
 
     x: [B, T, H]; positions: [B, T]; lengths: [B] (valid cache length AFTER
-    this step's tokens are written). Returns ([B, T, H], kv').
+    this step's tokens are written). ``read_bound``: static cap on cache
+    positions to read (see models/kv.read) — every valid position must be
+    < read_bound. Returns ([B, T, H], kv').
     """
     if "kv_a" in layer:  # MLA (DeepSeek-V2/V3)
         return mla_attention(layer, cfg, x, positions, kv, layer_idx,
-                             lengths)
+                             lengths, read_bound)
     b, t, _ = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     vd = cfg.value_length or hd
@@ -200,15 +204,19 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                 "(scores are sign-sketch estimates); use another format")
         from ..ops.attention import qjl_attention
 
+        s_cap = kv["k"].shape[2]
+        rb = min(read_bound, s_cap) if read_bound is not None else s_cap
         ctx = qjl_attention(
-            qg, kv["k"][cache_idx], kv["k_scale"][cache_idx],
-            kv["v"][cache_idx], kv["v_scale"][cache_idx], positions,
+            qg, kv["k"][cache_idx][:, :rb], kv["k_scale"][cache_idx][:, :rb],
+            kv["v"][cache_idx][:, :rb], kv["v_scale"][cache_idx][:, :rb],
+            positions,
             lengths, scale=cfg.attention_scale or hd**-0.5, v_head_dim=vd,
             softcap=cfg.attn_logit_softcap,
             sliding_window=window,
         )
     else:
-        keys, vals = KV.read(kv, cache_idx, head_dim=hd, v_head_dim=vd)
+        keys, vals = KV.read(kv, cache_idx, head_dim=hd, v_head_dim=vd,
+                             bound=read_bound)
         from ..ops.attention import attention_scores
 
         sinks = None
@@ -354,7 +362,9 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
 
 def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                       positions: jnp.ndarray, kv: dict, layer_idx: int,
-                      lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+                      lengths: jnp.ndarray,
+                      read_bound: int | None = None
+                      ) -> tuple[jnp.ndarray, dict]:
     # NOTE: gemma GGUFs store norm weights already offset by +1 (the HF->GGUF
     # converter adds it), so runtime norms are PLAIN RMSNorm for every arch.
 
@@ -364,7 +374,8 @@ def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     # olmo2-style models have no pre-norms: attn/ffn read x directly and
     # only the post-norms apply
     h = norm(layer["attn_norm"], x) if layer.get("attn_norm") else x
-    attn_out, kv = attention(layer["attn"], cfg, h, positions, kv, layer_idx, lengths)
+    attn_out, kv = attention(layer["attn"], cfg, h, positions, kv, layer_idx,
+                             lengths, read_bound)
     if "post_attn_norm" in layer:  # Gemma2/3: norm applied to attn output
         attn_out = norm(layer["post_attn_norm"], attn_out)
 
@@ -435,9 +446,12 @@ def compute_logits(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarra
 
 def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, kv: dict,
-            lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+            lengths: jnp.ndarray,
+            read_bound: int | None = None) -> tuple[jnp.ndarray, dict]:
     """Full forward. tokens/positions: [B, T]; lengths: [B] valid KV length
-    after writing this step. Returns (logits [B, T, V], kv')."""
+    after writing this step. ``read_bound``: STATIC cap on KV positions
+    attention reads (caller guarantees all valid positions < read_bound);
+    None reads the whole padded cache. Returns (logits [B, T, V], kv')."""
     from ..utils.debug import trace_activation
 
     x = embed(params, cfg, tokens, positions)
@@ -451,7 +465,8 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             from .mamba import mamba_layer
             x, kv = mamba_layer(layer, cfg, x, positions, kv, i, lengths)
         else:
-            x, kv = transformer_layer(layer, cfg, x, positions, kv, i, lengths)
+            x, kv = transformer_layer(layer, cfg, x, positions, kv, i,
+                                      lengths, read_bound)
         trace_activation("out", i, x)
     logits = compute_logits(params, cfg, x)
     return logits, kv

@@ -21,10 +21,11 @@ sign masks:
 
 The 7-bit sign table is algorithmic (index bits + odd-parity bit 7) and is
 generated here. The lattice grid tables are interop constants from the
-ggml/llama.cpp format definition and are NOT vendored in this repo: run
-``python scripts/extract_iq_grids.py <path-to-ggml-quants.c>`` once against
-any llama.cpp/ggml checkout to produce ``iq_grids.npz`` (or set
-LLAMA_GGUF_IQ_GRIDS). Without grids these formats raise a clear error.
+ggml/llama.cpp format definition, vendored in quant/iq_grid_data.py (the
+reference vendors the same data in iq_grids.rs) — IQ2/IQ3 files decode out
+of the box. ``scripts/extract_iq_grids.py`` can still regenerate them from
+a ggml checkout into ``iq_grids.npz`` (or LLAMA_GGUF_IQ_GRIDS), which takes
+precedence for auditing against upstream.
 """
 
 from __future__ import annotations
@@ -76,6 +77,10 @@ def _signs_from_index(idx: np.ndarray, n: int = 8) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _load_grids() -> dict[str, np.ndarray] | None:
+    """Grid tables: an explicit npz override wins (LLAMA_GGUF_IQ_GRIDS or a
+    repo-root iq_grids.npz from scripts/extract_iq_grids.py); otherwise the
+    vendored format constants (quant/iq_grid_data.py) are used — IQ files
+    decode out of the box, no extraction step required."""
     candidates = [
         os.environ.get("LLAMA_GGUF_IQ_GRIDS"),
         str(Path(__file__).resolve().parents[2] / "iq_grids.npz"),
@@ -85,7 +90,9 @@ def _load_grids() -> dict[str, np.ndarray] | None:
         if c and os.path.exists(c):
             data = np.load(c)
             return {k: np.asarray(data[k]) for k in data.files}
-    return None
+    from . import iq_grid_data
+
+    return iq_grid_data.load()
 
 
 def _grid(fmt: str) -> np.ndarray:

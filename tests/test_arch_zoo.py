@@ -790,7 +790,7 @@ def test_gptneox_parallel_residual_matches_hf(tmp_path_factory, rng):
 
 # -- olmo2 (post-norm only, flat QK-norm) --------------------------------------------
 
-def test_olmo2_matches_hf(tmp_path_factory, rng):
+def test_olmo2_flat_qknorm_matches_hf(tmp_path_factory, rng):
     import torch
     from transformers import Olmo2Config, Olmo2ForCausalLM
 
