@@ -57,9 +57,11 @@ QK_NORM = {
     "gemma2", "gemma3", "gemma3n", "olmo2",
 }
 
+# StableLM is NOT here: HF/llama.cpp keep separate q/k/v projections
+# (verified against StableLmForCausalLM, tests/test_arch_zoo.py)
 COMBINED_QKV = {
     "phi2", "phi3", "phimoe", "gptneox", "gptj", "falcon", "falcon-h1",
-    "stablelm", "refact", "codeshell", "bloom", "mpt",
+    "refact", "codeshell", "bloom", "mpt",
 }
 
 POST_FFN_NORM = {"gemma2", "gemma3", "gemma3n", "olmo2"}
@@ -72,6 +74,9 @@ LAYER_NORM = {
     "gpt2", "bloom", "gptj", "gptneox", "falcon", "mpt", "opt", "phi2",
     "bert", "modern-bert", "nomic-bert", "jina-bert-v2", "jina-bert-v3",
     "eurobert", "t5", "t5encoder", "stablelm", "starcoder", "starcoder2",
+    # PhiMoE keeps Phi-2's LayerNorm (HF PhimoeDecoderLayer uses nn.LayerNorm
+    # with rms_norm_eps), unlike phi3's RMSNorm
+    "phimoe",
     # Cohere family LayerNorm is mean-centered, weight-only (no bias)
     "command", "command-r", "cohere2",
 }
@@ -80,9 +85,10 @@ LAYER_NORM = {
 RELU = {"opt"}
 
 GELU = {
-    # NOTE: phi3/phimoe are SwiGLU (silu), unlike phi2's gelu_new
+    # NOTE: phi3/phimoe are SwiGLU (silu), unlike phi2's gelu_new.
+    # StableLM is SwiGLU too (HF StableLmMLP: silu gate/up/down).
     "phi2", "gpt2", "gptj", "gptneox", "bloom",
-    "falcon", "stablelm", "bert", "modern-bert", "starcoder", "starcoder2",
+    "falcon", "bert", "modern-bert", "starcoder", "starcoder2",
     "codeshell", "refact",
     # gemma family uses gated GELU (geglu) rather than SwiGLU
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
@@ -103,9 +109,10 @@ NO_ROPE = {"gpt2", "bloom", "opt", "starcoder", "mpt", "jais", "refact"}
 ALIBI = {"bloom", "mpt", "jais"}
 
 NO_GATE_FFN = {
-    # NOTE: phi3/phimoe use gated SwiGLU, unlike phi/phi2's plain GELU MLP
+    # NOTE: phi3/phimoe use gated SwiGLU, unlike phi/phi2's plain GELU MLP;
+    # stablelm is gated SwiGLU as well
     "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
-    "stablelm", "codeshell", "bert", "modern-bert",
+    "codeshell", "bert", "modern-bert",
     "nomic-bert", "t5", "t5encoder", "starcoder", "starcoder2",
 }
 
@@ -127,7 +134,9 @@ MLP_BIAS = {
 }
 
 PARALLEL_RESIDUAL = {
-    "gptneox", "gptj", "stablelm", "phi", "phi2", "codeshell",
+    # falcon-7b style (parallel_attn=True, single input norm); stablelm is
+    # NOT parallel (HF StableLmConfig use_parallel_residual defaults False)
+    "gptneox", "gptj", "phi", "phi2", "codeshell", "falcon",
     # Cohere family: attn and ffn both read the single pre-norm
     "command", "command-r", "cohere2",
 }

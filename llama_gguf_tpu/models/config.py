@@ -72,7 +72,8 @@ class ModelConfig:
     expert_shared_count: int = 0
     expert_weights_norm: bool = False
     expert_weights_scale: float = 1.0  # DeepSeek routed_scaling_factor
-    expert_gating_func: int = 1  # 1 = softmax (V2), 2 = sigmoid (V3)
+    expert_gating_func: int = 1  # 1 = softmax, 2 = sigmoid (V3), 3 = sparsemixer (phimoe)
+    router_jitter_eps: float = 0.0  # sparsemixer mask threshold (phimoe 0.01)
     expert_group_count: int = 0  # DeepSeek-V3 node-limited routing groups
     expert_group_used_count: int = 0
     # MLA (DeepSeek-V2/V3): low-rank q/kv projections. head_dim is the
@@ -283,7 +284,13 @@ def parse_config(metadata: Mapping[str, Any],
         expert_shared_count=gi("expert_shared_count", 0),
         expert_weights_norm=bool(metadata.get(f"{arch}.expert_weights_norm", False)),
         expert_weights_scale=gf("expert_weights_scale", 1.0),
-        expert_gating_func=gi("expert_gating_func", 1) or 1,
+        # phimoe routes with sparsemixer (HF PhimoeSparseMoeBlock), not
+        # plain softmax-topk — selection by thresholded argmax, weights
+        # from the masked softmax
+        expert_gating_func=(3 if arch == "phimoe"
+                            else gi("expert_gating_func", 1) or 1),
+        router_jitter_eps=gf("router_jitter_eps",
+                             0.01 if arch == "phimoe" else 0.0),
         expert_group_count=gi("expert_group_count", 0),
         expert_group_used_count=gi("expert_group_used_count", 0),
         q_lora_rank=gi("attention.q_lora_rank", 0),

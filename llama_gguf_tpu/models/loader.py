@@ -141,11 +141,17 @@ class ModelLoader:
         p = f"blk.{i}"
         layer: dict[str, Any] = {}
 
-        if cfg.arch_info is not None and cfg.arch_info.is_recurrent and \
-                self.has(f"{p}.ssm_in.weight"):
+        # DeltaNet layers (qwen3next/qwen3.5) carry ssm_beta/ssm_ba (both
+        # variants also have ssm_a, so check these FIRST); Mamba layers have
+        # ssm_a + ssm_dt without them. Tensor presence (not the arch)
+        # decides, so hybrids like jamba mix kinds per layer.
+        if self.has(f"{p}.ssm_beta.weight") or self.has(f"{p}.ssm_ba.weight"):
+            from .deltanet import load_deltanet_layer
+            return load_deltanet_layer(self, i, cfg)
+        if self.has(f"{p}.ssm_a.weight") or self.has(f"{p}.ssm_a"):
             from .mamba import load_mamba_layer
             return load_mamba_layer(self, i, cfg)
-        if self.has(f"{p}.ssm_in.weight") or self.has(f"{p}.ssm_beta.weight"):
+        if self.has(f"{p}.ssm_in.weight"):
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
 
@@ -347,13 +353,14 @@ class ModelLoader:
         if embed_norm is not None:  # bloom word_embeddings_layernorm
             params["embed_norm"] = embed_norm
         params["layers"] = [self.load_layer(i, cfg) for i in range(cfg.num_layers)]
-        recurrent = cfg.arch_info is not None and cfg.arch_info.is_recurrent
 
         def kind(i: int) -> str:
-            if self.has(f"blk.{i}.ssm_in.weight") and recurrent:
+            if self.has(f"blk.{i}.ssm_beta.weight") or \
+                    self.has(f"blk.{i}.ssm_ba.weight"):
+                return "deltanet"
+            if self.has(f"blk.{i}.ssm_a.weight") or self.has(f"blk.{i}.ssm_a"):
                 return "mamba"
-            if self.has(f"blk.{i}.ssm_in.weight") or \
-                    self.has(f"blk.{i}.ssm_beta.weight"):
+            if self.has(f"blk.{i}.ssm_in.weight"):
                 return "deltanet"
             return "attn"
 

@@ -79,6 +79,10 @@ def mamba_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     dt_raw = x_db[..., :dtr]
     b_t = x_db[..., dtr: dtr + ds]          # [B, T, ds]
     c_t = x_db[..., dtr + ds: dtr + 2 * ds]  # [B, T, ds]
+    if "dt_norm" in layer:  # jamba: RMSNorms on dt/B/C before discretization
+        dt_raw = rms_norm(dt_raw, layer["dt_norm"], cfg.norm_eps)
+        b_t = rms_norm(b_t, layer["b_norm"], cfg.norm_eps)
+        c_t = rms_norm(c_t, layer["c_norm"], cfg.norm_eps)
     dt = L.apply(layer["ssm_dt"], dt_raw.astype(x.dtype)).astype(jnp.float32)
     dt = jax.nn.softplus(dt + layer["dt_bias"].astype(jnp.float32))  # [B,T,di]
 
@@ -115,7 +119,21 @@ def mamba_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     mamba["conv"] = mamba["conv"].at[layer_idx].set(new_conv)
     mamba["ssm"] = mamba["ssm"].at[layer_idx].set(ssm_f)
     kv["mamba"] = mamba
-    return residual + out, kv
+    x = residual + out
+
+    if "ffn" in layer:  # jamba: mamba mixer + FFN/MoE half per block
+        from ..ops.norms import apply_norm
+        from .transformer import feed_forward, moe_layer
+
+        h2 = apply_norm(x, layer["ffn_norm"], cfg.norm_eps,
+                        cfg.uses_layer_norm)
+        ffn_out = (
+            moe_layer(layer["ffn"], cfg, h2)
+            if "router" in layer["ffn"]
+            else feed_forward(layer["ffn"], cfg, h2)
+        )
+        x = x + ffn_out
+    return x, kv
 
 
 def load_mamba_layer(loader, i: int, cfg) -> dict:
@@ -143,4 +161,14 @@ def load_mamba_layer(loader, i: int, cfg) -> dict:
                                    f"{p}.ssm_dt.bias")
     if loader.has(f"{p}.ssm_d"):
         layer["ssm_d"] = loader._put(loader.dense(f"{p}.ssm_d"), f"{p}.ssm_d")
+    # jamba: RMSNorms on dt/B/C (HF JambaMambaMixer dt/b/c_layernorm)
+    for tag in ("dt", "b", "c"):
+        name = f"{p}.ssm_{tag}_norm"
+        if loader.has(f"{name}.weight"):
+            layer[f"{tag}_norm"] = loader._put(
+                loader.dense(f"{name}.weight"), f"{name}.weight")
+    # jamba blocks pair the mamba mixer with an FFN/MoE half
+    if loader.has(f"{p}.ffn_norm.weight"):
+        layer["ffn_norm"] = loader.norm(f"{p}.ffn_norm")
+        layer["ffn"] = loader._load_ffn(i, cfg)
     return layer

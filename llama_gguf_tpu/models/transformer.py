@@ -292,6 +292,31 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         if cfg.expert_weights_norm:
             topv = topv / (topv.sum(-1, keepdims=True) + 1e-20)
         topv = topv * cfg.expert_weights_scale
+    elif cfg.expert_gating_func == 3:
+        # PhiMoE sparsemixer (inference path of HF sparsemixer, top-2):
+        # expert_i = argmax of the (i-th masked) scores; its weight is the
+        # softmax over scores with entries far below the max (relative gap
+        # > 2*jitter_eps) masked to -inf. The second round first masks the
+        # first expert out. Selection is by raw argmax (not by weight).
+        eps2 = 2.0 * cfg.router_jitter_eps
+        n_idx = jnp.arange(router_logits.shape[0])
+
+        def pick(scores_sel, scores_full):
+            # scores_sel: selection scores (may have prior winners at -inf);
+            # scores_full: original scores (threshold denominator)
+            m = scores_sel.max(-1, keepdims=True)
+            factor = jnp.maximum(jnp.abs(scores_full), m)
+            masked = jnp.where(
+                (m - scores_sel) / factor > eps2, -jnp.inf, scores_sel)
+            e = jnp.argmax(scores_sel, axis=-1)
+            w = jax.nn.softmax(masked, axis=-1)[n_idx, e]
+            return e, w
+
+        e1, w1 = pick(router_logits, router_logits)
+        masked2 = router_logits.at[n_idx, e1].set(-jnp.inf)
+        e2, w2 = pick(masked2, router_logits)
+        topi = jnp.stack([e1, e2], axis=-1)
+        topv = jnp.stack([w1, w2], axis=-1)
     elif ffn.get("router_softmax_before_topk", True):
         probs = jax.nn.softmax(router_logits, axis=-1)
         topv, topi = jax.lax.top_k(probs, k)  # [N, k]

@@ -99,11 +99,18 @@ class KnowledgeBase:
         ck = get_chunker(chunker or self.default_chunker, self.chunk_size,
                          self.chunk_overlap)
         chunks = chunk_text(text, ck)
+        from .multimodal import ContentExtractor
+
         rows = []
         for c in chunks:
             emb = self.embedder.embed(c.text)
             meta = dict(metadata or {})
             meta.update(c.metadata)
+            # per-chunk modality tag (parity: multimodal.rs ContentType) —
+            # retrieval can filter on it ({"content_type": "code"})
+            meta.setdefault(
+                "content_type",
+                ContentExtractor.detect_content_type(c.text).value)
             rows.append((c.text, emb, meta))
         n = self.store.add_document(doc_id, source or doc_id, rows,
                                     content_hash=h, metadata=metadata)
@@ -138,6 +145,57 @@ class KnowledgeBase:
 
     def delete(self, doc_id: str) -> None:
         self.store.delete_document(doc_id)
+
+    def sync_directory(self, path: str, pattern: str | None = None,
+                       recursive: bool = True,
+                       chunker: str | None = None):
+        """Incrementally re-index a directory (parity: rag/sync.rs sync
+        flow): new files are ingested, modified files re-chunk ONLY
+        themselves (add_document replaces), deleted files drop their
+        chunks, unchanged files are no-ops. The store itself is the
+        tracker — document rows carry content hashes. Returns SyncResult."""
+        from .sync import SyncResult, collect_files
+
+        result = SyncResult()
+        seen: set[str] = set()
+        for f in collect_files(path, pattern, recursive):
+            uri = str(f)
+            if ContentKind.from_path(uri) in (ContentKind.IMAGE,
+                                              ContentKind.AUDIO):
+                continue
+            seen.add(uri)
+            try:
+                text = f.read_text(errors="replace")
+            except OSError as e:
+                result.errors.append((uri, str(e)))
+                continue
+            h = self.store.content_hash(text)
+            if self.store.has_document(uri, h):
+                result.unchanged += 1
+                self.stats.skipped_unchanged += 1
+                continue
+            existed = self.store.has_document(uri)
+            self.ingest_path(uri, chunker=chunker)
+            if existed:
+                result.updated += 1
+            else:
+                result.added += 1
+        # tracked documents under this root that vanished from disk
+        root = str(Path(path).resolve())
+        for doc_id, source, _ in self.store.list_documents():
+            if doc_id in seen:
+                continue
+            try:
+                inside = str(Path(doc_id).resolve()).startswith(root + os.sep)
+            except OSError:
+                inside = False
+            if inside and not os.path.exists(doc_id):
+                self.store.delete_document(doc_id)
+                result.deleted += 1
+        st = self.store.stats()
+        self.stats.documents = st["documents"]
+        self.stats.chunks = st["chunks"]
+        return result
 
     # -- retrieval ----------------------------------------------------------------
 

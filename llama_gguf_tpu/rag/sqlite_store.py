@@ -149,6 +149,12 @@ class SqliteVectorStore:
         self._index_dirty = True
         return n
 
+    def list_documents(self) -> list[tuple[str, str, str | None]]:
+        """All (doc_id, source, content_hash) rows — lets the store act as
+        the incremental-sync tracker (rag/sync.py) with no side-car state."""
+        return [tuple(r) for r in self.db.execute(
+            "SELECT doc_id, source, content_hash FROM documents")]
+
     def delete_document(self, doc_id: str) -> None:
         ids = [r[0] for r in self.db.execute(
             "SELECT id FROM chunks WHERE doc_id=?", (doc_id,))]

@@ -1919,3 +1919,377 @@ def test_qwen2moe_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+# -- falcon (parallel residual, MQA, fused qkv [q|k|v], exact-gelu MLP) --------
+
+def test_falcon_matches_hf(tmp_path_factory, rng):
+    """Falcon-7B style: multi_query (1 KV head), parallel attn+MLP residual
+    off a single input LayerNorm, fused qkv already laid out [q | k | v],
+    full-dim NEOX rope, bias-free projections."""
+    import torch
+    from transformers import FalconConfig, FalconForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ctx=64)
+    hf_cfg = FalconConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        new_decoder_architecture=False, multi_query=True, parallel_attn=True,
+        bias=False, alibi=False, rope_theta=10000.0,
+        layer_norm_epsilon=1e-5, max_position_embeddings=c["ctx"],
+        attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    torch.manual_seed(41)
+    with torch.no_grad():
+        model = FalconForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "falcon"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", 1)
+    w.add_metadata(f"{a}.feed_forward_length", 4 * c["hidden"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight",
+                    sd["transformer.word_embeddings.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"transformer.h.{i}"
+        # HF multi_query fused qkv is already [all q | k | v]
+        w.add_tensor_np(f"{p}.attn_qkv.weight",
+                        sd[f"{h}.self_attention.query_key_value.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attention.dense.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_up.weight",
+                        sd[f"{h}.mlp.dense_h_to_4h.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight",
+                        sd[f"{h}.mlp.dense_4h_to_h.weight"])
+    w.add_tensor_np("output_norm.weight", sd["transformer.ln_f.weight"])
+    w.add_tensor_np("output_norm.bias", sd["transformer.ln_f.bias"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("fa") / "falcon.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    # HF falcon uses exact erf-GELU; we use ggml's tanh approximation
+    # (llama.cpp parity) — hence the slightly wider tolerance
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.use_parallel_residual and cfg.uses_layer_norm
+    assert cfg.num_kv_heads == 1
+
+
+# -- stablelm (partial rope, LayerNorm+bias norms, gated SiLU MLP) -------------
+
+def test_stablelm_matches_hf(tmp_path_factory, rng):
+    """StableLM-2: separate q/k/v (NOT combined), partial NEOX rope
+    (rotary 25%), LayerNorm with bias, SEQUENTIAL residual, SwiGLU MLP —
+    the registry previously had gelu/no-gate/parallel, all wrong."""
+    import torch
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64)
+    hd = c["hidden"] // c["heads"]
+    hf_cfg = StableLmConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        partial_rotary_factor=0.25, layer_norm_eps=1e-5,
+        use_qkv_bias=False, use_parallel_residual=False,
+        qk_layernorm=False, attention_dropout=0.0, hidden_dropout=0.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(43)
+    with torch.no_grad():
+        model = StableLmForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "stablelm"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.rope.dimension_count", int(hd * 0.25))
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias",
+                        sd[f"{h}.post_attention_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output_norm.bias", sd["model.norm.bias"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("sl") / "stablelm.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert not cfg.use_parallel_residual and cfg.has_ffn_gate
+    assert cfg.rope.n_dims == int(hd * 0.25) and cfg.uses_layer_norm
+
+
+# -- phimoe (sparsemixer top-2 routing, LayerNorm, SwiGLU experts) -------------
+
+def test_phimoe_matches_hf(tmp_path_factory, rng):
+    """PhiMoE: LayerNorm (not RMSNorm, unlike phi3), full-dim NEOX rope and
+    SPARSEMIXER routing — experts picked by thresholded argmax, weights from
+    the masked softmax (HF PhimoeSparseMoeBlock inference path)."""
+    import torch
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=96, ctx=64,
+             E=4, topk=2)
+    hf_cfg = PhimoeConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        num_local_experts=c["E"], num_experts_per_tok=c["topk"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        rms_norm_eps=1e-5, attention_dropout=0.0,
+        router_jitter_noise=0.01, input_jitter_noise=0.0,
+        attention_bias=False, lm_head_bias=False, sliding_window=None,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(47)
+    with torch.no_grad():
+        model = PhimoeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "phimoe"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.expert_count", c["E"])
+    w.add_metadata(f"{a}.expert_used_count", c["topk"])
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias",
+                        sd[f"{h}.post_attention_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                        sd[f"{h}.block_sparse_moe.gate.weight"])
+        # expert stacks [E, out, in]: w1=gate, w3=up, w2=down
+        gate = np.stack([sd[f"{h}.block_sparse_moe.experts.{e}.w1.weight"]
+                         for e in range(c["E"])])
+        up = np.stack([sd[f"{h}.block_sparse_moe.experts.{e}.w3.weight"]
+                       for e in range(c["E"])])
+        down = np.stack([sd[f"{h}.block_sparse_moe.experts.{e}.w2.weight"]
+                         for e in range(c["E"])])
+        w.add_tensor_np(f"{p}.ffn_gate_exps.weight", gate)
+        w.add_tensor_np(f"{p}.ffn_up_exps.weight", up)
+        w.add_tensor_np(f"{p}.ffn_down_exps.weight", down)
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output_norm.bias", sd["model.norm.bias"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("pm") / "phimoe.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.expert_gating_func == 3 and cfg.router_jitter_eps == 0.01
+    assert cfg.uses_layer_norm
+
+
+# -- jamba (attn/mamba hybrid, periodic MoE, NoPE attention) -------------------
+
+def test_jamba_matches_hf(tmp_path_factory, rng):
+    """Jamba: interleaved attention and Mamba-1 blocks (per-layer kind from
+    tensor presence), NO positional encoding on attention layers, dt/B/C
+    RMSNorms inside the mamba mixer, MoE (softmax-topk, no renorm) on
+    alternating layers, plain SwiGLU FFN elsewhere."""
+    import torch
+    from transformers import JambaConfig, JambaForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=4, heads=4, kv=2, ffn=128, ctx=64,
+             E=4, topk=2, d_state=8, d_conv=4, expand=2)
+    dtr = max(c["hidden"] // 16, 1)
+    di = c["expand"] * c["hidden"]
+    hf_cfg = JambaConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        num_experts=c["E"], num_experts_per_tok=c["topk"],
+        expert_layer_period=2, expert_layer_offset=1,
+        attn_layer_period=2, attn_layer_offset=0,
+        mamba_d_state=c["d_state"], mamba_d_conv=c["d_conv"],
+        mamba_expand=c["expand"], mamba_dt_rank=dtr,
+        mamba_conv_bias=True, mamba_proj_bias=False,
+        use_mamba_kernels=False, rms_norm_eps=1e-5,
+        max_position_embeddings=c["ctx"], attention_dropout=0.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(53)
+    with torch.no_grad():
+        model = JambaForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "jamba"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.attention.head_count", c["heads"])
+    w.add_metadata(f"{a}.attention.head_count_kv", c["kv"])
+    w.add_metadata(f"{a}.feed_forward_length", c["ffn"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.dimension_count", 0)  # NoPE attention
+    w.add_metadata(f"{a}.ssm.inner_size", di)
+    w.add_metadata(f"{a}.ssm.state_size", c["d_state"])
+    w.add_metadata(f"{a}.ssm.conv_kernel", c["d_conv"])
+    w.add_metadata(f"{a}.ssm.time_step_rank", dtr)
+    w.add_metadata(f"{a}.expert_count", c["E"])
+    w.add_metadata(f"{a}.expert_used_count", c["topk"])
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        is_attn = i % 2 == 0  # attn_layer_period=2, offset=0
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        if is_attn:
+            w.add_tensor_np(f"{p}.attn_q.weight",
+                            sd[f"{h}.self_attn.q_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_k.weight",
+                            sd[f"{h}.self_attn.k_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_v.weight",
+                            sd[f"{h}.self_attn.v_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_output.weight",
+                            sd[f"{h}.self_attn.o_proj.weight"])
+        else:
+            m = f"{h}.mamba"
+            w.add_tensor_np(f"{p}.ssm_in.weight", sd[f"{m}.in_proj.weight"])
+            w.add_tensor_np(f"{p}.ssm_conv1d.weight",
+                            sd[f"{m}.conv1d.weight"][:, 0, :])
+            w.add_tensor_np(f"{p}.ssm_conv1d.bias", sd[f"{m}.conv1d.bias"])
+            w.add_tensor_np(f"{p}.ssm_x.weight", sd[f"{m}.x_proj.weight"])
+            w.add_tensor_np(f"{p}.ssm_dt.weight", sd[f"{m}.dt_proj.weight"])
+            w.add_tensor_np(f"{p}.ssm_dt.bias", sd[f"{m}.dt_proj.bias"])
+            w.add_tensor_np(f"{p}.ssm_a",
+                            -np.exp(sd[f"{m}.A_log"]))  # pre-transformed
+            w.add_tensor_np(f"{p}.ssm_d", sd[f"{m}.D"])
+            w.add_tensor_np(f"{p}.ssm_out.weight", sd[f"{m}.out_proj.weight"])
+            w.add_tensor_np(f"{p}.ssm_dt_norm.weight",
+                            sd[f"{m}.dt_layernorm.weight"])
+            w.add_tensor_np(f"{p}.ssm_b_norm.weight",
+                            sd[f"{m}.b_layernorm.weight"])
+            w.add_tensor_np(f"{p}.ssm_c_norm.weight",
+                            sd[f"{m}.c_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.pre_ff_layernorm.weight"])
+        is_moe = i % 2 == 1  # expert_layer_period=2, offset=1
+        if is_moe:
+            w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                            sd[f"{h}.feed_forward.router.weight"])
+            gate = np.stack(
+                [sd[f"{h}.feed_forward.experts.{e}.gate_proj.weight"]
+                 for e in range(c["E"])])
+            up = np.stack(
+                [sd[f"{h}.feed_forward.experts.{e}.up_proj.weight"]
+                 for e in range(c["E"])])
+            down = np.stack(
+                [sd[f"{h}.feed_forward.experts.{e}.down_proj.weight"]
+                 for e in range(c["E"])])
+            w.add_tensor_np(f"{p}.ffn_gate_exps.weight", gate)
+            w.add_tensor_np(f"{p}.ffn_up_exps.weight", up)
+            w.add_tensor_np(f"{p}.ffn_down_exps.weight", down)
+        else:
+            w.add_tensor_np(f"{p}.ffn_gate.weight",
+                            sd[f"{h}.feed_forward.gate_proj.weight"])
+            w.add_tensor_np(f"{p}.ffn_up.weight",
+                            sd[f"{h}.feed_forward.up_proj.weight"])
+            w.add_tensor_np(f"{p}.ffn_down.weight",
+                            sd[f"{h}.feed_forward.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.final_layernorm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("jb") / "jamba.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    _, cfg, _ = load_model(path, mode="dequant")
+    assert cfg.layer_kinds == ("attn", "mamba", "attn", "mamba")
+    assert cfg.rope.n_dims == 0  # NoPE

@@ -214,3 +214,143 @@ def test_pgvector_gated():
 
     with pytest.raises(RuntimeError, match="psycopg2"):
         PgVectorStore("postgres://nope")
+
+
+# -- incremental directory sync (parity: rag/sync.rs) --------------------------
+
+def test_sync_directory_incremental(tmp_path):
+    from llama_gguf_tpu.rag.knowledge_base import KnowledgeBase
+    from llama_gguf_tpu.rag.sqlite_store import SqliteVectorStore
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.txt").write_text("alpha document about apples")
+    (docs / "b.txt").write_text("beta document about bananas")
+
+    kb = KnowledgeBase(SqliteVectorStore(":memory:"))
+    r1 = kb.sync_directory(str(docs))
+    assert (r1.added, r1.updated, r1.deleted, r1.unchanged) == (2, 0, 0, 0)
+
+    # no changes -> everything unchanged, nothing re-chunked
+    r2 = kb.sync_directory(str(docs))
+    assert (r2.added, r2.updated, r2.deleted, r2.unchanged) == (0, 0, 0, 2)
+
+    # modify one, add one, delete one
+    (docs / "a.txt").write_text("alpha document about apricots now")
+    (docs / "c.txt").write_text("gamma document about cherries")
+    (docs / "b.txt").unlink()
+    r3 = kb.sync_directory(str(docs))
+    assert (r3.added, r3.updated, r3.deleted, r3.unchanged) == (1, 1, 1, 0)
+
+    # the deleted document's chunks are gone from retrieval
+    hits = kb.retrieve("bananas", k=5, search="keyword")
+    assert all("banana" not in h.text for h in hits)
+    hits = kb.retrieve("apricots", k=5, search="keyword")
+    assert any("apricot" in h.text for h in hits)
+
+
+def test_document_tracker_state_file(tmp_path):
+    from llama_gguf_tpu.rag.sync import DocumentTracker, content_hash
+
+    docs = tmp_path / "src"
+    docs.mkdir()
+    (docs / "x.md").write_text("hello world")
+
+    state = str(tmp_path / "tracker.json")
+    tr = DocumentTracker(state_path=state)
+    changes = tr.detect_changes(docs)
+    assert [c.kind for c in changes] == ["new"]
+    tr.record_indexed(changes[0].uri, content_hash("hello world"), [1, 2])
+    tr.save()
+
+    # reload from disk: unchanged is detected across processes
+    tr2 = DocumentTracker(state_path=state)
+    tr2.load()
+    assert len(tr2) == 1
+    changes = tr2.detect_changes(docs)
+    assert [c.kind for c in changes] == ["unchanged"]
+
+    (docs / "x.md").write_text("hello world changed")
+    ch = tr2.detect_changes(docs)
+    assert ch[0].kind == "modified" and ch[0].old_chunk_ids == [1, 2]
+
+    (docs / "x.md").unlink()
+    ch = tr2.detect_changes(docs)
+    assert ch[0].kind == "deleted" and ch[0].old_chunk_ids == [1, 2]
+    tr2.record_deleted(ch[0].uri)
+    assert len(tr2) == 0
+
+
+# -- multimodal extraction (parity: rag/multimodal.rs) -------------------------
+
+def test_multimodal_extract_markdown():
+    from llama_gguf_tpu.rag.multimodal import ContentExtractor, ContentType
+
+    md = (
+        "Intro text here.\n\n"
+        "```python\ndef hello():\n    print('world')\n```\n"
+        "Some middle prose.\n"
+        "| a | b |\n|---|---|\n| 1 | 2 |\n"
+        "![diagram](img/d.png)\n"
+        "Closing words."
+    )
+    doc = ContentExtractor().extract_markdown(md, "doc.md")
+    kinds = [e.content_type for e in doc.elements]
+    assert ContentType.CODE in kinds and ContentType.TABLE in kinds
+    assert ContentType.IMAGE in kinds and ContentType.TEXT in kinds
+
+    code = doc.by_type(ContentType.CODE)[0]
+    assert "def hello" in code.text
+    assert code.metadata["language"] == "python"
+    assert code.metadata["line_count"] == 2
+
+    table = doc.by_type(ContentType.TABLE)[0]
+    assert table.metadata["rows"] == 2 and table.metadata["cols"] == 2
+    assert table.metadata["header"].startswith("| a |")
+
+    img = doc.by_type(ContentType.IMAGE)[0]
+    assert img.metadata["alt_text"] == "diagram"
+    assert img.metadata["url"] == "img/d.png"
+    assert doc.raw_text == md
+
+
+def test_multimodal_table_formats():
+    from llama_gguf_tpu.rag.multimodal import (
+        ContentExtractor, ContentType, ExtractionConfig, TableFormat,
+    )
+
+    md = "| a | b |\n|---|---|\n| 1 | 2 |"
+    csv = ContentExtractor(ExtractionConfig(table_format=TableFormat.CSV))
+    doc = csv.extract_markdown(md)
+    assert doc.elements[0].text == "a,b\n1,2"
+    plain = ContentExtractor(ExtractionConfig(table_format=TableFormat.PLAIN))
+    assert plain.extract_markdown(md).elements[0].text == "a b\n1 2"
+
+
+def test_multimodal_detect_content_type():
+    from llama_gguf_tpu.rag.multimodal import ContentExtractor, ContentType
+
+    d = ContentExtractor.detect_content_type
+    assert d("plain words") == ContentType.TEXT
+    assert d("| a | b |\n| 1 | 2 |") == ContentType.TABLE
+    assert d("```\ncode\n```") == ContentType.CODE
+    assert d("![x](y.png)") == ContentType.IMAGE
+    assert d("words and\n```\ncode\n```") == ContentType.MIXED
+
+
+def test_chunk_content_type_tagging(tmp_path):
+    """Ingested chunks get a content_type metadata tag, filterable at
+    retrieval (the multimodal typing applied end-to-end)."""
+    from llama_gguf_tpu.rag.knowledge_base import KnowledgeBase
+    from llama_gguf_tpu.rag.sqlite_store import SqliteVectorStore
+
+    kb = KnowledgeBase(SqliteVectorStore(":memory:"), chunk_size=64,
+                       chunk_overlap=0)
+    kb.ingest_text("```\nfrobnicate_the_widget()\n```", source="code.md",
+                   doc_id="code.md")
+    kb.ingest_text("just ordinary prose about widgets", source="t.txt",
+                   doc_id="t.txt")
+    hits = kb.retrieve("widget", k=5, search="keyword",
+                       filters={"content_type": "code"})
+    assert hits and all(h.metadata.get("content_type") == "code"
+                        for h in hits)
