@@ -20,6 +20,8 @@ Protocol (all processes in lock-step):
 from __future__ import annotations
 
 import logging
+import os
+import time
 from typing import Callable, Iterable
 
 import numpy as np
@@ -28,6 +30,10 @@ log = logging.getLogger(__name__)
 
 OP_STOP = 0
 OP_GENERATE = 1
+
+# test hook: artificial per-round slowdown (seconds) for degraded-host
+# simulation in the 2-process CPU tests
+_SLOWDOWN_ENV = "LLAMA_GGUF_STEP_SLOWDOWN_S"
 
 
 def _broadcast(vec: np.ndarray) -> np.ndarray:
@@ -48,16 +54,28 @@ def encode_request(op: int, tokens: list[int], max_new: int,
 
 def serve_spmd(runner, tokenizer, requests: Iterable[tuple[list[int], int]],
                max_prompt: int = 1024,
-               on_text: Callable[[str], None] | None = None) -> list[list[int]]:
+               on_text: Callable[[str], None] | None = None,
+               step_metrics: dict | None = None) -> list[list[int]]:
     """Run the lock-step loop. On the leader, ``requests`` yields
     (token_ids, max_new) pairs; on followers it must be an empty iterable
     (they take requests from the broadcast). Returns generated token lists
-    (leader; followers return their identical copies)."""
+    (leader; followers return their identical copies).
+
+    Per-round, every process's local wall time is all-gathered and fed to
+    the imbalance monitor (multihost.evaluate_imbalance — the SPMD analogue
+    of the reference's LoadBalancer, load_balancer.rs:143): a host running
+    >1.5x slower than the fastest is logged as degraded. Pass
+    ``step_metrics`` (dict) to also receive the per-host StepMetrics."""
     import jax
+
+    from .multihost import StepMetrics, evaluate_imbalance
 
     leader = jax.process_index() == 0
     outs: list[list[int]] = []
     it = iter(requests) if leader else None
+    metrics: dict = step_metrics if step_metrics is not None else {}
+    slowdown = float(os.environ.get(_SLOWDOWN_ENV, "0") or 0)
+    rounds = 0
 
     while True:
         if leader:
@@ -74,6 +92,7 @@ def serve_spmd(runner, tokenizer, requests: Iterable[tuple[list[int], int]],
             return outs
         toks = buf[3: 3 + n].tolist()
 
+        t0 = time.time()
         kv = runner.init_kv()
         logits, kv, pos = runner.prefill(toks, kv)
         first = int(np.argmax(np.asarray(logits)))
@@ -83,6 +102,29 @@ def serve_spmd(runner, tokenizer, requests: Iterable[tuple[list[int], int]],
                 np.asarray([first]), np.asarray([pos]), kv,
                 steps=max_new - 1)
             gen += np.asarray(more)[0].tolist()
+        if slowdown > 0:
+            time.sleep(slowdown)  # degraded-host simulation (tests)
+        local_s = time.time() - t0
+
+        # all-gather per-host round times and feed the imbalance monitor.
+        # The first round is excluded: it is dominated by jit compilation
+        # (tens of seconds), which would mask any real per-host skew.
+        from jax.experimental import multihost_utils
+
+        all_s = np.asarray(multihost_utils.process_allgather(
+            np.asarray([local_s], np.float32))).reshape(-1)
+        rounds += 1
+        if rounds > 1:
+            for p, s in enumerate(all_s):
+                metrics.setdefault(f"host{p}", StepMetrics()).record(float(s))
+        report = evaluate_imbalance(metrics)
+        if report.imbalanced and leader:
+            log.warning(
+                "host imbalance detected: slowest %.3fs vs fastest %.3fs "
+                "(ratio %.2fx) — a degraded host drags every collective; "
+                "replace it or drop it from the mesh",
+                report.max_ewma, report.min_ewma, report.ratio)
+
         outs.append(gen)
         if leader and on_text is not None and tokenizer is not None:
             on_text(tokenizer.decode(gen))

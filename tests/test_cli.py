@@ -212,3 +212,58 @@ def test_perplexity_matches_manual(model_path):
         lg.max(-1, keepdims=True)[:, 0]
     nll = -(lg[np.arange(t - 1), ids[1:]] - lse[: t - 1]).sum()
     assert res.nll_sum == pytest.approx(nll, rel=1e-4)
+
+
+def test_parity_runbook_harness(tmp_path, monkeypatch):
+    """scripts/parity_vs_llamacpp.py plumbing: with a stub 'llama.cpp'
+    backend that mirrors our own engine, every gate passes and the verdict
+    is PASS (no real llama.cpp exists in this environment; the runbook is
+    for when a real model + llama.cpp are available)."""
+    import importlib.util
+    import sys as _sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_tiny_model
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_vs_llamacpp",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "parity_vs_llamacpp.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    model = str(tmp_path / "tiny.gguf")
+    make_tiny_model(model, arch="qwen2", vocab=260, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=128, tokenizer=True)
+    engine = mod.load_ours(model, 128)
+
+    prompt = "hello world"
+    ours = mod.ours_greedy(engine, prompt, 8)
+    assert len(ours) == 8
+
+    class StubBackend:
+        """Echoes our engine — validates the comparison plumbing."""
+        def greedy(self, p, n):
+            return mod.ours_greedy(engine, p, n)
+
+        def last_logits(self, p):
+            return mod.ours_last_logits(engine, p)
+
+        def ppl(self, text_file, chunk):
+            text = open(text_file).read()
+            return mod.ours_ppl(engine, text, chunk)
+
+    b = StubBackend()
+    theirs = b.greedy(prompt, 8)
+    assert theirs == ours  # token-exact greedy match
+
+    lg_ours = mod.ours_last_logits(engine, prompt)
+    lg_theirs = b.last_logits(prompt)
+    diff = np.abs(lg_ours - lg_theirs).max()
+    assert diff == 0.0
+
+    ppl_file = tmp_path / "text.txt"
+    ppl_file.write_text("the quick brown fox jumps over the lazy dog " * 20)
+    our_ppl = mod.ours_ppl(engine, ppl_file.read_text(), 64)
+    their_ppl = b.ppl(str(ppl_file), 64)
+    assert abs(our_ppl - their_ppl) / their_ppl < 1e-6
