@@ -43,6 +43,10 @@ class BatchedStats:
     completed: int = 0
     rejected: int = 0
     decode_steps: int = 0
+    # steps that carried BOTH prefill-chunk rows and decode rows (token-level
+    # mixed batching): a prefill admission costs in-flight decodes zero extra
+    # steps because they ride in the same batched forward
+    mixed_steps: int = 0
     decode_tokens: int = 0
     prefill_tokens: int = 0
     decode_time: float = 0.0
@@ -284,8 +288,7 @@ class BatchedEngine:
         while self._running:
             try:
                 did_work = self._admit()
-                did_work |= self._prefill_step()
-                did_work |= self._decode_step()
+                did_work |= self._mixed_step()
             except Exception:
                 log.exception("batched engine step failed")
                 self._abort_all()
@@ -311,7 +314,7 @@ class BatchedEngine:
 
     def _admit(self) -> bool:
         """Assign queued sequences to free slots (prefill happens in chunks
-        via _prefill_step, interleaved with decode)."""
+        via _mixed_step, decode rows riding in the same step)."""
         admitted = False
         for slot, cur in enumerate(self._slots):
             if cur is not None:
@@ -330,75 +333,65 @@ class BatchedEngine:
             admitted = True
         return admitted
 
-    def _prefill_step(self) -> bool:
-        """Prefill ONE chunk of EVERY admitted-but-not-ready sequence in a
-        single batched step (each row at its own prompt offset), so an
-        admission burst costs one step per chunk instead of one per
-        sequence — and long prompts still never block in-flight decoding
-        for their whole prefill."""
+    def _mixed_step(self) -> bool:
+        """ONE batched forward carrying every live row: sequences mid-
+        prefill contribute their next chunk (at their own prompt offset)
+        and decoding sequences contribute their single next token — true
+        token-level mixed batching. A prefill admission therefore costs
+        in-flight decodes ZERO extra steps: they advance in the same jitted
+        step (the attention masks already handle per-row valid counts).
+        The reference has no batched compute at all; vLLM-style engines
+        call this chunked-prefill + decode piggybacking."""
         from .runner import bucket_len, read_bucket
 
-        seqs = [s for s in self._slots if s is not None and not s.decoding]
-        if not seqs:
+        pre = [s for s in self._slots if s is not None and not s.decoding]
+        dec = [s for s in self._slots if s is not None and s.decoding]
+        if not pre and not dec:
             return False
         chunks = {
             s.slot: s.token_ids[s.prefilled: s.prefilled + self.prefill_chunk]
-            for s in seqs
+            for s in pre
         }
-        bt = bucket_len(max(len(c) for c in chunks.values()))
+        bt = bucket_len(max(len(c) for c in chunks.values())) if pre else 1
         b = len(self._slots)
         toks = np.zeros((b, bt), np.int32)
         pos = np.full((b, bt), self.runner.max_seq, np.int32)  # OOB -> drop
         lengths = np.zeros((b,), np.int32)
-        for s in seqs:
+        for s in pre:
             c = chunks[s.slot]
             toks[s.slot, : len(c)] = c
             pos[s.slot, : len(c)] = s.prefilled + np.arange(len(c))
             lengths[s.slot] = s.prefilled + len(c)
+        for s in dec:
+            toks[s.slot, 0] = s.last_token
+            pos[s.slot, 0] = s.pos
+            lengths[s.slot] = s.pos + 1
+
+        t0 = time.time()
         logits, self._kv = self.runner.step(
             np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv,
             read_bound=read_bucket(int(lengths.max()), self.runner.max_seq))
-        logits_np = None
-        for s in seqs:
+        logits_np = np.asarray(logits)  # [B, bt, V]
+        dt = time.time() - t0
+
+        if dec:
+            self.stats.decode_time += dt
+            self.stats.decode_steps += 1
+            if pre:
+                self.stats.mixed_steps += 1
+        for s in dec:
+            s.pos += 1
+            self._sample_and_emit(s, logits_np[s.slot, 0])
+        for s in pre:
             n = len(chunks[s.slot])
             s.prefilled += n
             self.stats.prefill_tokens += n
             if s.decoding:  # prompt complete: snapshot + first token
-                if logits_np is None:
-                    logits_np = np.asarray(logits)
                 if self.prompt_cache is not None:
                     self.prompt_cache.put(s.token_ids[:s.prompt_len],
                                           self._kv, batch_idx=s.slot)
                 s.pos = s.prompt_len
                 self._sample_and_emit(s, logits_np[s.slot, n - 1])
-        return True
-
-    def _decode_step(self) -> bool:
-        active = [s for s in self._slots if s is not None and s.decoding]
-        if not active:
-            return False
-        b = len(self._slots)
-        toks = np.zeros((b, 1), np.int32)
-        pos = np.full((b, 1), self.runner.max_seq, np.int32)
-        lengths = np.zeros((b,), np.int32)
-        for s in active:
-            toks[s.slot, 0] = s.last_token
-            pos[s.slot, 0] = s.pos
-            lengths[s.slot] = s.pos + 1
-
-        from .runner import read_bucket
-
-        t0 = time.time()
-        logits, self._kv = self.runner.step(
-            toks, pos, lengths, self._kv,
-            read_bound=read_bucket(int(lengths.max()), self.runner.max_seq))
-        logits_np = np.asarray(logits)  # [B, 1, V]
-        self.stats.decode_time += time.time() - t0
-        self.stats.decode_steps += 1
-
-        for s in active:
-            s.pos += 1
-            self._sample_and_emit(s, logits_np[s.slot, 0])
         return True
 
     def _sample_and_emit(self, seq: _Sequence, logits: np.ndarray) -> None:

@@ -125,6 +125,8 @@ class ModelLoader:
                 bias=bias,
                 fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
                 source_type=t.name,
+                packed2=self._put(rw.packed2, wname)
+                if rw.packed2 is not None else None,
             )
         w = self.dense(wname)
         if len(nk) != 2:
@@ -303,7 +305,8 @@ class ModelLoader:
             packs, scales, mins = [], [], []
             fmt = group = None
             for i in range(e):
-                rw = repack(raw[i * per: (i + 1) * per], t, (n_out, k_in))
+                rw = repack(raw[i * per: (i + 1) * per], t, (n_out, k_in),
+                            allow_q6=False)
                 packs.append(rw.packed)
                 scales.append(rw.scales)
                 mins.append(rw.mins)

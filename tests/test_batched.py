@@ -195,3 +195,50 @@ def test_concurrent_prefill_burst_matches_sequential(tiny_model_path):
     finally:
         be.shutdown()
     assert got == want
+
+
+def test_mixed_prefill_decode_single_step(tiny_model_path):
+    """Token-level mixed batching: while sequence A decodes, admitting a
+    long-prompt sequence B must NOT add separate prefill steps — B's
+    chunks ride in the same batched forwards as A's decode tokens
+    (stats.mixed_steps > 0), and outputs still match sequential greedy."""
+    eng = Engine.load(tiny_model_path,
+                      EngineConfig(weight_mode="dequant", max_batch=4))
+    ref = Engine.load(tiny_model_path,
+                      EngineConfig(weight_mode="dequant", max_batch=1))
+    # small chunk so the long prompt needs several chunks
+    be = BatchedEngine(eng.runner, eng.tokenizer, max_queue=16,
+                       prefill_chunk=8)
+    try:
+        step_calls = {"n": 0}
+        orig_step = eng.runner.step
+
+        def counting_step(*a, **kw):
+            step_calls["n"] += 1
+            return orig_step(*a, **kw)
+
+        eng.runner.step = counting_step
+
+        long_prompt = "word " * 30  # several 8-token chunks
+        h_a = be.submit("Hello there", max_tokens=24, sampler=GREEDY)
+        # give A a head start so it is decoding when B arrives
+        import time as _t
+        _t.sleep(1.0)
+        h_b = be.submit(long_prompt, max_tokens=8, sampler=GREEDY)
+        out_a = h_a.text(timeout=120)
+        out_b = h_b.text(timeout=120)
+
+        assert be.stats.mixed_steps > 0, vars(be.stats)
+        # every step with a decode row counts as ONE decode step; B's
+        # prefill chunks added zero standalone steps beyond its own
+        # pre-admission window
+        total_tokens = be.stats.decode_tokens
+        assert be.stats.decode_steps <= step_calls["n"]
+        assert total_tokens >= 24 + 8 - 2  # EOG can end early
+
+        want_a = ref.generate("Hello there", max_tokens=24, sampler=GREEDY)
+        want_b = ref.generate(long_prompt, max_tokens=8, sampler=GREEDY)
+        assert out_a == want_a
+        assert out_b == want_b
+    finally:
+        be.shutdown()

@@ -36,5 +36,9 @@ def test_repack_bits_per_weight(t):
     assert rw.scales.shape == (k // rw.group, n)
     if rw.fmt == "q4":
         assert rw.packed.shape == (k // 2, n)
+    elif rw.fmt == "q6":
+        assert rw.packed.shape == (k // 2, n)
+        assert rw.packed2.shape == (k // 4, n)
+        assert rw.bits_per_weight <= 8.6  # ~6.75 + f32 scales
     else:
         assert rw.packed.shape == (k, n)
