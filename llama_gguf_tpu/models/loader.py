@@ -115,7 +115,17 @@ class ModelLoader:
         # tile the shape, so the only requirement is the repack block size
         if self.mode == "quant" and t in _QUANTIZED_KEEP and len(nk) == 2 \
                 and nk[1] % 32 == 0:
-            rw = repack(self.gguf.tensor_bytes(wname), t, nk)
+            # q6 plane layout reads ~25% fewer bytes for Q6_K but its 2-bit
+            # unpack is VPU-bound: measured on this chip, Llama-3-8B decode
+            # is 77.2 tok/s with Q6_K as int8 vs 56.9 with q6 planes — the
+            # arithmetic costs more than the bandwidth saves. Off by
+            # default; LLAMA_GGUF_Q6_LAYOUT=1 opts in (may win on hardware
+            # with a healthier VPU:HBM ratio).
+            import os as _os
+
+            rw = repack(self.gguf.tensor_bytes(wname), t, nk,
+                        allow_q6=_os.environ.get(
+                            "LLAMA_GGUF_Q6_LAYOUT", "0") == "1")
             sdt = self.scale_dtype
             return QuantLinear(
                 packed=self._put(rw.packed, wname),
@@ -378,8 +388,11 @@ class ModelLoader:
 
 
 def load_model(path: str, mode: str = "quant",
-               param_dtype: str = "float32") -> tuple[dict, ModelConfig, GGUFFile]:
+               param_dtype: str = "float32",
+               scale_dtype: str = "float32"
+               ) -> tuple[dict, ModelConfig, GGUFFile]:
     gguf = GGUFFile.open(path)
-    loader = ModelLoader(gguf, mode=mode, param_dtype=param_dtype)
+    loader = ModelLoader(gguf, mode=mode, param_dtype=param_dtype,
+                         scale_dtype=scale_dtype)
     params, cfg = loader.build()
     return params, cfg, gguf

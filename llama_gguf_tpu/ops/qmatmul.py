@@ -296,7 +296,12 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     if n % tn != 0:
         return 0, 0
     if fmt == "q6":
-        return (k, tn) if k % (2 * group) == 0 else (0, 0)
+        # in-kernel unpack intermediates are [K/2, TN] i32/f32 panels and
+        # scale with K*TN; beyond 8K elements halve TN to stay inside the
+        # 16 MB scoped-VMEM limit (K=14336 at TN=256 measured 23.4 MB)
+        if k > MAX_FULL_TK:
+            tn = 128
+        return (k, tn) if k % (2 * group) == 0 and n % tn == 0 else (0, 0)
     if (k % (2 * group) == 0 and k <= MAX_FULL_TK
             and b * k * 4 <= FULL_TK_X_BUDGET):
         return k, tn
