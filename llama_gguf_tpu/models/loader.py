@@ -22,6 +22,7 @@ output_norm.*, output.weight (tied embeddings when absent).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any
 
 import jax.numpy as jnp
@@ -65,6 +66,14 @@ class ModelLoader:
                             else jnp.float32)
         self.config = parse_config(gguf.metadata, gguf.tensors)
         self._put = to_device or (lambda arr, name: jnp.asarray(arr))
+        self._q6 = os.environ.get("LLAMA_GGUF_Q6_LAYOUT", "0") == "1"
+        self.repack_cache = None
+        if mode == "quant" and gguf.path and os.path.exists(gguf.path):
+            from ..quant.repack_cache import open_cache
+
+            # mmap-able sidecar of the repacked layouts: first quant load
+            # writes it, later loads skip the minutes of numpy bit plumbing
+            self.repack_cache = open_cache(gguf.path, q6=self._q6)
 
     # -- tensor access -------------------------------------------------------
 
@@ -121,11 +130,9 @@ class ModelLoader:
             # arithmetic costs more than the bandwidth saves. Off by
             # default; LLAMA_GGUF_Q6_LAYOUT=1 opts in (may win on hardware
             # with a healthier VPU:HBM ratio).
-            import os as _os
-
-            rw = repack(self.gguf.tensor_bytes(wname), t, nk,
-                        allow_q6=_os.environ.get(
-                            "LLAMA_GGUF_Q6_LAYOUT", "0") == "1")
+            rw = self._repack_cached(
+                wname, lambda: repack(self.gguf.tensor_bytes(wname), t, nk,
+                                      allow_q6=self._q6))
             sdt = self.scale_dtype
             return QuantLinear(
                 packed=self._put(rw.packed, wname),
@@ -143,6 +150,17 @@ class ModelLoader:
             raise ValueError(f"{wname}: expected 2D, got {nk}")
         w = np.ascontiguousarray(w.T)  # [K, N]
         return DenseLinear(self._put(w.astype(self._np_dtype()), wname), bias)
+
+    def _repack_cached(self, key: str, compute):
+        """Repack via the sidecar cache when available."""
+        if self.repack_cache is not None:
+            rw = self.repack_cache.get(key)
+            if rw is not None:
+                return rw
+        rw = compute()
+        if self.repack_cache is not None:
+            self.repack_cache.put(key, rw)
+        return rw
 
     def _np_dtype(self):
         return np.float32 if self.param_dtype == jnp.float32 else np.float32
@@ -315,8 +333,10 @@ class ModelLoader:
             packs, scales, mins = [], [], []
             fmt = group = None
             for i in range(e):
-                rw = repack(raw[i * per: (i + 1) * per], t, (n_out, k_in),
-                            allow_q6=False)
+                rw = self._repack_cached(
+                    f"{name}#{i}",
+                    lambda i=i: repack(raw[i * per: (i + 1) * per], t,
+                                       (n_out, k_in), allow_q6=False))
                 packs.append(rw.packed)
                 scales.append(rw.scales)
                 mins.append(rw.mins)
@@ -384,6 +404,8 @@ class ModelLoader:
         else:
             params["output"] = None  # tied embeddings (loader.rs:348-355)
             cfg.tie_word_embeddings = True
+        if self.repack_cache is not None:
+            self.repack_cache.flush()
         return params, cfg
 
 

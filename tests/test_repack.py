@@ -42,3 +42,59 @@ def test_repack_bits_per_weight(t):
         assert rw.bits_per_weight <= 8.6  # ~6.75 + f32 scales
     else:
         assert rw.packed.shape == (k, n)
+
+
+def test_repack_cache_roundtrip(tmp_path):
+    """First quant-mode load writes a .repack sidecar; the second load
+    reads it back zero-copy with bit-identical arrays; touching the GGUF
+    invalidates it (source signature check)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_tiny_model
+    from llama_gguf_tpu.models.loader import load_model
+    from llama_gguf_tpu.ops.linear import QuantLinear
+    from llama_gguf_tpu.quant.repack_cache import RepackCache, cache_path
+
+    path = str(tmp_path / "tiny.gguf")
+    # Q4_K needs 256-divisible K dims
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=256, layers=2,
+                    heads=4, kv_heads=2, ffn=256, ctx=64, seed=3,
+                    quant=GGMLType.Q4_K)
+
+    params1, _, _ = load_model(path, mode="quant")
+    assert os.path.exists(cache_path(path))
+
+    params2, _, _ = load_model(path, mode="quant")
+
+    import jax
+
+    def quant_leaves(p):
+        out = []
+        jax.tree_util.tree_map(
+            lambda t: out.append(t) if isinstance(t, QuantLinear) else None,
+            p, is_leaf=lambda t: isinstance(t, QuantLinear))
+        return out
+
+    l1, l2 = quant_leaves(params1), quant_leaves(params2)
+    assert l1 and len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        assert a.fmt == b.fmt and a.group == b.group
+        np.testing.assert_array_equal(np.asarray(a.packed),
+                                      np.asarray(b.packed))
+        np.testing.assert_array_equal(np.asarray(a.scales),
+                                      np.asarray(b.scales))
+        if a.mins is not None:
+            np.testing.assert_array_equal(np.asarray(a.mins),
+                                          np.asarray(b.mins))
+
+    # invalidation: rewrite the gguf -> signature mismatch -> cache rebuilt
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=256, layers=2,
+                    heads=4, kv_heads=2, ffn=256, ctx=64, seed=4,
+                    quant=GGMLType.Q4_K)
+    c = RepackCache(path)
+    assert not c.valid  # stale sidecar rejected
+    params3, _, _ = load_model(path, mode="quant")  # rebuilds
+    c2 = RepackCache(path)
+    assert c2.valid
