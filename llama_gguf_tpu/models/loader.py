@@ -162,6 +162,20 @@ class ModelLoader:
             self.repack_cache.put(key, rw)
         return rw
 
+    def _repack_rows_cached(self, name: str, t, vh):
+        """Row-major (embedding) repack via the cache; the row layout is
+        stored under a distinct key wrapped in a RepackedWeight record."""
+        from ..quant.repack import RepackedWeight, repack_rows
+
+        def compute():
+            packed, scales, mins, fmt, group = repack_rows(
+                self.gguf.tensor_bytes(name), t, vh)
+            return RepackedWeight(packed, scales, mins, fmt, group,
+                                  k=vh[1], n=vh[0], source_type=t)
+
+        rw = self._repack_cached(name + "@rows", compute)
+        return rw.packed, rw.scales, rw.mins, rw.fmt, rw.group
+
     def _np_dtype(self):
         return np.float32 if self.param_dtype == jnp.float32 else np.float32
 
@@ -377,8 +391,32 @@ class ModelLoader:
     def build(self) -> tuple[dict, ModelConfig]:
         cfg = self.config
         params: dict[str, Any] = {}
-        emb = self.dense("token_embd.weight")  # [V, H]
-        params["embed"] = self._put(emb.astype(self._np_dtype()), "token_embd.weight")
+        emb_name = "token_embd.weight"
+        emb_info = self.gguf.tensors[emb_name]
+        tied = not self.has("output.weight")
+        # Untied models keep the embedding table QUANTIZED in HBM (an 8B
+        # f32 table is 2.1 GB vs ~0.6 quantized); lookups gather packed
+        # rows and dequantize in-graph (ops.linear.embedding_lookup). Tied
+        # models need the dense table for the output matmul — keep f32.
+        if (self.mode == "quant" and not tied
+                and emb_info.ggml_type in _QUANTIZED_KEEP
+                and len(emb_info.np_shape) == 2
+                and emb_info.np_shape[1] % 32 == 0):
+            from ..ops.linear import QuantEmbedding
+
+            v, h = emb_info.np_shape
+            packed, scales, mins, fmt, group = self._repack_rows_cached(
+                emb_name, emb_info.ggml_type, (v, h))
+            params["embed"] = QuantEmbedding(
+                packed=self._put(packed, emb_name),
+                scales=self._put(scales, emb_name).astype(self.scale_dtype),
+                mins=self._put(mins, emb_name).astype(self.scale_dtype)
+                if mins is not None else None,
+                fmt=fmt, group=group, vocab=v, hidden=h)
+        else:
+            emb = self.dense(emb_name)  # [V, H]
+            params["embed"] = self._put(emb.astype(self._np_dtype()),
+                                        emb_name)
         if self.has("position_embd.weight"):  # learned positions (gpt2...)
             params["position_embed"] = self._put(
                 self.dense("position_embd.weight"), "position_embd.weight")

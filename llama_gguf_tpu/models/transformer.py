@@ -431,7 +431,9 @@ def transformer_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
 def embed(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
           positions: jnp.ndarray | None = None) -> jnp.ndarray:
-    x = jnp.take(params["embed"], tokens, axis=0)
+    from ..ops.linear import embedding_lookup
+
+    x = embedding_lookup(params["embed"], tokens)
     if params.get("position_embed") is not None and positions is not None:
         # learned absolute positions (gpt2/bloom/opt family); OOB padding
         # positions clamp to row 0, whose contribution is masked downstream

@@ -241,6 +241,65 @@ def unfuse_linear(lin, splits: list[int]) -> list:
     return out
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantEmbedding:
+    """Token embedding table kept QUANTIZED in HBM, dequantized per-row on
+    gather (the f32 table of an 8B model is 2.1 GB — 4x the quantized
+    bytes; lookups touch one row per token so the dequant is free).
+
+    Layout is ROW-major (one vocab entry per row, packed along H):
+      q4: packed uint8 [V, H/2], group-split within each row's scale groups
+      q8: int8  [V, H]
+    plus scales/mins [V, H/group]."""
+
+    packed: Any
+    scales: Any
+    mins: Any | None
+    fmt: str = field(metadata=dict(static=True), default="q8")
+    group: int = field(metadata=dict(static=True), default=32)
+    vocab: int = field(metadata=dict(static=True), default=0)
+    hidden: int = field(metadata=dict(static=True), default=0)
+
+    def tree_flatten(self):
+        return ((self.packed, self.scales, self.mins),
+                (self.fmt, self.group, self.vocab, self.hidden))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.vocab, self.hidden)
+
+
+def embedding_lookup(emb, tokens: jnp.ndarray,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """tokens [...] int -> [..., H]. Dense tables gather directly;
+    QuantEmbedding gathers packed rows and dequantizes in-graph (XLA fuses
+    the unpack into the gather consumers)."""
+    if not isinstance(emb, QuantEmbedding):
+        return jnp.take(emb, tokens, axis=0)
+    g = emb.group
+    rows_s = jnp.take(emb.scales, tokens, axis=0).astype(jnp.float32)
+    if emb.fmt == "q4":
+        rows_p = jnp.take(emb.packed, tokens, axis=0)  # [..., H/2]
+        h2 = emb.hidden // 2
+        p3 = rows_p.reshape(*rows_p.shape[:-1], h2 // (g // 2), g // 2)
+        q = jnp.concatenate([p3 & 0x0F, p3 >> 4], axis=-1)  # [..., G, g]
+        q = q.reshape(*rows_p.shape[:-1], emb.hidden).astype(jnp.float32)
+    else:
+        q = jnp.take(emb.packed, tokens, axis=0).astype(jnp.float32)
+    s = jnp.repeat(rows_s, g, axis=-1)
+    w = q * s
+    if emb.mins is not None:
+        m = jnp.repeat(jnp.take(emb.mins, tokens, axis=0)
+                       .astype(jnp.float32), g, axis=-1)
+        w = w - m
+    return w.astype(dtype)
+
+
 def unpack_q4(ql: QuantLinear) -> jnp.ndarray:
     """Unpack group-split nibbles to integer values [K, N] (uint8, 0..15).
     See quant/repack.py pack_q4_group_split for the layout."""

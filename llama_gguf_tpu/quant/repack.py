@@ -262,6 +262,33 @@ def pack_q4_group_split(q: np.ndarray, group: int) -> np.ndarray:
     )
 
 
+def repack_rows(raw: np.ndarray | memoryview | bytes,
+                ggml_type: GGMLType | int,
+                shape_vh: tuple[int, int]):
+    """Row-major repack for embedding-style gather tables.
+
+    Unlike :func:`repack` (which transposes to the [K, N] matmul layout),
+    rows stay rows: returns (packed, scales [V, H/g] f32, mins | None,
+    fmt, group) with packed uint8 [V, H/2] (q4, group-split within each
+    row) or int8 [V, H] (q8). See ops.linear.QuantEmbedding.
+    """
+    t = GGMLType(ggml_type)
+    v, h = shape_vh
+    arr = (np.frombuffer(raw, dtype=np.uint8)
+           if not isinstance(raw, np.ndarray) else raw)
+    q, s, m, fmt, group = _extract(arr, t, v, h, allow_q6=False)
+    scales = np.ascontiguousarray(s, dtype=F32)  # [V, H/g]
+    mins = np.ascontiguousarray(m, dtype=F32) if m is not None else None
+    if fmt == "q4":
+        g2 = group // 2
+        q3 = q.reshape(v, h // group, group).astype(np.uint8)
+        packed = np.ascontiguousarray(
+            (q3[:, :, :g2] | (q3[:, :, g2:] << 4)).reshape(v, h // 2))
+    else:
+        packed = np.ascontiguousarray(q).astype(np.int8)
+    return packed, scales, mins, fmt, group
+
+
 def pack_q6_planes(q: np.ndarray, group: int) -> tuple[np.ndarray, np.ndarray]:
     """q6 plane packing in GLOBAL quarter-major element order.
 

@@ -26,7 +26,7 @@ import numpy as np
 from .repack import RepackedWeight
 
 MAGIC = b"GGTPURPK"
-VERSION = 2  # bump when any repack layout changes
+VERSION = 3  # bump when any repack layout changes (3: +embedding row layouts)
 
 _FIELDS = ("packed", "scales", "mins", "packed2")
 

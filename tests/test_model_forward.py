@@ -186,3 +186,29 @@ def test_batched_isolation(tiny_model, rng):
     _, kv, _ = runner.prefill(toks_b, kv, batch_idx=1)
     la2, kv, _ = runner.prefill(toks_a, kv, batch_idx=0)
     np.testing.assert_allclose(np.asarray(la2), la, rtol=1e-6, atol=1e-6)
+
+
+def test_quant_embedding_bitexact_gather(tmp_path, rng):
+    """Untied quant-mode models keep the embedding table quantized in HBM;
+    the in-graph row gather+dequant must reproduce the host dequantized
+    table exactly (same integer levels x same scales)."""
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.ops.linear import QuantEmbedding, embedding_lookup
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    path = str(tmp_path / "qe.gguf")
+    build_synthetic_gguf(path, preset="tiny", quant=GGMLType.Q4_K)
+    pq, cfg, _ = load_model(path, mode="quant")
+    pd, _, _ = load_model(path, mode="dequant")
+    assert isinstance(pq["embed"], QuantEmbedding)
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 5)),
+                       jnp.int32)
+    got = np.asarray(embedding_lookup(pq["embed"], toks))
+    want = np.asarray(jnp.take(pd["embed"], toks, axis=0))
+    np.testing.assert_array_equal(got, want)
