@@ -43,6 +43,11 @@ from .linear import QuantLinear
 DEFAULT_TK = 2048  # logical K elements per grid step (when K is tiled)
 MAX_FULL_TK = 8192  # up to this K, take the whole axis in one block
 FULL_TK_X_BUDGET = 4 << 20  # max bytes of the [B, K] x block for full-K
+# max bytes of the [B, TK] x block (tiled path). Pallas double-buffers
+# every input block, so the real VMEM need is ~2x this plus the weight
+# tiles; 4 MB keeps the observed worst case (19.6 MB at an 8.4 MB block)
+# safely under the 16 MB scoped limit.
+TILED_X_BUDGET = 4 << 20
 DEFAULT_TN = 256
 
 _PREC = {
@@ -305,10 +310,25 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     if (k % (2 * group) == 0 and k <= MAX_FULL_TK
             and b * k * 4 <= FULL_TK_X_BUDGET):
         return k, tn
+
+    def fit_rows(tk: int) -> int:
+        # the x block is [B, tk] f32 (no row blocking in the tiled path);
+        # shrink tk while it blows the VMEM budget (observed: B*T=1024
+        # prefill rows at tk=2048 = 19.6 MB scoped > the 16 MB limit)
+        while tk >= 2 * group and b * tk * 4 > TILED_X_BUDGET:
+            nt = tk // 2
+            while nt >= 2 * group and (k % nt or nt % (2 * group)):
+                nt -= 2 * group
+            if nt < 2 * group or nt == tk:
+                return 0
+            tk = nt
+        return tk if b * tk * 4 <= TILED_X_BUDGET else 0
+
     step = 8 * group
     for tk in range(min(DEFAULT_TK, k) // step * step, step - 1, -step):
         if k % tk == 0:
-            return tk, tn
+            tk = fit_rows(tk)
+            return (tk, tn) if tk else (0, 0)
     return 0, 0
 
 

@@ -144,3 +144,26 @@ def test_moe_qmatmul_matches_gather_dequant():
         want = np.einsum("ek,ekn->en", np.asarray(x), w_sel)
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_pick_tiles_vmem_budgets():
+    """Tile selection must respect the VMEM budgets: the x block is
+    [B, TK] f32 — at B*T=1024 prefill rows, tk=2048 measured 19.6 MB
+    scoped VMEM (over the 16 MB limit) on the real chip."""
+    from llama_gguf_tpu.ops.qmatmul import (
+        FULL_TK_X_BUDGET, TILED_X_BUDGET, _pick_tiles,
+    )
+
+    # decode-ish batches take the whole K axis in one block
+    tk, tn = _pick_tiles("q4", 32, 5632, 2048, b=8)
+    assert tk == 5632
+    # large prefill batches must shrink the K tile to fit the x block
+    tk, tn = _pick_tiles("q4", 32, 4096, 6144, b=1024)
+    assert 0 < tk < 2048 and 1024 * tk * 4 <= TILED_X_BUDGET
+    assert 4096 % tk == 0 and tk % 64 == 0
+    # the standard bench prefill (512 rows): x block must fit the budget
+    tk, tn = _pick_tiles("q4", 32, 2048, 11264, b=512)
+    assert tk > 0 and 512 * tk * 4 <= TILED_X_BUDGET
+    # absurd batches fall back to the XLA path (0 = no tiling)
+    tk, tn = _pick_tiles("q4", 32, 128, 256, b=1 << 20)
+    assert tk == 0
