@@ -45,9 +45,10 @@ MAX_FULL_TK = 8192  # up to this K, take the whole axis in one block
 FULL_TK_X_BUDGET = 4 << 20  # max bytes of the [B, K] x block for full-K
 # max bytes of the [B, TK] x block (tiled path). Pallas double-buffers
 # every input block, so the real VMEM need is ~2x this plus the weight
-# tiles; 4 MB keeps the observed worst case (19.6 MB at an 8.4 MB block)
-# safely under the 16 MB scoped limit.
-TILED_X_BUDGET = 4 << 20
+# tiles. 5 MB keeps the long-measured 512-row prefill block (4.19 MB,
+# ~10 MB scoped, compiles) while rejecting the failing 8.4 MB block
+# (19.6 MB scoped > the 16 MB limit).
+TILED_X_BUDGET = 5 << 20
 DEFAULT_TN = 256
 
 _PREC = {

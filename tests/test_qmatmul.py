@@ -161,9 +161,9 @@ def test_pick_tiles_vmem_budgets():
     tk, tn = _pick_tiles("q4", 32, 4096, 6144, b=1024)
     assert 0 < tk < 2048 and 1024 * tk * 4 <= TILED_X_BUDGET
     assert 4096 % tk == 0 and tk % 64 == 0
-    # the standard bench prefill (512 rows): x block must fit the budget
+    # the standard bench prefill (512 rows) keeps the full 2048 tile
     tk, tn = _pick_tiles("q4", 32, 2048, 11264, b=512)
-    assert tk > 0 and 512 * tk * 4 <= TILED_X_BUDGET
+    assert tk == 2048 and 512 * tk * 4 <= TILED_X_BUDGET
     # absurd batches fall back to the XLA path (0 = no tiling)
     tk, tn = _pick_tiles("q4", 32, 128, 256, b=1 << 20)
     assert tk == 0
