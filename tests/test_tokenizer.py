@@ -132,3 +132,132 @@ def test_bpe_unicode_round_trip():
 
 
 TT_UNKNOWN_ = 2
+
+
+# -- tokenizer.json native engine (oracle: the `tokenizers` package) ----------
+
+SAMPLES = [
+    "Hello world!",
+    "  leading spaces and\ttabs\nnewlines",
+    "numbers 12345 and punct!?.,;:",
+    "unicode: café über straße 中文字",
+    "emoji \U0001f600 mixed WithCase",
+    "",
+]
+
+
+def _compare(tmp_path, tok, samples=SAMPLES):
+    """Save a `tokenizers` tokenizer, reload with our native engine, and
+    require identical ids + round-trip decode on every sample."""
+    from llama_gguf_tpu.tokenizer.hf_json import HFTokenizer
+
+    path = str(tmp_path / "tokenizer.json")
+    tok.save(path)
+    ours = HFTokenizer(path)
+    for s in samples:
+        want = tok.encode(s, add_special_tokens=False).ids
+        got = ours.encode(s, add_bos=False, add_special=False)
+        assert got == want, (s, got, want)
+        assert ours.decode(got) == tok.decode(want, skip_special_tokens=True)
+
+
+def test_hf_json_byte_level_bpe(tmp_path):
+    """GPT-2-style byte-level BPE trained on the fly."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+    from tokenizers.pre_tokenizers import ByteLevel
+    from tokenizers.trainers import BpeTrainer
+
+    from tokenizers.decoders import ByteLevel as ByteLevelDecoder
+
+    tok = Tokenizer(BPE())
+    tok.pre_tokenizer = ByteLevel(add_prefix_space=False)
+    tok.decoder = ByteLevelDecoder()
+    trainer = BpeTrainer(vocab_size=400, special_tokens=["<|endoftext|>"],
+                         initial_alphabet=ByteLevel.alphabet(),
+                         show_progress=False)
+    tok.train_from_iterator(
+        ["hello world", "the quick brown fox", "numbers 123 and text",
+         "unicode café straße", "more text for merges to appear"] * 20,
+        trainer)
+    _compare(tmp_path, tok)
+
+
+def test_hf_json_wordpiece(tmp_path):
+    """BERT-style WordPiece with lowercase normalizer."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordPiece
+    from tokenizers.normalizers import Lowercase
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.trainers import WordPieceTrainer
+
+    from tokenizers.decoders import WordPiece as WordPieceDecoder
+
+    tok = Tokenizer(WordPiece(unk_token="[UNK]"))
+    tok.normalizer = Lowercase()
+    tok.pre_tokenizer = Whitespace()
+    tok.decoder = WordPieceDecoder()
+    trainer = WordPieceTrainer(vocab_size=300,
+                               special_tokens=["[UNK]", "[CLS]", "[SEP]"],
+                               show_progress=False)
+    tok.train_from_iterator(
+        ["hello world", "the quick brown fox jumps", "wordpiece pieces",
+         "subword tokenization works"] * 20, trainer)
+    _compare(tmp_path, tok, samples=[s for s in SAMPLES if s])
+
+
+def test_hf_json_unigram_metaspace(tmp_path):
+    """SentencePiece-style Unigram with Metaspace pre-tokenizer."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import Unigram
+    from tokenizers.pre_tokenizers import Metaspace
+    from tokenizers.trainers import UnigramTrainer
+
+    from tokenizers.decoders import Metaspace as MetaspaceDecoder
+
+    tok = Tokenizer(Unigram())
+    tok.pre_tokenizer = Metaspace()
+    tok.decoder = MetaspaceDecoder()
+    trainer = UnigramTrainer(vocab_size=200, special_tokens=["<unk>"],
+                             unk_token="<unk>", show_progress=False)
+    tok.train_from_iterator(
+        ["hello world", "the quick brown fox", "sentence piece style",
+         "unigram language model"] * 20, trainer)
+    _compare(tmp_path, tok, samples=["hello world", "quick fox style",
+                                     "unigram model text"])
+
+
+def test_hf_json_special_tokens_and_template(tmp_path):
+    """added_tokens splitting + TemplateProcessing bos placement."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+    from tokenizers.pre_tokenizers import ByteLevel
+    from tokenizers.processors import TemplateProcessing
+    from tokenizers.trainers import BpeTrainer
+
+    tok = Tokenizer(BPE())
+    tok.pre_tokenizer = ByteLevel(add_prefix_space=False)
+    trainer = BpeTrainer(vocab_size=300, special_tokens=["<s>", "</s>"],
+                         initial_alphabet=ByteLevel.alphabet(),
+                         show_progress=False)
+    tok.train_from_iterator(["hello world example text"] * 40, trainer)
+    bos = tok.token_to_id("<s>")
+    eos = tok.token_to_id("</s>")
+    tok.post_processor = TemplateProcessing(
+        single="<s> $A", pair="<s> $A </s> $B",
+        special_tokens=[("<s>", bos), ("</s>", eos)])
+
+    from llama_gguf_tpu.tokenizer.hf_json import HFTokenizer
+
+    path = str(tmp_path / "tokenizer.json")
+    tok.save(path)
+    ours = HFTokenizer(path)
+    assert ours.bos_id == bos and ours.add_bos
+    s = "hello world"
+    want = tok.encode(s, add_special_tokens=True).ids
+    got = ours.encode(s)
+    assert got == want, (got, want)
+    # special tokens in the middle of text are split out and mapped
+    mixed = "hello <s> world"
+    got = ours.encode(mixed, add_bos=False, add_special=False)
+    assert bos in got
