@@ -28,6 +28,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..sampling.sampler import Sampler, SamplerConfig
@@ -371,27 +372,42 @@ class BatchedEngine:
         logits, self._kv = self.runner.step(
             np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv,
             read_bound=read_bucket(int(lengths.max()), self.runner.max_seq))
-        logits_np = np.asarray(logits)  # [B, bt, V]
+        # fetch ONLY the rows that need sampling this step (decode rows at
+        # column 0, prompt-completing rows at their last chunk column) in
+        # one device gather — the full [B, bt, V] logits can be half a GB
+        # per chunk step over the tunnel
+        need: list[tuple[Any, int]] = [(s, 0) for s in dec]
+        done_pre = [s for s in pre
+                    if s.prefilled + len(chunks[s.slot]) >= s.prompt_len]
+        need += [(s, len(chunks[s.slot]) - 1) for s in done_pre]
+        if need:
+            rows = jnp.asarray([s.slot for s, _ in need], jnp.int32)
+            cols = jnp.asarray([c for _, c in need], jnp.int32)
+            picked = np.asarray(logits[rows, cols])  # [len(need), V]
         dt = time.time() - t0
 
         if dec:
-            self.stats.decode_time += dt
-            self.stats.decode_steps += 1
+            # pure decode steps feed decode_tps; mixed steps carry prefill
+            # compute too, so their time is tracked separately
             if pre:
                 self.stats.mixed_steps += 1
-        for s in dec:
+            else:
+                self.stats.decode_time += dt
+            self.stats.decode_steps += 1
+        for idx, s in enumerate(dec):
             s.pos += 1
-            self._sample_and_emit(s, logits_np[s.slot, 0])
+            self._sample_and_emit(s, picked[idx])
         for s in pre:
             n = len(chunks[s.slot])
             s.prefilled += n
             self.stats.prefill_tokens += n
-            if s.decoding:  # prompt complete: snapshot + first token
-                if self.prompt_cache is not None:
-                    self.prompt_cache.put(s.token_ids[:s.prompt_len],
-                                          self._kv, batch_idx=s.slot)
-                s.pos = s.prompt_len
-                self._sample_and_emit(s, logits_np[s.slot, n - 1])
+        for j, s in enumerate(done_pre):
+            assert s.decoding
+            if self.prompt_cache is not None:
+                self.prompt_cache.put(s.token_ids[:s.prompt_len],
+                                      self._kv, batch_idx=s.slot)
+            s.pos = s.prompt_len
+            self._sample_and_emit(s, picked[len(dec) + j])
         return True
 
     def _sample_and_emit(self, seq: _Sequence, logits: np.ndarray) -> None:

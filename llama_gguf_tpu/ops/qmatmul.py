@@ -315,12 +315,16 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     def fit_rows(tk: int) -> int:
         # the x block is [B, tk] f32 (no row blocking in the tiled path);
         # shrink tk while it blows the VMEM budget (observed: B*T=1024
-        # prefill rows at tk=2048 = 19.6 MB scoped > the 16 MB limit)
-        while tk >= 2 * group and b * tk * 4 > TILED_X_BUDGET:
-            nt = tk // 2
-            while nt >= 2 * group and (k % nt or nt % (2 * group)):
-                nt -= 2 * group
-            if nt < 2 * group or nt == tk:
+        # prefill rows at tk=2048 = 19.6 MB scoped > the 16 MB limit).
+        # Shrunk tiles must keep the Mosaic constraint tk % (8*group) == 0
+        # (scale-panel rows divisible by 8) since they no longer equal the
+        # full K axis.
+        astep = 8 * group
+        while tk >= astep and b * tk * 4 > TILED_X_BUDGET:
+            nt = tk // 2 // astep * astep
+            while nt >= astep and k % nt:
+                nt -= astep
+            if nt < astep or nt == tk:
                 return 0
             tk = nt
         return tk if b * tk * 4 <= TILED_X_BUDGET else 0

@@ -49,7 +49,12 @@ class RepackCache:
         self.q6 = q6
         self._mmap: np.memmap | None = None
         self._index: dict[str, dict] | None = None
-        self._pending: dict[str, RepackedWeight] = {}
+        # staged metadata while building; array BYTES stream straight to a
+        # temp data file (holding them in RAM doubled peak RSS on 8B loads)
+        self._pending: dict[str, dict] = {}
+        self._tmp_path: str | None = None
+        self._tmp_file = None
+        self._tmp_pos = 0
         self._load_index()
 
     @property
@@ -107,79 +112,106 @@ class RepackCache:
     # -- writing -------------------------------------------------------------
 
     def put(self, name: str, rw: RepackedWeight) -> None:
-        """Stage a repacked weight for the sidecar (written by flush())."""
-        if self._index is None:  # only collect when building a fresh cache
-            self._pending[name] = rw
-
-    def flush(self) -> None:
-        """Write all staged weights to the sidecar atomically (temp+rename).
-        No-op if the cache is already valid or nothing was staged."""
-        if self._index is not None or not self._pending:
+        """Stage a repacked weight: bytes stream to a temp data file now,
+        metadata (with data-relative offsets) is kept for flush()."""
+        if self._index is not None:  # only collect when building fresh
             return
-        # offsets are RELATIVE to the aligned data base (derived from the
-        # header length by both writer and reader), so the header can be
-        # laid out in one pass
-        tensors: dict[str, dict] = {}
-        records = []
-        data_offset = 0
-        for name, rw in self._pending.items():
-            arrays = {}
+        try:
+            if self._tmp_file is None:
+                fd, self._tmp_path = tempfile.mkstemp(
+                    dir=os.path.dirname(self.path) or ".",
+                    suffix=".repack.tmp")
+                self._tmp_file = os.fdopen(fd, "wb")
             amet = {}
             for field in _FIELDS:
                 arr = getattr(rw, field)
                 if arr is None:
                     continue
                 arr = np.ascontiguousarray(arr)
-                data_offset = (data_offset + 63) // 64 * 64
-                arrays[field] = arr
+                pad = (-self._tmp_pos) % 64
+                if pad:
+                    self._tmp_file.write(b"\0" * pad)
+                    self._tmp_pos += pad
                 amet[field] = {
                     "dtype": arr.dtype.str, "shape": list(arr.shape),
-                    "offset": data_offset, "nbytes": int(arr.nbytes),
+                    "offset": self._tmp_pos, "nbytes": int(arr.nbytes),
                 }
-                data_offset += arr.nbytes
-            records.append((name, arrays))
-            tensors[name] = {
+                self._tmp_file.write(arr.tobytes())
+                self._tmp_pos += arr.nbytes
+            self._pending[name] = {
                 "fmt": rw.fmt, "group": rw.group, "k": rw.k, "n": rw.n,
                 "source_type": getattr(rw.source_type, "name",
                                        str(rw.source_type)),
                 "arrays": amet,
             }
+        except OSError:
+            self._discard_tmp()
+
+    def _discard_tmp(self) -> None:
+        if self._tmp_file is not None:
+            try:
+                self._tmp_file.close()
+            except OSError:
+                pass
+            self._tmp_file = None
+        if self._tmp_path is not None:
+            try:
+                os.unlink(self._tmp_path)
+            except OSError:
+                pass
+            self._tmp_path = None
+        self._pending.clear()
+        self._tmp_pos = 0
+
+    def flush(self) -> None:
+        """Finalize the sidecar atomically: header + streamed copy of the
+        temp data file, then rename. No-op if already valid or empty."""
+        if self._index is not None or not self._pending or \
+                self._tmp_file is None:
+            return
         header = {
             "version": VERSION, "q6": self.q6,
             "source": _source_sig(self.gguf_path),
-            "tensors": tensors,
+            "tensors": self._pending,
         }
         hbytes = json.dumps(header).encode()
         base = 8 + 4 + len(hbytes)
         base_aligned = (base + 63) // 64 * 64
-
-        tmp = None
+        out_tmp = None
         try:
-            fd, tmp = tempfile.mkstemp(
-                dir=os.path.dirname(self.path) or ".", suffix=".repack.tmp")
+            self._tmp_file.close()
+            self._tmp_file = None
+            fd, out_tmp = tempfile.mkstemp(
+                dir=os.path.dirname(self.path) or ".", suffix=".repack.hdr")
             with os.fdopen(fd, "wb") as f:
                 f.write(MAGIC)
                 f.write(len(hbytes).to_bytes(4, "little"))
                 f.write(hbytes)
                 f.write(b"\0" * (base_aligned - base))
-                pos = 0  # data-relative
-                for name, arrays in records:
-                    for field, arr in arrays.items():
-                        want = tensors[name]["arrays"][field]["offset"]
-                        if want > pos:
-                            f.write(b"\0" * (want - pos))
-                            pos = want
-                        f.write(arr.tobytes())
-                        pos += arr.nbytes
-            os.replace(tmp, self.path)
-            self._pending.clear()
+                with open(self._tmp_path, "rb") as data:
+                    while True:
+                        chunk = data.read(64 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+            os.replace(out_tmp, self.path)
+            out_tmp = None
             self._load_index()
         except OSError:
-            if tmp is not None:
+            if out_tmp is not None:
                 try:
-                    os.unlink(tmp)
+                    os.unlink(out_tmp)
                 except OSError:
                     pass
+        finally:
+            self._discard_tmp()
+
+
+    def __del__(self):
+        try:
+            self._discard_tmp()
+        except Exception:
+            pass
 
 
 def open_cache(gguf_path: str, q6: bool = False) -> RepackCache | None:

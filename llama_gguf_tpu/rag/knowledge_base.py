@@ -175,7 +175,13 @@ class KnowledgeBase:
                 self.stats.skipped_unchanged += 1
                 continue
             existed = self.store.has_document(uri)
-            self.ingest_path(uri, chunker=chunker)
+            # ingest the text we already read (a second read could race a
+            # concurrent writer and record a hash for different content)
+            kind = ContentKind.from_path(uri)
+            ck = chunker or ("markdown" if kind == ContentKind.MARKDOWN
+                             else self.default_chunker)
+            self.ingest_text(text, source=uri, doc_id=uri, chunker=ck,
+                             metadata={"content_kind": kind.value})
             if existed:
                 result.updated += 1
             else:

@@ -62,7 +62,9 @@ def _parse_normalizer(cfg: dict | None):
         return strip
     if t == "Prepend":
         p = cfg.get("prepend", "")
-        return lambda s: (p + s) if s and not s.startswith(p) else s
+        # HF prepends unconditionally (even when the text already starts
+        # with the string)
+        return lambda s: (p + s) if s else s
     if t == "Replace":
         pat = cfg.get("pattern", {})
         content = cfg.get("content", "")
@@ -223,6 +225,7 @@ class HFTokenizer:
         self._scores: dict[str, float] = {}
         self._merge_ranks: dict[tuple[str, str], int] = {}
         self._wp_prefix = model.get("continuing_subword_prefix", "##")
+        self._bpe_cache: dict[str, list[int]] = {}
         self.unk_id = None
         self.bos_id = None
         self.eos_id = None
@@ -306,9 +309,17 @@ class HFTokenizer:
             # no pre-tokenizer: the whole text is one model unit (SPM-style)
             self._pre = lambda s: [s] if s else []
 
-        # post-processor: TemplateProcessing single template -> bos/eos
+        # post-processor: TemplateProcessing single template -> bos/eos.
+        # Llama-3-style files nest it inside a Sequence processor
+        # (ByteLevel + TemplateProcessing) — find it recursively.
         self._template: list[tuple[str, int | None]] = []
         post = root.get("post_processor") or {}
+        if post.get("type") == "Sequence":
+            for sub in post.get("processors") or []:
+                if isinstance(sub, dict) and \
+                        sub.get("type") == "TemplateProcessing":
+                    post = sub
+                    break
         if post.get("type") == "TemplateProcessing":
             for item in post.get("single") or []:
                 if "SpecialToken" in item:
@@ -361,9 +372,6 @@ class HFTokenizer:
     def encode(self, text: str, add_bos: bool | None = None,
                add_special: bool = True, parse_special: bool = True) -> list[int]:
         ids: list[int] = []
-        use_bos = self.add_bos if add_bos is None else add_bos
-        if add_special and use_bos and self.bos_id is not None:
-            ids.append(self.bos_id)
         segments: list[tuple[str, bool]] = []
         if parse_special and self._special_re is not None:
             for part in self._special_re.split(text):
@@ -379,6 +387,12 @@ class HFTokenizer:
                 seg = self._normalize(seg)
             for piece in self._pre(seg):
                 ids.extend(self._encode_piece(piece))
+        use_bos = self.add_bos if add_bos is None else add_bos
+        if add_special and use_bos and self.bos_id is not None and \
+                (not ids or ids[0] != self.bos_id):
+            # guard against double-BOS when the prompt already starts with
+            # the BOS token (chat templates commonly include it literally)
+            ids.insert(0, self.bos_id)
         if add_special and self.add_eos and self.eos_id is not None:
             ids.append(self.eos_id)
         return ids
@@ -393,24 +407,73 @@ class HFTokenizer:
         return self._bpe(piece)
 
     def _bpe(self, word: str) -> list[int]:
-        parts = list(word)
-        while len(parts) > 1:
-            best = None
-            best_rank = None
-            for i in range(len(parts) - 1):
-                r = self._merge_ranks.get((parts[i], parts[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = i, r
-            if best is None:
-                break
-            parts[best: best + 2] = [parts[best] + parts[best + 1]]
+        # per-piece memoization: pre-tokenized words repeat heavily
+        cached = self._bpe_cache.get(word)
+        if cached is not None:
+            return cached
+        out = self._bpe_uncached(word)
+        if len(word) <= 32 and len(self._bpe_cache) < 1 << 16:
+            self._bpe_cache[word] = out
+        return out
+
+    def _bpe_uncached(self, word: str) -> list[int]:
+        """Heap-based BPE over a doubly-linked symbol list: O(n log n)
+        instead of a full pair rescan per merge — matters for SPM-style
+        files with a null pre-tokenizer, where the whole text is one
+        piece."""
+        import heapq
+
+        n = len(word)
+        if n == 0:
+            return []
+        sym = list(word)           # symbol strings (merged spans)
+        prev = list(range(-1, n - 1))
+        nxt = list(range(1, n + 1))
+        nxt[-1] = -1
+        alive = [True] * n
+        ranks = self._merge_ranks
+        heap: list[tuple[int, int, int]] = []  # (rank, left_idx, version)
+        version = [0] * n
+
+        def push(i):
+            j = nxt[i]
+            if i < 0 or j < 0:
+                return
+            r = ranks.get((sym[i], sym[j]))
+            if r is not None:
+                heapq.heappush(heap, (r, i, version[i]))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            r, i, ver = heapq.heappop(heap)
+            if not alive[i] or ver != version[i]:
+                continue
+            j = nxt[i]
+            if j < 0 or not alive[j]:
+                continue
+            if ranks.get((sym[i], sym[j])) != r:
+                continue
+            sym[i] = sym[i] + sym[j]
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prev[nxt[j]] = i
+            version[i] += 1
+            push(i)
+            if prev[i] >= 0:
+                version[prev[i]] += 1
+                push(prev[i])
         out = []
-        for p in parts:
-            tid = self._vocab.get(p)
-            if tid is not None:
-                out.append(tid)
-            else:
-                out.extend(self._fallback_bytes(p))
+        i = 0
+        while i >= 0:
+            if alive[i]:
+                tid = self._vocab.get(sym[i])
+                if tid is not None:
+                    out.append(tid)
+                else:
+                    out.extend(self._fallback_bytes(sym[i]))
+            i = nxt[i]
         return out
 
     def _unigram(self, text: str) -> list[int]:

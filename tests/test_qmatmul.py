@@ -160,7 +160,11 @@ def test_pick_tiles_vmem_budgets():
     # large prefill batches must shrink the K tile to fit the x block
     tk, tn = _pick_tiles("q4", 32, 4096, 6144, b=1024)
     assert 0 < tk < 2048 and 1024 * tk * 4 <= TILED_X_BUDGET
-    assert 4096 % tk == 0 and tk % 64 == 0
+    # shrunk (non-full) tiles must satisfy Mosaic's scale-panel constraint
+    assert 4096 % tk == 0 and tk % (8 * 32) == 0
+    # group=16 formats shrink on 128-aligned steps too
+    tk, tn = _pick_tiles("q4", 16, 4096, 256, b=2048)
+    assert tk == 0 or (4096 % tk == 0 and tk % (8 * 16) == 0)
     # the standard bench prefill (512 rows) keeps the full 2048 tile
     tk, tn = _pick_tiles("q4", 32, 2048, 11264, b=512)
     assert tk == 2048 and 512 * tk * 4 <= TILED_X_BUDGET

@@ -261,3 +261,75 @@ def test_hf_json_special_tokens_and_template(tmp_path):
     mixed = "hello <s> world"
     got = ours.encode(mixed, add_bos=False, add_special=False)
     assert bos in got
+
+
+def test_hf_json_sequence_post_processor(tmp_path):
+    """Llama-3-style Sequence post-processor (ByteLevel + TemplateProcessing)
+    — the nested template must still drive BOS placement."""
+    import json as _json
+
+    vocab = {"<|begin_of_text|>": 0, "h": 1, "i": 2, "hi": 3}
+    tokjson = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": ["h i"]},
+        "added_tokens": [
+            {"id": 0, "content": "<|begin_of_text|>", "special": True}],
+        "pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": False,
+                          "use_regex": True},
+        "post_processor": {
+            "type": "Sequence",
+            "processors": [
+                {"type": "ByteLevel", "trim_offsets": True},
+                {"type": "TemplateProcessing",
+                 "single": [
+                     {"SpecialToken": {"id": "<|begin_of_text|>",
+                                       "type_id": 0}},
+                     {"Sequence": {"id": "A", "type_id": 0}}],
+                 "pair": [],
+                 "special_tokens": {
+                     "<|begin_of_text|>": {"id": "<|begin_of_text|>",
+                                           "ids": [0],
+                                           "tokens": ["<|begin_of_text|>"]}}},
+            ],
+        },
+    }
+    path = tmp_path / "tokenizer.json"
+    path.write_text(_json.dumps(tokjson))
+
+    from llama_gguf_tpu.tokenizer.hf_json import HFTokenizer
+
+    tok = HFTokenizer(str(path))
+    assert tok.add_bos and tok.bos_id == 0
+    ids = tok.encode("hi")
+    assert ids[0] == 0 and ids[1:] == [3]
+    # double-BOS guard: a prompt already starting with the bos token
+    ids2 = tok.encode("<|begin_of_text|>hi")
+    assert ids2.count(0) == 1 and ids2 == [0, 3]
+
+
+def test_hf_json_long_text_bpe_fast(tmp_path):
+    """SPM-style (null pre-tokenizer) BPE on a long document must stay
+    fast (heap-based merge, not the O(n^2) rescan) and exact."""
+    import json as _json
+    import time as _time
+
+    letters = "abcdefgh"
+    vocab = {c: i for i, c in enumerate(letters)}
+    merges = []
+    for a in letters[:4]:
+        for b2 in letters[:4]:
+            vocab.setdefault(a + b2, len(vocab))
+            merges.append(f"{a} {b2}")
+    tokjson = {"model": {"type": "BPE", "vocab": vocab, "merges": merges},
+               "pre_tokenizer": None}
+    path = tmp_path / "tokenizer.json"
+    path.write_text(_json.dumps(tokjson))
+
+    from llama_gguf_tpu.tokenizer.hf_json import HFTokenizer
+
+    tok = HFTokenizer(str(path))
+    text = "abcdabcdabab" * 2000  # 24k chars, one piece
+    t0 = _time.time()
+    ids = tok.encode(text, add_special=False)
+    dt = _time.time() - t0
+    assert dt < 2.0, f"BPE too slow: {dt:.2f}s"
+    assert tok.decode(ids) == text
