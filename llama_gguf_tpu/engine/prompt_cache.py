@@ -3,7 +3,7 @@
 Parity target: /root/reference/src/model/cache.rs:92-231 (PromptCache —
 KV snapshots keyed by token hash, longest-prefix match at cache.rs:164, LRU
 by memory budget). TPU-native twist: snapshots are host numpy copies of one
-batch row of the [L,B,S,H,D] cache (device HBM stays free), restored with a
+batch row of the per-layer [B,S,H,D] cache tuples (device HBM stays free), restored with a
 single device_put + scatter when a new prompt shares the prefix; prefill then
 continues from the shared length.
 """
@@ -73,8 +73,10 @@ class PromptCache:
         t = len(key)
         arrays = {}
         nbytes = 0
-        for name, a in kv.items():
-            host = np.asarray(a[:, batch_idx, :t])
+        for name, layers_t in kv.items():
+            # per-layer tuple -> one stacked [L, t, ...] host copy
+            host = np.stack([np.asarray(a[batch_idx, :t])
+                             for a in layers_t])
             arrays[name] = host
             nbytes += host.nbytes
         if nbytes > self.max_bytes:
@@ -122,9 +124,12 @@ class PromptCache:
         self.stats.hits += 1
         out = dict(kv)
         for name, host in entry.arrays.items():
-            dev = jnp.asarray(host[:, :n])
-            out[name] = out[name].at[:, batch_idx, :n].set(
-                dev.astype(out[name].dtype))
+            new_layers = list(out[name])
+            for layer, a in enumerate(new_layers):
+                dev = jnp.asarray(host[layer, :n])
+                new_layers[layer] = a.at[batch_idx, :n].set(
+                    dev.astype(a.dtype))
+            out[name] = tuple(new_layers)
         return out, n
 
     # -- eviction -----------------------------------------------------------------

@@ -3,10 +3,14 @@
 The reference mutates per-layer Vec<Tensor> caches in place
 (/root/reference/src/model/mod.rs:64-178) and has three separate cache
 implementations: f32, quantized INT8/FP8 (kv_quantized.rs:11-728) and
-TurboQuant (kv_turboquant.rs). The TPU-native design is one stacked pytree
-[L, B, S, H_kv, D] threaded through the jitted step with buffer donation, so
-XLA updates it in place in HBM, with the storage format a *static* choice
-baked into the compiled step:
+TurboQuant (kv_turboquant.rs). The TPU-native design is a pytree of
+PER-LAYER [B, S, H_kv, D] buffers (kv["k"]/kv["v"] are L-tuples) threaded
+through the jitted step with buffer donation, so XLA updates each layer in
+place in HBM. Per-layer buffers matter: with one stacked [L, B, S, H, D]
+array, XLA's aliasing analysis gives up once sliced reads interleave with
+the per-layer scatter writes and COPIES the whole cache every decode step —
+measured 2x step time at B=32/S=2048 (5.2 ms of pure copy). The storage
+format is a *static* choice baked into the compiled step:
 
   f32 / bf16       — plain dense cache
   i8               — per-(position, head) symmetric int8 scales, the analogue
@@ -68,63 +72,62 @@ def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
                           dtype=dtype, v_head_dim=v_head_dim, fmt=fmt)
         base["k_swa"] = ring["k"]
         base["v_swa"] = ring["v"]
-        base["swa_pos"] = jnp.full((n_swa, batch, ring_slots), -1, jnp.int32)
+        base["swa_pos"] = tuple(
+            jnp.full((batch, ring_slots), -1, jnp.int32)
+            for _ in range(n_swa))
         return base
     if fmt is None:
         fmt = "bf16" if dtype == jnp.bfloat16 else "f32"
     if fmt not in FORMATS:
         raise ValueError(f"unknown kv format {fmt!r} (one of {FORMATS})")
     vd = head_dim if v_head_dim is None else v_head_dim
+
+    def layers(shape, dt):
+        return tuple(jnp.zeros(shape, dt) for _ in range(num_layers))
+
     if fmt == "qjl":
         # keys as 1-bit QJL sign sketches + norms; attention scores are
         # computed directly ON the compressed keys (the literal analogue of
         # kv_turboquant.rs:176 'attention on compressed keys'); values tq4
         return {
-            "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
-                            head_dim // 8), jnp.uint8),
-            "v": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
-                            vd // 2), jnp.uint8),
-            "k_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
-                                 jnp.float32),
-            "v_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
-                                 jnp.float32),
+            "k": layers((batch, max_seq, num_kv_heads, head_dim // 8),
+                        jnp.uint8),
+            "v": layers((batch, max_seq, num_kv_heads, vd // 2), jnp.uint8),
+            "k_scale": layers((batch, max_seq, num_kv_heads), jnp.float32),
+            "v_scale": layers((batch, max_seq, num_kv_heads), jnp.float32),
         }
     if fmt.startswith("tq"):
         bits = int(fmt[2])
-        kv = {
-            "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
-                            head_dim * bits // 8), jnp.uint8),
-            "v": jnp.zeros((num_layers, batch, max_seq, num_kv_heads,
-                            vd * bits // 8), jnp.uint8),
-            "k_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
-                                 jnp.float32),
-            "v_scale": jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
-                                 jnp.float32),
+        return {
+            "k": layers((batch, max_seq, num_kv_heads, head_dim * bits // 8),
+                        jnp.uint8),
+            "v": layers((batch, max_seq, num_kv_heads, vd * bits // 8),
+                        jnp.uint8),
+            "k_scale": layers((batch, max_seq, num_kv_heads), jnp.float32),
+            "v_scale": layers((batch, max_seq, num_kv_heads), jnp.float32),
         }
-        return kv
     store = _STORE_DTYPE[fmt]
     kv: dict[str, Any] = {
-        "k": jnp.zeros((num_layers, batch, max_seq, num_kv_heads, head_dim), store),
-        "v": jnp.zeros((num_layers, batch, max_seq, num_kv_heads, vd), store),
+        "k": layers((batch, max_seq, num_kv_heads, head_dim), store),
+        "v": layers((batch, max_seq, num_kv_heads, vd), store),
     }
     if fmt == "i8":
-        kv["k_scale"] = jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
-                                  jnp.float32)
-        kv["v_scale"] = jnp.zeros((num_layers, batch, max_seq, num_kv_heads),
-                                  jnp.float32)
+        kv["k_scale"] = layers((batch, max_seq, num_kv_heads), jnp.float32)
+        kv["v_scale"] = layers((batch, max_seq, num_kv_heads), jnp.float32)
     return kv
 
 
 def cache_shape(kv: dict[str, Any]) -> tuple[int, int, int, int, int]:
-    return tuple(kv["k"].shape)
+    """Logical [L, B, S, H, D] shape (the storage is per-layer tuples)."""
+    return (len(kv["k"]),) + tuple(kv["k"][0].shape)
 
 
 def cache_format(kv: dict[str, Any], head_dim: int | None = None) -> str:
-    dt = kv["k"].dtype
+    dt = kv["k"][0].dtype
     if dt == jnp.uint8:  # TurboQuant/QJL: packed, bits inferred from head_dim
         if head_dim is None:
             return "tq"
-        bits = kv["k"].shape[-1] * 8 // head_dim
+        bits = kv["k"][0].shape[-1] * 8 // head_dim
         return "qjl" if bits == 1 else f"tq{bits}"
     if dt == jnp.int8:
         return "i8"
@@ -133,6 +136,13 @@ def cache_format(kv: dict[str, Any], head_dim: int | None = None) -> str:
     if dt == jnp.float8_e5m2:
         return "f8_e5m2"
     return "bf16" if dt == jnp.bfloat16 else "f32"
+
+
+def _set_layer(kv: dict[str, Any], key: str, layer: int,
+               value: jnp.ndarray) -> None:
+    t = list(kv[key])
+    t[layer] = value
+    kv[key] = tuple(t)
 
 
 def _quantize_i8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -155,17 +165,21 @@ def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
     fmt = cache_format(kv, head_dim=k.shape[-1])
     b_idx = jnp.arange(k.shape[0])[:, None]
     kv = dict(kv)
+
+    def upd(key, value):
+        _set_layer(kv, key, layer,
+                   kv[key][layer].at[b_idx, positions].set(value,
+                                                           mode="drop"))
+
     if fmt == "qjl":
         from .turboquant import compress, qjl_compress
 
         kp, knorm = qjl_compress(k.astype(jnp.float32))
         vp, vs = compress(v.astype(jnp.float32), 4)
-        kv["k"] = kv["k"].at[layer, b_idx, positions].set(kp, mode="drop")
-        kv["v"] = kv["v"].at[layer, b_idx, positions].set(vp, mode="drop")
-        kv["k_scale"] = kv["k_scale"].at[layer, b_idx, positions].set(
-            knorm, mode="drop")
-        kv["v_scale"] = kv["v_scale"].at[layer, b_idx, positions].set(
-            vs, mode="drop")
+        upd("k", kp)
+        upd("v", vp)
+        upd("k_scale", knorm)
+        upd("v_scale", vs)
         return kv
     if fmt.startswith("tq"):
         from .turboquant import compress
@@ -173,31 +187,21 @@ def write(kv: dict[str, Any], layer: int, k: jnp.ndarray, v: jnp.ndarray,
         bits = int(fmt[2])
         kp, ks = compress(k.astype(jnp.float32), bits)
         vp, vs = compress(v.astype(jnp.float32), bits)
-        kv["k"] = kv["k"].at[layer, b_idx, positions].set(kp, mode="drop")
-        kv["v"] = kv["v"].at[layer, b_idx, positions].set(vp, mode="drop")
-        kv["k_scale"] = kv["k_scale"].at[layer, b_idx, positions].set(
-            ks, mode="drop")
-        kv["v_scale"] = kv["v_scale"].at[layer, b_idx, positions].set(
-            vs, mode="drop")
+        upd("k", kp)
+        upd("v", vp)
+        upd("k_scale", ks)
+        upd("v_scale", vs)
         return kv
     if fmt == "i8":
-        kf = k.astype(jnp.float32)
-        vf = v.astype(jnp.float32)
-        kq, ks = _quantize_i8(kf)
-        vq, vs = _quantize_i8(vf)
-        kv["k"] = kv["k"].at[layer, b_idx, positions].set(kq, mode="drop")
-        kv["v"] = kv["v"].at[layer, b_idx, positions].set(vq, mode="drop")
-        kv["k_scale"] = kv["k_scale"].at[layer, b_idx, positions].set(
-            ks, mode="drop")
-        kv["v_scale"] = kv["v_scale"].at[layer, b_idx, positions].set(
-            vs, mode="drop")
+        kq, ks = _quantize_i8(k.astype(jnp.float32))
+        vq, vs = _quantize_i8(v.astype(jnp.float32))
+        upd("k", kq)
+        upd("v", vq)
+        upd("k_scale", ks)
+        upd("v_scale", vs)
         return kv
-    kv["k"] = kv["k"].at[layer, b_idx, positions].set(
-        k.astype(kv["k"].dtype), mode="drop"
-    )
-    kv["v"] = kv["v"].at[layer, b_idx, positions].set(
-        v.astype(kv["v"].dtype), mode="drop"
-    )
+    upd("k", k.astype(kv["k"][layer].dtype))
+    upd("v", v.astype(kv["v"][layer].dtype))
     return kv
 
 
@@ -211,23 +215,26 @@ def write_swa(kv: dict[str, Any], swa_idx: int, k: jnp.ndarray,
     ring slot with a newer key written in the same scatter. Padding
     positions (>= the full stack's max_seq) map to slot R and are dropped.
     """
-    r = kv["k_swa"].shape[2]
+    r = kv["k_swa"][swa_idx].shape[1]
     t = k.shape[1]
     if t > r - window + 1:
         raise ValueError(
             f"prefill chunk T={t} too large for SWA ring (R={r}, "
             f"window={window}); chunk prefill to <= {r - window + 1} tokens "
             "or disable the ring cache (swa_ring=False)")
-    max_seq = kv["k"].shape[2]  # full stack keeps the logical bound even
+    max_seq = kv["k"][0].shape[1]  # full stack keeps the logical bound even
     slot = jnp.where(positions < max_seq, positions % r, r)  # when empty
     b_idx = jnp.arange(k.shape[0])[:, None]
     kv = dict(kv)
-    kv["k_swa"] = kv["k_swa"].at[swa_idx, b_idx, slot].set(
-        k.astype(kv["k_swa"].dtype), mode="drop")
-    kv["v_swa"] = kv["v_swa"].at[swa_idx, b_idx, slot].set(
-        v.astype(kv["v_swa"].dtype), mode="drop")
-    kv["swa_pos"] = kv["swa_pos"].at[swa_idx, b_idx, slot].set(
-        positions, mode="drop")
+    _set_layer(kv, "k_swa", swa_idx,
+               kv["k_swa"][swa_idx].at[b_idx, slot].set(
+                   k.astype(kv["k_swa"][swa_idx].dtype), mode="drop"))
+    _set_layer(kv, "v_swa", swa_idx,
+               kv["v_swa"][swa_idx].at[b_idx, slot].set(
+                   v.astype(kv["v_swa"][swa_idx].dtype), mode="drop"))
+    _set_layer(kv, "swa_pos", swa_idx,
+               kv["swa_pos"][swa_idx].at[b_idx, slot].set(
+                   positions, mode="drop"))
     return kv
 
 
@@ -292,7 +299,13 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
 
 def batch_slice(kv: dict[str, Any], idx: jnp.ndarray) -> dict[str, Any]:
     """Gather a batch subset (for scheduler slot compaction)."""
-    return {key: a[:, idx] for key, a in kv.items()}
+    out = {}
+    for key, val in kv.items():
+        if isinstance(val, tuple):
+            out[key] = tuple(a[idx] for a in val)
+        else:  # recurrent-state sub-pytrees keep their own layout
+            out[key] = jax.tree_util.tree_map(lambda a: a[:, idx], val)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -319,12 +332,14 @@ def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
     for key in ("k", "v", "k_scale", "v_scale"):
         if key not in kv:
             continue
-        a = kv[key]
-        rolled = jnp.roll(a, -n, axis=2)
-        if batch_idx is None:
-            kv[key] = rolled
-        else:
-            kv[key] = a.at[:, batch_idx].set(rolled[:, batch_idx])
+
+        def roll_one(a):
+            rolled = jnp.roll(a, -n, axis=1)
+            if batch_idx is None:
+                return rolled
+            return a.at[batch_idx].set(rolled[batch_idx])
+
+        kv[key] = tuple(roll_one(a) for a in kv[key])
     if fmt == "tq":
         # TurboQuant keys are stored Hadamard-rotated+packed; shift without
         # RoPE re-rotation (the approximation the reference memmove makes)
@@ -332,22 +347,29 @@ def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
     if rope_cfg is not None and rope_cfg.n_dims > 0:
         from ..ops.rope import rerotate_keys
 
-        k = kv["k"]
         if fmt == "i8":
             # rotate in float then requantize with the existing scales
-            kf = k.astype(jnp.float32) * kv["k_scale"][..., None]
-            kf = rerotate_keys(kf, -n, rope_cfg)
-            amax = jnp.max(jnp.abs(kf), axis=-1)
-            scale = amax / 127.0
-            inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
-            kv["k"] = jnp.clip(jnp.round(kf * inv[..., None]),
-                               -127, 127).astype(jnp.int8)
-            kv["k_scale"] = scale
+            new_k, new_s = [], []
+            for k, s in zip(kv["k"], kv["k_scale"]):
+                kf = k.astype(jnp.float32) * s[..., None]
+                kf = rerotate_keys(kf, -n, rope_cfg)
+                amax = jnp.max(jnp.abs(kf), axis=-1)
+                scale = amax / 127.0
+                inv = jnp.where(scale > 0,
+                                1.0 / jnp.maximum(scale, 1e-30), 0.0)
+                new_k.append(jnp.clip(jnp.round(kf * inv[..., None]),
+                                      -127, 127).astype(jnp.int8))
+                new_s.append(scale)
+            kv["k"] = tuple(new_k)
+            kv["k_scale"] = tuple(new_s)
         else:
-            kf = rerotate_keys(k.astype(jnp.float32), -n, rope_cfg)
-            kv["k"] = kf.astype(k.dtype)
+            kv["k"] = tuple(
+                rerotate_keys(k.astype(jnp.float32), -n,
+                              rope_cfg).astype(k.dtype)
+                for k in kv["k"])
     return kv
 
 
 def memory_bytes(kv: dict[str, Any]) -> int:
-    return sum(a.size * a.dtype.itemsize for a in kv.values())
+    return sum(a.size * a.dtype.itemsize
+               for a in jax.tree_util.tree_leaves(kv))

@@ -204,7 +204,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                 "(scores are sign-sketch estimates); use another format")
         from ..ops.attention import qjl_attention
 
-        s_cap = kv["k"].shape[2]
+        s_cap = kv["k"][0].shape[1]
         rb = min(read_bound, s_cap) if read_bound is not None else s_cap
         ctx = qjl_attention(
             qg, kv["k"][cache_idx][:, :rb], kv["k_scale"][cache_idx][:, :rb],

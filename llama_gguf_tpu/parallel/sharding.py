@@ -203,26 +203,29 @@ def _shard_ffn(ffn: dict, mesh: Mesh) -> dict:
 
 
 def shard_kv(kv: dict, mesh: Mesh, num_kv_heads: int) -> dict:
-    """KV cache [L, B, S, H, D]: batch over data, heads over model when
-    divisible (else replicated heads)."""
+    """KV cache (per-layer [B, S, H, D] tuples): batch over data, heads
+    over model when divisible (else replicated heads)."""
     n_model = mesh.shape["model"]
     head_axis = "model" if num_kv_heads % n_model == 0 else None
-    batch = kv["k"].shape[1]
+    batch = kv["k"][0].shape[0]
     batch_axis = "data" if batch % mesh.shape["data"] == 0 else None
-    spec = P(None, batch_axis, None, head_axis, None)
-    s = NamedSharding(mesh, spec)
+    s = NamedSharding(mesh, P(batch_axis, None, head_axis, None))
+
+    def put_layers(t, sharding):
+        return tuple(jax.device_put(a, sharding) for a in t)
+
     out = dict(kv)
-    out["k"] = jax.device_put(kv["k"], s)
-    out["v"] = jax.device_put(kv["v"], s)
-    if "k_scale" in kv:  # quantized formats: [L, B, S, H] scales
-        s4 = NamedSharding(mesh, P(None, batch_axis, None, head_axis))
-        out["k_scale"] = jax.device_put(kv["k_scale"], s4)
-        out["v_scale"] = jax.device_put(kv["v_scale"], s4)
+    out["k"] = put_layers(kv["k"], s)
+    out["v"] = put_layers(kv["v"], s)
+    if "k_scale" in kv:  # quantized formats: per-layer [B, S, H] scales
+        s3 = NamedSharding(mesh, P(batch_axis, None, head_axis))
+        out["k_scale"] = put_layers(kv["k_scale"], s3)
+        out["v_scale"] = put_layers(kv["v_scale"], s3)
     if "k_swa" in kv:  # SWA ring stacks: same layout, ring-sized seq axis
-        out["k_swa"] = jax.device_put(kv["k_swa"], s)
-        out["v_swa"] = jax.device_put(kv["v_swa"], s)
-        out["swa_pos"] = jax.device_put(
-            kv["swa_pos"], NamedSharding(mesh, P(None, batch_axis, None)))
+        out["k_swa"] = put_layers(kv["k_swa"], s)
+        out["v_swa"] = put_layers(kv["v_swa"], s)
+        out["swa_pos"] = put_layers(
+            kv["swa_pos"], NamedSharding(mesh, P(batch_axis, None)))
     rep = NamedSharding(mesh, P())
     for key in ("deltanet", "mamba"):  # recurrent state: replicated
         if key in kv:

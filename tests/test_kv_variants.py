@@ -244,8 +244,8 @@ def test_swa_ring_matches_full_cache(tmp_path):
         assert (r.ring_slots > 0) == ring
         kv = r.init_kv()
         if ring:  # layer 1 (full) keeps 2048 slots; layer 0 rings at 128+16
-            assert kv["k"].shape[0] == 1 and kv["k_swa"].shape[0] == 1
-            assert kv["k_swa"].shape[2] == r.ring_slots
+            assert len(kv["k"]) == 1 and len(kv["k_swa"]) == 1
+            assert kv["k_swa"][0].shape[1] == r.ring_slots
         logits, kv, pos = r.prefill(prompt, kv)
         toks, _ = r.greedy_decode(
             np.asarray([int(np.argmax(np.asarray(logits)))]),
