@@ -29,12 +29,17 @@ from ..ops.norms import rms_norm
 
 
 def init_mamba_state(cfg, batch: int, num_layers: int) -> dict[str, Any]:
+    # per-layer tuples (not a stacked [L, ...] array): like the KV cache,
+    # a stacked buffer with interleaved per-layer reads and .at[layer]
+    # updates defeats XLA's in-place aliasing inside lax.scan
     ks = cfg.ssm_conv_kernel
     return {
-        "conv": jnp.zeros((num_layers, batch, ks - 1, cfg.ssm_d_inner),
-                          jnp.float32),
-        "ssm": jnp.zeros((num_layers, batch, cfg.ssm_d_inner,
-                          cfg.ssm_d_state), jnp.float32),
+        "conv": tuple(
+            jnp.zeros((batch, ks - 1, cfg.ssm_d_inner), jnp.float32)
+            for _ in range(num_layers)),
+        "ssm": tuple(
+            jnp.zeros((batch, cfg.ssm_d_inner, cfg.ssm_d_state), jnp.float32)
+            for _ in range(num_layers)),
     }
 
 
@@ -116,8 +121,12 @@ def mamba_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
 
     kv = dict(kv)
     mamba = dict(kv["mamba"])
-    mamba["conv"] = mamba["conv"].at[layer_idx].set(new_conv)
-    mamba["ssm"] = mamba["ssm"].at[layer_idx].set(ssm_f)
+    conv = list(mamba["conv"])
+    conv[layer_idx] = new_conv
+    mamba["conv"] = tuple(conv)
+    ssm = list(mamba["ssm"])
+    ssm[layer_idx] = ssm_f
+    mamba["ssm"] = tuple(ssm)
     kv["mamba"] = mamba
     x = residual + out
 
