@@ -394,11 +394,12 @@ class ModelLoader:
         emb_name = "token_embd.weight"
         emb_info = self.gguf.tensors[emb_name]
         tied = not self.has("output.weight")
-        # Untied models keep the embedding table QUANTIZED in HBM (an 8B
-        # f32 table is 2.1 GB vs ~0.6 quantized); lookups gather packed
-        # rows and dequantize in-graph (ops.linear.embedding_lookup). Tied
-        # models need the dense table for the output matmul — keep f32.
-        if (self.mode == "quant" and not tied
+        # The embedding table stays QUANTIZED in HBM (an 8B f32 table is
+        # 2.1 GB vs ~0.6 quantized); lookups gather packed rows and
+        # dequantize in-graph (ops.linear.embedding_lookup). Tied models
+        # get a QuantLinear output head built from the same data below, so
+        # they need no dense copy either.
+        if (self.mode == "quant"
                 and emb_info.ggml_type in _QUANTIZED_KEEP
                 and len(emb_info.np_shape) == 2
                 and emb_info.np_shape[1] % 32 == 0):
@@ -440,8 +441,35 @@ class ModelLoader:
         if self.has("output.weight"):
             params["output"] = self.linear("output")
         else:
-            params["output"] = None  # tied embeddings (loader.rs:348-355)
-            cfg.tie_word_embeddings = True
+            cfg.tie_word_embeddings = True  # (loader.rs:348-355)
+            # Tied embeddings in quant mode: build the output head as a
+            # QuantLinear from the SAME quantized embed data instead of
+            # matmul-ing against a dense f32 table — for Qwen2.5-0.5B the
+            # f32 table is 545 MB read EVERY decode step vs ~110 MB packed.
+            emb_info = self.gguf.tensors[emb_name]
+            if (self.mode == "quant"
+                    and emb_info.ggml_type in _QUANTIZED_KEEP
+                    and len(emb_info.np_shape) == 2
+                    and emb_info.np_shape[1] % 32 == 0):
+                rw = self._repack_cached(
+                    emb_name + "@out",
+                    lambda: repack(self.gguf.tensor_bytes(emb_name),
+                                   emb_info.ggml_type, emb_info.np_shape,
+                                   allow_q6=self._q6))
+                sdt = self.scale_dtype
+                params["output"] = QuantLinear(
+                    packed=self._put(rw.packed, emb_name),
+                    scales=self._put(rw.scales, emb_name).astype(sdt),
+                    mins=self._put(rw.mins, emb_name).astype(sdt)
+                    if rw.mins is not None else None,
+                    bias=None,
+                    fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
+                    source_type=emb_info.ggml_type.name,
+                    packed2=self._put(rw.packed2, emb_name)
+                    if rw.packed2 is not None else None,
+                )
+            else:
+                params["output"] = None  # dense tied table used directly
         if self.repack_cache is not None:
             self.repack_cache.flush()
         return params, cfg

@@ -19,6 +19,7 @@ from ..quant.quantize import quantize
 PRESETS = {
     # name: (arch, vocab, hidden, layers, heads, kv_heads, ffn, ctx, tie)
     "tiny": ("qwen2", 512, 128, 2, 4, 2, 256, 256, False),
+    "tiny-tied": ("qwen2", 512, 128, 2, 4, 2, 256, 256, True),
     "small": ("qwen2", 2048, 256, 4, 8, 2, 512, 512, False),
     "qwen2.5-0.5b": ("qwen2", 151936, 896, 24, 14, 2, 4864, 32768, True),
     "llama3-8b": ("llama", 128256, 4096, 32, 32, 8, 14336, 8192, False),
@@ -88,8 +89,17 @@ def build_synthetic_gguf(
         else:
             w.add_tensor_np(name, arr)
 
-    # Q4_K_M convention: embeddings Q6_K-ish, most weights Q4_K, some Q6_K
-    emb_q = GGMLType.Q6_K if quant != GGMLType.F32 else GGMLType.F32
+    # Q4_K_M convention: embeddings Q6_K-ish, most weights Q4_K, some Q6_K.
+    # Rows not divisible by the 256-elem K-block (e.g. qwen2.5-0.5b's
+    # hidden 896) quantize as Q8_0, like llama.cpp's fallback — previously
+    # they silently stayed F32, which made the tied lm_head a dense-f32
+    # matmul every decode step.
+    if quant == GGMLType.F32:
+        emb_q = GGMLType.F32
+    elif hidden % 256 == 0:
+        emb_q = GGMLType.Q6_K
+    else:
+        emb_q = GGMLType.Q8_0
     addq("token_embd.weight", rw(vocab, hidden), emb_q)
     for i in range(layers):
         p = f"blk.{i}"

@@ -212,3 +212,35 @@ def test_quant_embedding_bitexact_gather(tmp_path, rng):
     got = np.asarray(embedding_lookup(pq["embed"], toks))
     want = np.asarray(jnp.take(pd["embed"], toks, axis=0))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tied_quant_output_head(tmp_path, rng):
+    """Tied-embedding models in quant mode: the output head is a
+    QuantLinear built from the embed data (no dense f32 table resident)
+    and logits stay close to the dequant oracle."""
+    import jax
+
+    from llama_gguf_tpu.ops.linear import QuantEmbedding, QuantLinear
+
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    path = str(tmp_path / "tied.gguf")
+    build_synthetic_gguf(path, preset="tiny-tied", quant=GGMLType.Q4_K)
+    pd, cfgd, _ = load_model(path, mode="dequant")
+    pq, cfgq, _ = load_model(path, mode="quant")
+    assert pq.get("output") is not None
+    assert isinstance(pq["output"], QuantLinear)
+
+    tokens = rng.integers(0, cfgd.vocab_size, size=8).tolist()
+    import jax.numpy as jnp
+
+    outs = []
+    for params, cfg in ((pd, cfgd), (pq, cfgq)):
+        runner = ModelRunner(params, cfg, max_batch=1, max_seq=64)
+        kv = runner.init_kv()
+        logits, _ = runner.step(
+            jnp.asarray([tokens], jnp.int32),
+            jnp.asarray([list(range(len(tokens)))], jnp.int32),
+            jnp.asarray([len(tokens)], jnp.int32), kv)
+        outs.append(np.asarray(logits[0]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
