@@ -49,12 +49,17 @@ class BatchedStats:
     # steps because they ride in the same batched forward
     mixed_steps: int = 0
     decode_tokens: int = 0
+    # tokens sampled in PURE decode steps — the numerator matching
+    # decode_time (mixed steps carry prefill compute, so their tokens would
+    # inflate decode_tps unboundedly as the mixed fraction grows)
+    decode_tokens_pure: int = 0
     prefill_tokens: int = 0
     decode_time: float = 0.0
 
     @property
     def decode_tps(self) -> float:
-        return self.decode_tokens / self.decode_time if self.decode_time else 0.0
+        return (self.decode_tokens_pure / self.decode_time
+                if self.decode_time else 0.0)
 
 
 class _StopBuffer:
@@ -393,6 +398,7 @@ class BatchedEngine:
                 self.stats.mixed_steps += 1
             else:
                 self.stats.decode_time += dt
+                self.stats.decode_tokens_pure += len(dec)
             self.stats.decode_steps += 1
         for idx, s in enumerate(dec):
             s.pos += 1

@@ -74,9 +74,10 @@ class PromptCache:
         arrays = {}
         nbytes = 0
         for name, layers_t in kv.items():
-            # per-layer tuple -> one stacked [L, t, ...] host copy
-            host = np.stack([np.asarray(a[batch_idx, :t])
-                             for a in layers_t])
+            # stack ON DEVICE, then ONE host fetch per key — per-layer
+            # np.asarray calls would each pay the 2-6 ms tunnel round-trip
+            host = np.asarray(
+                jnp.stack([a[batch_idx, :t] for a in layers_t]))
             arrays[name] = host
             nbytes += host.nbytes
         if nbytes > self.max_bytes:

@@ -60,7 +60,11 @@ def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
     this shrinks the KV cache ~50x. Ring slot j tracks its absolute
     position in ``swa_pos`` (init -1 = empty); attention masks by stored
     position, so the layout change is invisible to the math."""
+    # the ring needs >= 1 full layer: cache_shape/write_swa derive the
+    # logical max_seq from kv["k"][0], which an all-SWA model would leave
+    # empty — fall back to the plain cache there
     use_ring = (ring_slots > 0 and any(swa_layers)
+                and not all(swa_layers)
                 and fmt in (None, "f32", "bf16", "f8_e4m3", "f8_e5m2")
                 and ring_slots < max_seq)
     if use_ring:
@@ -298,14 +302,10 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
 
 
 def batch_slice(kv: dict[str, Any], idx: jnp.ndarray) -> dict[str, Any]:
-    """Gather a batch subset (for scheduler slot compaction)."""
-    out = {}
-    for key, val in kv.items():
-        if isinstance(val, tuple):
-            out[key] = tuple(a[idx] for a in val)
-        else:  # recurrent-state sub-pytrees keep their own layout
-            out[key] = jax.tree_util.tree_map(lambda a: a[:, idx], val)
-    return out
+    """Gather a batch subset (for scheduler slot compaction). Every leaf —
+    cache layers AND recurrent state (mamba/deltanet) — is per-layer with
+    batch as its leading axis."""
+    return jax.tree_util.tree_map(lambda a: a[idx], kv)
 
 
 # ---------------------------------------------------------------------------

@@ -133,23 +133,29 @@ class ModelLoader:
             rw = self._repack_cached(
                 wname, lambda: repack(self.gguf.tensor_bytes(wname), t, nk,
                                       allow_q6=self._q6))
-            sdt = self.scale_dtype
-            return QuantLinear(
-                packed=self._put(rw.packed, wname),
-                scales=self._put(rw.scales, wname).astype(sdt),
-                mins=self._put(rw.mins, wname).astype(sdt)
-                if rw.mins is not None else None,
-                bias=bias,
-                fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
-                source_type=t.name,
-                packed2=self._put(rw.packed2, wname)
-                if rw.packed2 is not None else None,
-            )
+            return self._quant_linear(rw, wname, t.name, bias)
         w = self.dense(wname)
         if len(nk) != 2:
             raise ValueError(f"{wname}: expected 2D, got {nk}")
         w = np.ascontiguousarray(w.T)  # [K, N]
         return DenseLinear(self._put(w.astype(self._np_dtype()), wname), bias)
+
+    def _quant_linear(self, rw, name: str, source_type: str,
+                      bias=None) -> QuantLinear:
+        """Device-place a RepackedWeight as a QuantLinear (scale panels in
+        scale_dtype)."""
+        sdt = self.scale_dtype
+        return QuantLinear(
+            packed=self._put(rw.packed, name),
+            scales=self._put(rw.scales, name).astype(sdt),
+            mins=self._put(rw.mins, name).astype(sdt)
+            if rw.mins is not None else None,
+            bias=bias,
+            fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
+            source_type=source_type,
+            packed2=self._put(rw.packed2, name)
+            if rw.packed2 is not None else None,
+        )
 
     def _repack_cached(self, key: str, compute):
         """Repack via the sidecar cache when available."""
@@ -456,18 +462,8 @@ class ModelLoader:
                     lambda: repack(self.gguf.tensor_bytes(emb_name),
                                    emb_info.ggml_type, emb_info.np_shape,
                                    allow_q6=self._q6))
-                sdt = self.scale_dtype
-                params["output"] = QuantLinear(
-                    packed=self._put(rw.packed, emb_name),
-                    scales=self._put(rw.scales, emb_name).astype(sdt),
-                    mins=self._put(rw.mins, emb_name).astype(sdt)
-                    if rw.mins is not None else None,
-                    bias=None,
-                    fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
-                    source_type=emb_info.ggml_type.name,
-                    packed2=self._put(rw.packed2, emb_name)
-                    if rw.packed2 is not None else None,
-                )
+                params["output"] = self._quant_linear(
+                    rw, emb_name, emb_info.ggml_type.name)
             else:
                 params["output"] = None  # dense tied table used directly
         if self.repack_cache is not None:

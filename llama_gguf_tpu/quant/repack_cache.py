@@ -26,7 +26,10 @@ import numpy as np
 from .repack import RepackedWeight
 
 MAGIC = b"GGTPURPK"
-VERSION = 3  # bump when any repack layout changes (3: +embedding row layouts)
+VERSION = 4  # bump when any repack layout changes or new entry kinds
+# appear (3: +embedding row layouts; 4: +tied output head '@out' —
+# put() cannot append to a valid sidecar, so new entry kinds need a
+# rebuild or they would be recomputed on every load forever)
 
 _FIELDS = ("packed", "scales", "mins", "packed2")
 
@@ -55,6 +58,7 @@ class RepackCache:
         self._tmp_path: str | None = None
         self._tmp_file = None
         self._tmp_pos = 0
+        self._failed = False  # a staging error poisons the whole build
         self._load_index()
 
     @property
@@ -114,7 +118,7 @@ class RepackCache:
     def put(self, name: str, rw: RepackedWeight) -> None:
         """Stage a repacked weight: bytes stream to a temp data file now,
         metadata (with data-relative offsets) is kept for flush()."""
-        if self._index is not None:  # only collect when building fresh
+        if self._index is not None or self._failed:
             return
         try:
             if self._tmp_file is None:
@@ -145,6 +149,10 @@ class RepackCache:
                 "arrays": amet,
             }
         except OSError:
+            # a partial sidecar must never be flushed: later puts would
+            # restart staging and flush() would write a valid-looking file
+            # permanently missing the earlier tensors
+            self._failed = True
             self._discard_tmp()
 
     def _discard_tmp(self) -> None:
@@ -166,8 +174,8 @@ class RepackCache:
     def flush(self) -> None:
         """Finalize the sidecar atomically: header + streamed copy of the
         temp data file, then rename. No-op if already valid or empty."""
-        if self._index is not None or not self._pending or \
-                self._tmp_file is None:
+        if self._index is not None or self._failed or \
+                not self._pending or self._tmp_file is None:
             return
         header = {
             "version": VERSION, "q6": self.q6,
