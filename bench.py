@@ -136,9 +136,12 @@ def main():
     if mode == "quant":
         # Mosaic-vs-XLA numeric gate on the real chip: a kernel lowering
         # regression fails the bench loudly instead of shipping bad numbers
-        from llama_gguf_tpu.ops.parity import kernel_parity_check
+        from llama_gguf_tpu.ops.parity import (
+            kernel_parity_check, moe_kernel_parity_check,
+        )
 
         kernel_parity_check(params)
+        moe_kernel_parity_check()
 
     device_gbps = measure_device_gbps(jax, jnp)
 

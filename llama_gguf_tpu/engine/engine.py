@@ -11,6 +11,7 @@ boundary per token.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
@@ -85,9 +86,33 @@ class Engine:
 
             self.prompt_cache = PromptCache(max_bytes=config.prompt_cache_bytes)
 
+    @staticmethod
+    def _enable_compile_cache() -> None:
+        """Persistent XLA compilation cache: on this class of device some
+        kernels (notably the fused MoE dispatch) take minutes of Mosaic
+        compile — paying that once per machine instead of once per process
+        is the difference between a usable and an unusable first token.
+        LLAMA_GGUF_NO_COMPILE_CACHE=1 disables."""
+        if os.environ.get("LLAMA_GGUF_NO_COMPILE_CACHE", "0") == "1":
+            return
+        try:
+            import jax
+
+            cache_dir = os.environ.get(
+                "LLAMA_GGUF_COMPILE_CACHE",
+                os.path.expanduser("~/.cache/llama-gguf-tpu/jax_cache"))
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:  # never fatal
+            pass
+
     @classmethod
     def load(cls, path: str, config: EngineConfig | None = None) -> "Engine":
         config = config or EngineConfig()
+        cls._enable_compile_cache()
         t0 = time.time()
         if str(path).endswith(".onnx"):
             return cls._load_onnx(path, config, t0)

@@ -44,3 +44,54 @@ def kernel_parity_check(params, rtol: float = 2e-2, atol: float = 2e-2) -> int:
                 f"group={lin.group} src={lin.source_type}: "
                 f"max rel err {err:.2e}")
     return len(seen)
+
+
+def moe_kernel_parity_check(rtol: float = 2e-2, atol: float = 2e-2) -> int:
+    """On-device Mosaic-vs-XLA gate for the fused MoE dispatch kernel
+    (ops.qmatmul.moe_qmatmul) — the bench/entry models carry no MoE, so
+    without this the expert kernel's real lowering would only ever run on
+    user models. Builds a small synthetic Q4_K expert stack, routes a few
+    rows, and compares against the gathered-dequant einsum."""
+    import jax.numpy as jnp
+
+    from ..gguf.constants import GGMLType
+    from ..quant.quantize import quantize
+    from ..quant.repack import repack
+    from .linear import QuantExpertStack
+    from .qmatmul import moe_qmatmul
+
+    rng = np.random.default_rng(7)
+    E, K, N = 2, 256, 128  # small: the gate pays a real Mosaic compile
+    packs, scales, mins = [], [], []
+    fmt = group = None
+    for _ in range(E):
+        w = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+        rw = repack(quantize(w, GGMLType.Q4_K).tobytes(), GGMLType.Q4_K,
+                    (N, K))
+        packs.append(rw.packed)
+        scales.append(rw.scales)
+        mins.append(rw.mins)
+        fmt, group = rw.fmt, rw.group
+    stack = QuantExpertStack(
+        packed=jnp.asarray(np.stack(packs)),
+        scales=jnp.asarray(np.stack(scales)),
+        mins=jnp.asarray(np.stack(mins)) if mins[0] is not None else None,
+        fmt=fmt, group=group, k=K, n=N)
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    idx = jnp.asarray([0, 1, 1, 0], jnp.int32)
+    # default precision: "highest" multi-pass dots balloon the Mosaic
+    # compile of this kernel from minutes to tens of minutes on-device
+    got = moe_qmatmul(x, stack, idx)
+    if got is None:
+        raise AssertionError("moe_qmatmul declined a tileable shape")
+    got = np.asarray(got)
+    w_sel = np.asarray(stack.gather_dequant(idx))
+    want = np.einsum("ek,ekn->en", np.asarray(x), w_sel)
+    scale = max(float(np.abs(want).max()), 1e-6)
+    err = float(np.abs(got - want).max()) / scale
+    if not np.allclose(got, want, rtol=max(rtol, 5e-2),
+                       atol=max(atol, 5e-2) * scale):
+        raise AssertionError(
+            f"Pallas moe_qmatmul diverges from gathered-dequant oracle: "
+            f"max rel err {err:.2e}")
+    return 1

@@ -434,7 +434,11 @@ def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
         out_shape=jax.ShapeDtypeStruct((e, 8, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # all-"arbitrary": measured 50s vs 238s Mosaic compile for the
+            # ("parallel","parallel","arbitrary") marking on this chip —
+            # the parallel hints buy nothing for this expert-major grid
+            # and balloon compile time ~5x
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
