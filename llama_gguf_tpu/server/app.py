@@ -56,6 +56,10 @@ class ServerConfig:
     served_model_name: str | None = None
     rag_db: str | None = None  # sqlite path enabling /v1/rag/* endpoints
     prompt_cache_bytes: int = 0  # >0 enables prefix-sharing KV snapshots
+    # pre-compile the common decode/prefill buckets at load time so the
+    # FIRST request doesn't pay minutes of jit compile (measured 180 s on
+    # TPU for a cold tiny model at the default "highest" matmul precision)
+    warmup: bool = True
 
 
 class ServerState:
@@ -92,6 +96,8 @@ class ServerState:
         batched = BatchedEngine(engine.runner, engine.tokenizer,
                                 max_queue=self.config.max_queue,
                                 prompt_cache=pcache)
+        if self.config.warmup:
+            self._warmup(engine)
         with self.lock:
             old = self.batched
             self.engine = engine
@@ -103,6 +109,43 @@ class ServerState:
         if old is not None:
             old.shutdown(wait=False)
         log.info("model loaded: %s", self.model_name)
+
+    @staticmethod
+    def _warmup(engine: Engine) -> None:
+        """Compile the smallest prefill bucket + the batched decode step
+        before serving (they cover most first requests; larger prompt
+        buckets still compile on demand). With the persistent compile
+        cache this is fast on every start after the first."""
+        import numpy as np
+
+        t0 = time.time()
+        try:
+            runner = engine.runner
+            kv = runner.init_kv()
+            b = runner.max_batch
+            toks = np.zeros((b, 8), np.int32)
+            pos = np.full((b, 8), runner.max_seq, np.int32)
+            pos[0, :2] = [0, 1]
+            lengths = np.zeros((b,), np.int32)
+            lengths[0] = 2
+            from ..engine.runner import read_bucket
+
+            logits, kv = runner.step(toks, pos, lengths, kv,
+                                     read_bound=read_bucket(
+                                         2, runner.max_seq))
+            np.asarray(logits)
+            toks1 = np.zeros((b, 1), np.int32)
+            pos1 = np.full((b, 1), runner.max_seq, np.int32)
+            pos1[0, 0] = 2
+            lengths[0] = 3
+            logits, kv = runner.step(toks1, pos1, lengths, kv,
+                                     read_bound=read_bucket(
+                                         3, runner.max_seq))
+            np.asarray(logits)
+            del kv
+            log.info("warmup compiled in %.1fs", time.time() - t0)
+        except Exception:
+            log.exception("warmup failed (continuing)")
 
     def reload(self) -> None:
         if self.config.model_path:
