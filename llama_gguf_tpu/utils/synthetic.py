@@ -26,6 +26,25 @@ PRESETS = {
     "tinyllama-1.1b": ("llama", 32000, 2048, 22, 32, 4, 5632, 2048, False),
 }
 
+# Mixtral-style sparse-MoE presets (llama arch + expert_count, the GGUF
+# convention mixtral converts to). BASELINE serving config "Mixtral-8x7B
+# Q4_K_M (MoE, sharded experts)" — the real geometry is listed for scale
+# planning; tiny-moe carries the same tensor conventions at test size.
+# name: (vocab, hidden, layers, heads, kv_heads, ffn, ctx, experts, topk)
+MOE_PRESETS = {
+    "tiny-moe": (512, 128, 2, 4, 2, 256, 256, 4, 2),
+    "mixtral-8x7b": (32000, 4096, 32, 32, 8, 14336, 32768, 8, 2),
+}
+
+# Qwen3Next-style hybrid (gated full attention every 4th layer, DeltaNet
+# linear attention elsewhere). BASELINE serving config "Qwen3Next Q4_K_M
+# (hybrid GQA + DeltaNet, 2 hosts)".
+# name: (vocab, hidden, layers, heads, kv_heads, head_dim, ffn, ctx,
+#        hv, hk, dk, dv, conv)
+HYBRID_PRESETS = {
+    "tiny-qwen3next": (512, 128, 4, 4, 2, 32, 256, 256, 4, 2, 32, 32, 4),
+}
+
 
 def build_synthetic_gguf(
     path: str,
@@ -37,6 +56,10 @@ def build_synthetic_gguf(
     """Write a synthetic model if not already cached; returns path."""
     if os.path.exists(path):
         return path
+    if preset in MOE_PRESETS:
+        return _build_moe(path, preset, quant, seed, max_ctx)
+    if preset in HYBRID_PRESETS:
+        return _build_hybrid(path, preset, quant, seed, max_ctx)
     arch, vocab, hidden, layers, heads, kv_heads, ffn, ctx, tie = PRESETS[preset]
     if max_ctx:
         ctx = min(ctx, max_ctx)
@@ -55,19 +78,7 @@ def build_synthetic_gguf(
     w.add_metadata(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
     w.add_metadata(f"{arch}.rope.freq_base", 1000000.0 if arch == "qwen2" else 10000.0)
     w.add_metadata(f"{arch}.vocab_size", vocab)
-    # minimal byte-fallback tokenizer
-    toks = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
-    ttypes = [2, 3, 3] + [6] * 256
-    while len(toks) < min(vocab, 4096):
-        toks.append(f"tok{len(toks)}")
-        ttypes.append(1)
-    w.add_metadata("tokenizer.ggml.model", "llama")
-    w.add_metadata("tokenizer.ggml.tokens", toks)
-    w.add_metadata("tokenizer.ggml.scores", np.zeros(len(toks), np.float32))
-    w.add_metadata("tokenizer.ggml.token_type", np.array(ttypes, np.int32))
-    w.add_metadata("tokenizer.ggml.bos_token_id", 1)
-    w.add_metadata("tokenizer.ggml.eos_token_id", 2)
-    w.add_metadata("tokenizer.ggml.unknown_token_id", 0)
+    _add_tokenizer(w, vocab)
 
     scale = 0.02
 
@@ -122,6 +133,183 @@ def build_synthetic_gguf(
     w.add_tensor_np("output_norm.weight", np.ones(hidden, np.float32) + rw(hidden))
     if not tie:
         addq("output.weight", rw(vocab, hidden), emb_q)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    w.write_to_path(path)
+    return path
+
+
+def _add_tokenizer(w: GGUFWriter, vocab: int) -> None:
+    """Minimal byte-fallback SPM tokenizer metadata."""
+    toks = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
+    ttypes = [2, 3, 3] + [6] * 256
+    while len(toks) < min(vocab, 4096):
+        toks.append(f"tok{len(toks)}")
+        ttypes.append(1)
+    w.add_metadata("tokenizer.ggml.model", "llama")
+    w.add_metadata("tokenizer.ggml.tokens", toks)
+    w.add_metadata("tokenizer.ggml.scores", np.zeros(len(toks), np.float32))
+    w.add_metadata("tokenizer.ggml.token_type", np.array(ttypes, np.int32))
+    w.add_metadata("tokenizer.ggml.bos_token_id", 1)
+    w.add_metadata("tokenizer.ggml.eos_token_id", 2)
+    w.add_metadata("tokenizer.ggml.unknown_token_id", 0)
+
+
+def _quant_put(w: GGUFWriter, name: str, arr: np.ndarray, q: GGMLType) -> None:
+    """Quantize (last-dim blocks) and add a 2D/3D tensor; f32 fallback when
+    the row length doesn't divide the block size."""
+    from ..gguf.constants import type_traits
+
+    k = arr.shape[-1]
+    if q != GGMLType.F32 and k % type_traits(q).block_size != 0 and k % 32 == 0:
+        q = GGMLType.Q5_1
+    if q != GGMLType.F32 and k % type_traits(q).block_size == 0:
+        raw = quantize(arr, q)
+        w.add_tensor_raw(name, tuple(reversed(arr.shape)), q, raw.tobytes())
+    else:
+        w.add_tensor_np(name, arr)
+
+
+def _build_moe(path: str, preset: str, quant: GGMLType, seed: int,
+               max_ctx: int | None) -> str:
+    """Mixtral-convention sparse MoE (llama arch + expert_count metadata,
+    stacked ffn_*_exps expert tensors; reference arch registry
+    /root/reference/src/model/architecture.rs mixtral->llama mapping)."""
+    vocab, hidden, layers, heads, kv_heads, ffn, ctx, experts, topk = \
+        MOE_PRESETS[preset]
+    if max_ctx:
+        ctx = min(ctx, max_ctx)
+    head_dim = hidden // heads
+    rng = np.random.default_rng(seed)
+
+    def rw(*shape):
+        return (rng.standard_normal(shape).astype(np.float32) * 0.02)
+
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "llama")
+    w.add_metadata("general.name", f"synthetic-{preset}")
+    w.add_metadata("llama.embedding_length", hidden)
+    w.add_metadata("llama.block_count", layers)
+    w.add_metadata("llama.attention.head_count", heads)
+    w.add_metadata("llama.attention.head_count_kv", kv_heads)
+    w.add_metadata("llama.feed_forward_length", ffn)
+    w.add_metadata("llama.context_length", ctx)
+    w.add_metadata("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata("llama.rope.freq_base", 1000000.0)
+    w.add_metadata("llama.expert_count", experts)
+    w.add_metadata("llama.expert_used_count", topk)
+    w.add_metadata("llama.expert_weights_norm", True)
+    w.add_metadata("llama.vocab_size", vocab)
+    _add_tokenizer(w, vocab)
+
+    def addq(name, arr, q=quant):
+        _quant_put(w, name, arr, q)
+
+    addq("token_embd.weight", rw(vocab, hidden),
+         GGMLType.F32 if quant == GGMLType.F32 else GGMLType.Q6_K)
+    for i in range(layers):
+        p = f"blk.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        np.ones(hidden, np.float32) + rw(hidden))
+        addq(f"{p}.attn_q.weight", rw(heads * head_dim, hidden))
+        addq(f"{p}.attn_k.weight", rw(kv_heads * head_dim, hidden))
+        addq(f"{p}.attn_v.weight", rw(kv_heads * head_dim, hidden))
+        addq(f"{p}.attn_output.weight", rw(hidden, heads * head_dim))
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        np.ones(hidden, np.float32) + rw(hidden))
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight", rw(experts, hidden))
+        addq(f"{p}.ffn_gate_exps.weight", rw(experts, ffn, hidden))
+        addq(f"{p}.ffn_up_exps.weight", rw(experts, ffn, hidden))
+        addq(f"{p}.ffn_down_exps.weight", rw(experts, hidden, ffn),
+             GGMLType.Q6_K if quant != GGMLType.F32 else GGMLType.F32)
+    w.add_tensor_np("output_norm.weight",
+                    np.ones(hidden, np.float32) + rw(hidden))
+    addq("output.weight", rw(vocab, hidden),
+         GGMLType.F32 if quant == GGMLType.F32 else GGMLType.Q6_K)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    w.write_to_path(path)
+    return path
+
+
+def _build_hybrid(path: str, preset: str, quant: GGMLType, seed: int,
+                  max_ctx: int | None) -> str:
+    """Qwen3Next-convention hybrid: DeltaNet linear-attention layers with a
+    gated full-attention layer every 4th block. GGUF conventions match the
+    HF-oracle builder in tests/test_arch_zoo.py (ssm_in = [q|k|v] grouped
+    per k-head, z in attn_gate, (1+w) norms, partial RoPE, ssm_a
+    pre-transformed)."""
+    (vocab, hidden, layers, heads, kv_heads, head_dim, ffn, ctx,
+     hv, hk, dk, dv, conv) = HYBRID_PRESETS[preset]
+    if max_ctx:
+        ctx = min(ctx, max_ctx)
+    rng = np.random.default_rng(seed)
+
+    def rw(*shape):
+        return (rng.standard_normal(shape).astype(np.float32) * 0.02)
+
+    a = "qwen3next"
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", a)
+    w.add_metadata("general.name", f"synthetic-{preset}")
+    w.add_metadata(f"{a}.embedding_length", hidden)
+    w.add_metadata(f"{a}.block_count", layers)
+    w.add_metadata(f"{a}.attention.head_count", heads)
+    w.add_metadata(f"{a}.attention.head_count_kv", kv_heads)
+    w.add_metadata(f"{a}.attention.key_length", head_dim)
+    w.add_metadata(f"{a}.attention.value_length", head_dim)
+    w.add_metadata(f"{a}.feed_forward_length", ffn)
+    w.add_metadata(f"{a}.context_length", ctx)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.rope.dimension_count", head_dim // 4)
+    w.add_metadata(f"{a}.ssm.inner_size", hv * dv)
+    w.add_metadata(f"{a}.ssm.state_size", dk)
+    w.add_metadata(f"{a}.ssm.group_count", hk)
+    w.add_metadata(f"{a}.ssm.time_step_rank", hv)
+    w.add_metadata(f"{a}.ssm.conv_kernel", conv)
+    w.add_metadata(f"{a}.vocab_size", vocab)
+    _add_tokenizer(w, vocab)
+
+    def addq(name, arr, q=quant):
+        _quant_put(w, name, arr, q)
+
+    conv_dim = 2 * hk * dk + hv * dv
+    addq("token_embd.weight", rw(vocab, hidden),
+         GGMLType.F32 if quant == GGMLType.F32 else GGMLType.Q8_0)
+    for i in range(layers):
+        p = f"blk.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        np.ones(hidden, np.float32) + rw(hidden))
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        np.ones(hidden, np.float32) + rw(hidden))
+        addq(f"{p}.ffn_gate.weight", rw(ffn, hidden))
+        addq(f"{p}.ffn_up.weight", rw(ffn, hidden))
+        addq(f"{p}.ffn_down.weight", rw(hidden, ffn))
+        if (i + 1) % 4 != 0:  # DeltaNet linear-attention layer
+            addq(f"{p}.ssm_in.weight",
+                 rw(hk * dk + hk * dk + hv * dv, hidden))
+            addq(f"{p}.attn_gate.weight", rw(hv * dv, hidden))
+            w.add_tensor_np(f"{p}.ssm_ba.weight", rw(2 * hv, hidden))
+            w.add_tensor_np(f"{p}.ssm_conv1d.weight", rw(conv_dim, conv))
+            w.add_tensor_np(f"{p}.ssm_dt.bias", rw(hv))
+            w.add_tensor_np(f"{p}.ssm_a",
+                            -np.exp(rw(hv)).astype(np.float32))
+            w.add_tensor_np(f"{p}.ssm_norm.weight",
+                            np.ones(dv, np.float32) + rw(dv))
+            addq(f"{p}.ssm_out.weight", rw(hidden, hv * dv))
+        else:  # gated full attention
+            addq(f"{p}.attn_q.weight", rw(heads * head_dim, hidden))
+            addq(f"{p}.attn_gate.weight", rw(heads * head_dim, hidden))
+            addq(f"{p}.attn_k.weight", rw(kv_heads * head_dim, hidden))
+            addq(f"{p}.attn_v.weight", rw(kv_heads * head_dim, hidden))
+            addq(f"{p}.attn_output.weight", rw(hidden, heads * head_dim))
+            w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                            np.ones(head_dim, np.float32) + rw(head_dim))
+            w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                            np.ones(head_dim, np.float32) + rw(head_dim))
+    w.add_tensor_np("output_norm.weight",
+                    np.ones(hidden, np.float32) + rw(hidden))
+    addq("output.weight", rw(vocab, hidden),
+         GGMLType.F32 if quant == GGMLType.F32 else GGMLType.Q8_0)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     w.write_to_path(path)
     return path

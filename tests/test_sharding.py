@@ -100,6 +100,79 @@ def test_dp_tp_hybrid(model, rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.fixture(scope="module")
+def moe_model(tmp_path_factory):
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    path = str(tmp_path_factory.mktemp("moe") / "tiny-moe.gguf")
+    build_synthetic_gguf(path, preset="tiny-moe", quant=GGMLType.F32)
+    return load_model(path, mode="dequant")
+
+
+@pytest.fixture(scope="module")
+def hybrid_model(tmp_path_factory):
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    path = str(tmp_path_factory.mktemp("qn") / "tiny-qwen3next.gguf")
+    build_synthetic_gguf(path, preset="tiny-qwen3next", quant=GGMLType.F32)
+    return load_model(path, mode="dequant")
+
+
+def _mesh_parity(model, mesh, rng, b=2, t=8):
+    """Prefill + one decode step: sharded forward must match single-device."""
+    params, cfg, _ = model
+    tokens = rng.integers(0, cfg.vocab_size, size=(b, t)).astype(np.int32)
+    positions = np.tile(np.arange(t, dtype=np.int32), (b, 1))
+    lengths = np.full((b,), t, np.int32)
+    tok2 = rng.integers(0, cfg.vocab_size, size=(b, 1)).astype(np.int32)
+    pos2 = np.full((b, 1), t, np.int32)
+    len2 = np.full((b,), t + 1, np.int32)
+
+    runner = ModelRunner(params, cfg, max_batch=b, max_seq=64)
+    kv = runner.init_kv()
+    want, kv = runner.step(jnp.asarray(tokens), jnp.asarray(positions),
+                           jnp.asarray(lengths), kv)
+    want2, _ = runner.step(jnp.asarray(tok2), jnp.asarray(pos2),
+                           jnp.asarray(len2), kv)
+
+    sp = shard_params(params, mesh)
+    runner_m = ModelRunner(sp, cfg, max_batch=b, max_seq=64)
+    kv_m = shard_kv(runner_m.init_kv(), mesh, cfg.num_kv_heads)
+    t_, p_, l_ = replicate_inputs(mesh, jnp.asarray(tokens),
+                                  jnp.asarray(positions), jnp.asarray(lengths))
+    with mesh:
+        got, kv_m = runner_m.step(t_, p_, l_, kv_m)
+        t2, p2, l2 = replicate_inputs(mesh, jnp.asarray(tok2),
+                                      jnp.asarray(pos2), jnp.asarray(len2))
+        got2, _ = runner_m.step(t2, p2, l2, kv_m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_expert_parallel_matches_single_device(moe_model, rng):
+    """Expert-parallel: the 4 expert stacks shard one-per-device over the
+    model axis (P('model', None, None) in _shard_ffn); routing and top-k
+    stay replicated. BASELINE serving config 'Mixtral (MoE, sharded
+    experts)' at test scale."""
+    _mesh_parity(moe_model, make_mesh(n_model=4, n_data=1), rng)
+
+
+def test_moe_ep_dp_hybrid(moe_model, rng):
+    _mesh_parity(moe_model, make_mesh(n_model=4, n_data=2), rng)
+
+
+def test_qwen3next_hybrid_mesh_matches_single_device(hybrid_model, rng):
+    """Hybrid GQA + DeltaNet over a (2,4) mesh: attention/FFN weights TP,
+    DeltaNet projections TP'd or replicated per plan, recurrent state
+    replicated. BASELINE serving config 'Qwen3Next (hybrid)' at test
+    scale."""
+    _mesh_parity(hybrid_model, make_mesh(n_model=4, n_data=2), rng)
+
+
 def test_engine_mesh_matches_single_device(tmp_path):
     """Engine with a (2,4) TP/DP mesh on the virtual CPU devices produces
     the same greedy tokens as the single-device engine."""
