@@ -244,3 +244,30 @@ def test_tied_quant_output_head(tmp_path, rng):
             jnp.asarray([len(tokens)], jnp.int32), kv)
         outs.append(np.asarray(logits[0]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("preset", ["tiny-moe", "tiny-qwen3next"])
+def test_moe_hybrid_quant_close_to_dequant(tmp_path, rng, preset):
+    """Quantized MoE expert stacks / DeltaNet projections (XLA fallback
+    path on CPU) stay close to the f32 oracle for the Mixtral-convention
+    and Qwen3Next-convention synthetic presets."""
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    path = str(tmp_path / f"{preset}.gguf")
+    build_synthetic_gguf(path, preset=preset, quant=GGMLType.Q4_K)
+    pd, cfgd, _ = load_model(path, mode="dequant")
+    pq, cfgq, _ = load_model(path, mode="quant")
+
+    tokens = rng.integers(0, cfgd.vocab_size, size=8).tolist()
+    import jax.numpy as jnp
+
+    outs = []
+    for params, cfg in ((pd, cfgd), (pq, cfgq)):
+        runner = ModelRunner(params, cfg, max_batch=1, max_seq=64)
+        kv = runner.init_kv()
+        logits, _ = runner.step(
+            jnp.asarray([tokens], jnp.int32),
+            jnp.asarray([list(range(len(tokens)))], jnp.int32),
+            jnp.asarray([len(tokens)], jnp.int32), kv)
+        outs.append(np.asarray(logits[0]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-4, atol=1e-4)
