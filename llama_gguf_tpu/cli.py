@@ -51,6 +51,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                             "tq2", "tq3", "tq4", "qjl"])
     p.add_argument("--context-shift", action="store_true",
                    help="generate past the window by sliding the KV cache")
+    p.add_argument("--lora", default=None,
+                   help="GGUF LoRA adapter to apply at load")
+    p.add_argument("--lora-scale", type=float, default=None,
+                   help="override the adapter's alpha/rank scaling")
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel mesh axis (0 = auto-fit HBM)")
     p.add_argument("--dp", type=int, default=None,
@@ -232,6 +236,8 @@ def _engine_config(cfg: Config, args):
         matmul_precision=cfg.model.matmul_precision,
         chat_template=getattr(args, "template", None) or cfg.chat.template,
         context_shift=getattr(args, "context_shift", False),
+        lora=getattr(args, "lora", None) or cfg.model.lora,
+        lora_scale=getattr(args, "lora_scale", None),
         seed=getattr(args, "seed", None) or cfg.generation.seed,
         mesh_model=(getattr(args, "tp", None)
                     if getattr(args, "tp", None) is not None

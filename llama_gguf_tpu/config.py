@@ -30,6 +30,7 @@ class ModelSection:
     weight_mode: str = "quant"          # quant | dequant
     kv_cache_type: str = "f32"          # f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
     matmul_precision: str = "highest"   # highest | default
+    lora: str | None = None             # GGUF LoRA adapter applied at load
 
 
 @dataclass

@@ -45,6 +45,9 @@ class EngineConfig:
     context_shift: bool = False
     prompt_cache: bool = False  # prefix-sharing KV snapshots (LRU)
     prompt_cache_bytes: int = 2 << 30
+    # GGUF LoRA adapter path applied at load (models/lora.py); None = base
+    lora: str | None = None
+    lora_scale: float | None = None  # override adapter alpha/rank scaling
     # tensor/data-parallel mesh axes over local devices (1,1 = single chip);
     # mesh_model=0 picks the smallest model axis that fits HBM (auto)
     mesh_data: int = 1
@@ -155,6 +158,16 @@ class Engine:
             log.info("sharded over mesh (data=%d, model=%d)", n_data, n_model)
         elif needs_mesh:  # auto-fit resolved to a single device
             params = jax.tree_util.tree_map(jnp.asarray, params)
+        if config.lora:
+            # after sharding: LoraLinear wraps the (possibly sharded) base
+            # leaf; the low-rank a/b factors stay replicated and XLA fuses
+            # the x@a@b correction into the same pass
+            from ..models.lora import LoraAdapter, apply_lora
+
+            adapter = LoraAdapter.load_gguf(config.lora)
+            n = apply_lora(params, adapter, scale=config.lora_scale)
+            log.info("lora: attached %d tensors from %s (rank %d)",
+                     n, config.lora, adapter.rank)
         runner = ModelRunner(
             params, cfg, max_batch=config.max_batch, max_seq=max_seq,
             kv_dtype=jnp.bfloat16 if config.kv_dtype == "bfloat16" else jnp.float32,

@@ -199,3 +199,27 @@ def test_sampler_probs_api(engine):
     assert p.sum() == pytest.approx(1.0)
     g = Sampler(SamplerConfig(temperature=0.0)).probs(logits)
     assert g[1] == 1.0 and g.sum() == 1.0
+
+
+def test_engine_config_lora_applied(tmp_path):
+    """EngineConfig(lora=...) applies the adapter at load and matches a
+    manual apply_lora on the base engine (the reference only exposes LoRA
+    as a library API; here it is first-class in the engine config + CLI
+    --lora)."""
+    mp = str(tmp_path / "base.gguf")
+    make_tiny_model(mp, arch="qwen2", vocab=288, hidden=64, layers=4,
+                    heads=4, kv_heads=2, ffn=128, ctx=160, seed=11,
+                    tokenizer=True)
+    lp = str(tmp_path / "adapter.gguf")
+    _write_lora_gguf(lp, num_layers=4, hidden=64, rank=4, alpha=32.0, seed=3)
+
+    base = Engine.load(mp, EngineConfig(weight_mode="dequant"))
+    ids = base.tokenizer.encode("tok5 tok6")
+    plain = base.greedy_tokens(ids, 8)
+    apply_lora(base.runner.params, LoraAdapter.load_gguf(lp))
+    want = base.greedy_tokens(ids, 8)
+
+    eng = Engine.load(mp, EngineConfig(weight_mode="dequant", lora=lp))
+    got = eng.greedy_tokens(ids, 8)
+    assert got == want
+    assert got != plain  # strong adapter must actually change the output
