@@ -454,6 +454,7 @@ def cmd_serve(args) -> int:
         api_keys=args.api_key or cfg.server.api_keys,
         served_model_name=cfg.server.served_model_name,
         rag_db=args.rag_db,
+        lora=getattr(args, "lora", None) or cfg.model.lora,
     ))
     return 0
 

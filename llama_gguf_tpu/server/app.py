@@ -56,6 +56,7 @@ class ServerConfig:
     served_model_name: str | None = None
     rag_db: str | None = None  # sqlite path enabling /v1/rag/* endpoints
     prompt_cache_bytes: int = 0  # >0 enables prefix-sharing KV snapshots
+    lora: str | None = None  # GGUF LoRA adapter applied at model load
     # pre-compile the common decode/prefill buckets at load time so the
     # FIRST request doesn't pay minutes of jit compile (measured 180 s on
     # TPU for a cold tiny model at the default "highest" matmul precision)
@@ -86,7 +87,8 @@ class ServerState:
 
     def load_model(self, path: str) -> None:
         cfg = EngineConfig(max_batch=self.config.max_batch,
-                           weight_mode=self.config.weight_mode)
+                           weight_mode=self.config.weight_mode,
+                           lora=self.config.lora)
         engine = Engine.load(path, cfg)
         pcache = None
         if self.config.prompt_cache_bytes > 0:
