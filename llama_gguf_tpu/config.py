@@ -199,6 +199,7 @@ EXAMPLE_CONFIG = """\
 weight_mode = "quant"        # quant: fused dequant-matmul kernels on TPU
 kv_cache_type = "f32"        # f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
 matmul_precision = "highest" # highest = f32-accurate MXU passes
+# lora = "/adapters/my-adapter.gguf"  # LoRA adapter applied at load
 
 [generation]
 max_tokens = 512
