@@ -86,10 +86,43 @@ def run_decode_reps(runner, cur0, kv, pos, jnp, reps=REPS):
     return times, kv
 
 
+def wait_for_device(max_wait_s: float = 1800.0) -> None:
+    """The tunneled device service has multi-minute outage windows during
+    which `jax.devices()` HANGS (not errors) — measured one ~40+ min outage.
+    A hung main process would destroy the round's metric, so probe device
+    init in a SUBPROCESS (killable on timeout, unlike the in-process C
+    extension call) and only proceed once a probe succeeds."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=60, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            if attempt > 1:
+                print(f"bench: device back after {attempt} probes",
+                      file=sys.stderr)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() > deadline:
+                print("bench: device unreachable, proceeding anyway",
+                      file=sys.stderr)
+                return
+            print(f"bench: device probe {attempt} failed/hung, retrying",
+                  file=sys.stderr)
+            time.sleep(30)
+
+
 def main():
     t_start = time.time()
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     os.makedirs(cache_dir, exist_ok=True)
+
+    wait_for_device()
 
     import jax
 
