@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="N", help="early-exit self-draft after N layers")
     p.add_argument("--num-draft", type=int, default=4,
                    help="draft tokens per speculative round")
+    p.add_argument("--prompt-lookup", type=int, default=None, metavar="N",
+                   help="draft-free n-gram speculation, N tokens per round")
     _add_gen_flags(p)
     _add_common(p)
 
@@ -358,7 +360,7 @@ def cmd_run(args) -> int:
     max_tokens = args.max_tokens or cfg.generation.max_tokens
     stop = args.stop if args.stop is not None else cfg.generation.stop
 
-    if args.draft or args.self_speculative:
+    if args.draft or args.self_speculative or args.prompt_lookup:
         return _run_speculative(cfg, args, engine, prompt, sampler,
                                 max_tokens)
     if args.no_stream:
@@ -382,9 +384,12 @@ def _run_speculative(cfg, args, engine, prompt, sampler, max_tokens) -> int:
     import time as _time
 
     from .engine.engine import Engine
-    from .engine.speculative import SpeculativeDecoder
+    from .engine.speculative import PromptLookupDecoder, SpeculativeDecoder
 
-    if args.draft:
+    if args.prompt_lookup:
+        dec = PromptLookupDecoder(engine.runner,
+                                  num_draft=args.prompt_lookup)
+    elif args.draft:
         draft_engine = Engine.load(args.draft, _engine_config(cfg, args))
         dec = SpeculativeDecoder(engine.runner, draft_engine.runner,
                                  num_draft=args.num_draft)
@@ -394,7 +399,10 @@ def _run_speculative(cfg, args, engine, prompt, sampler, max_tokens) -> int:
             num_draft=args.num_draft)
     ids = engine.tokenizer.encode(prompt)
     t0 = _time.time()
-    if sampler.is_greedy:
+    if args.prompt_lookup and not sampler.is_greedy:
+        print("warning: --prompt-lookup is greedy-only; sampling flags "
+              "ignored", file=sys.stderr)
+    if sampler.is_greedy or args.prompt_lookup:
         out = dec.generate_greedy(ids, max_tokens,
                                   is_eog=engine.tokenizer.is_eog)
     else:

@@ -302,3 +302,104 @@ class SpeculativeDecoder:
             logits, kv = self.target.decode_one(tok, pos, kv)
             pos += 1
         return out
+
+
+class PromptLookupDecoder:
+    """Draft-model-free speculation: proposals are copied from earlier
+    occurrences of the current suffix n-gram in the context ("prompt
+    lookup" / n-gram speculation). High win on RAG, code editing and
+    summarization, where the output quotes long input spans verbatim; zero
+    extra HBM and no draft forward — the only cost is the same single-pass
+    batched verification step `SpeculativeDecoder` uses. Exactness is
+    guaranteed by verification regardless of proposal quality.
+
+    No reference equivalent (/root/reference/src/model/speculative.rs has
+    draft-model and early-exit modes only); llama.cpp's
+    examples/lookahead/lookup is the analogue.
+    """
+
+    def __init__(self, target: ModelRunner, num_draft: int = 8,
+                 max_ngram: int = 3):
+        self.target = target
+        self.k = num_draft
+        self.max_ngram = max_ngram
+        self.stats = SpeculativeStats()
+
+    def _propose(self, hist: list[int], k: int) -> list[int]:
+        """Longest-suffix n-gram match: for n = max_ngram..1, find the most
+        recent earlier occurrence of hist[-n:]; propose up to k tokens that
+        followed it."""
+        length = len(hist)
+        if length < 2 or k <= 0:
+            return []
+        h = np.asarray(hist, np.int64)
+        for n in range(min(self.max_ngram, length - 1), 0, -1):
+            pat = h[length - n:]
+            body = h[: length - 1]  # candidate windows strictly before the suffix
+            if body.shape[0] < n:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(body, n)
+            hits = np.nonzero((win == pat).all(axis=1))[0]
+            if hits.size == 0:
+                continue
+            i = int(hits[-1])  # most recent occurrence
+            cont = hist[i + n : i + n + k]
+            if cont:
+                return cont
+        return []
+
+    def generate_greedy(self, prompt_ids: list[int], max_tokens: int,
+                        is_eog=None) -> list[int]:
+        """Greedy prompt-lookup decode; output is IDENTICAL to plain greedy
+        decoding of the target (single-pass verification, same invariants
+        as SpeculativeDecoder.generate_greedy)."""
+        tkv = self.target.init_kv()
+        hist = list(prompt_ids)
+        tlogits, tkv, _ = self.target.prefill(prompt_ids, tkv)
+        nt = len(prompt_ids)
+
+        first = int(np.argmax(np.asarray(tlogits)))
+        hist.append(first)
+        out = [first]
+        if is_eog and is_eog(first):
+            return out
+
+        max_seq = self.target.max_seq
+        while len(out) < max_tokens and len(hist) + self.k + 1 < max_seq:
+            drafts = self._propose(hist, min(self.k, max_tokens - len(out)))
+            k = len(drafts)
+            window = hist[nt:] + (drafts[:-1] if k else [])
+            vlogits, tkv = _window(self.target, window, nt, tkv)
+            nt += len(window)
+            self.stats.rounds += 1
+            self.stats.drafted += k
+
+            if k == 0:  # no n-gram match: plain single-token step
+                new_tokens = [int(np.argmax(vlogits[-1]))]
+                self.stats.bonus += 1
+            else:
+                greedy = np.argmax(vlogits[-k:], axis=-1)
+                accepted = 0
+                for i in range(k):
+                    if drafts[i] == int(greedy[i]):
+                        accepted += 1
+                    else:
+                        break
+                self.stats.accepted += accepted
+                new_tokens = drafts[:accepted]
+                if accepted < k:
+                    new_tokens = new_tokens + [int(greedy[accepted])]
+                    self.stats.bonus += 1
+                    nt = len(hist) + accepted  # roll back to accepted prefix
+                # accepted == k: drafts[k-1] stays the unconsumed tail
+
+            stop = False
+            for tok in new_tokens:
+                hist.append(tok)
+                out.append(tok)
+                if (is_eog and is_eog(tok)) or len(out) >= max_tokens:
+                    stop = True
+                    break
+            if stop:
+                break
+        return out

@@ -223,3 +223,41 @@ def test_engine_config_lora_applied(tmp_path):
     got = eng.greedy_tokens(ids, 8)
     assert got == want
     assert got != plain  # strong adapter must actually change the output
+
+
+# -- prompt-lookup speculation ---------------------------------------------------
+
+def test_prompt_lookup_propose():
+    from llama_gguf_tpu.engine.speculative import PromptLookupDecoder
+
+    d = PromptLookupDecoder.__new__(PromptLookupDecoder)
+    d.max_ngram = 3
+    # suffix [7, 8] occurred earlier, followed by [9, 10]
+    hist = [1, 7, 8, 9, 10, 2, 7, 8]
+    assert d._propose(hist, 4) == [9, 10, 2, 7]
+    assert d._propose(hist, 2) == [9, 10]
+    # most recent occurrence wins: suffix [5] matches the later [5, 6]
+    hist2 = [5, 1, 5, 6, 5]
+    assert d._propose(hist2, 2) == [6, 5]
+    # no match
+    assert d._propose([1, 2, 3], 4) == []
+    assert d._propose([4], 4) == []
+
+
+def test_prompt_lookup_greedy_exact(engine):
+    """Prompt-lookup decode must equal plain greedy decoding exactly —
+    single-pass verification guarantees it whatever the proposals are."""
+    from llama_gguf_tpu.engine.speculative import (
+        PromptLookupDecoder, SpeculativeDecoder,
+    )
+
+    runner = engine.runner
+    # repetitive prompt so n-gram proposals actually fire
+    ids = engine.tokenizer.encode("tok7 tok8 tok9 tok7 tok8 tok9 tok7 tok8")
+    plain = SpeculativeDecoder(runner, runner).generate_plain_greedy(ids, 24)
+    pl = PromptLookupDecoder(runner, num_draft=6)
+    got = pl.generate_greedy(ids, 24)
+    assert got == plain
+    assert pl.stats.rounds > 0
+    # every generated token is either an accepted draft or a bonus token
+    assert pl.stats.accepted + pl.stats.bonus == len(got) - 1
