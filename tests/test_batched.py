@@ -210,20 +210,26 @@ def test_mixed_prefill_decode_single_step(tiny_model_path):
     be = BatchedEngine(eng.runner, eng.tokenizer, max_queue=16,
                        prefill_chunk=8)
     try:
+        import time as _t
+
         step_calls = {"n": 0}
         orig_step = eng.runner.step
 
         def counting_step(*a, **kw):
             step_calls["n"] += 1
+            _t.sleep(0.03)  # throttle so A is still decoding when B arrives
             return orig_step(*a, **kw)
 
         eng.runner.step = counting_step
 
         long_prompt = "word " * 30  # several 8-token chunks
         h_a = be.submit("Hello there", max_tokens=24, sampler=GREEDY)
-        # give A a head start so it is decoding when B arrives
-        import time as _t
-        _t.sleep(1.0)
+        # wait until A is actually decoding (not a wall-clock guess: the
+        # compile cache can make 24 decode steps finish in <0.2s)
+        deadline = _t.time() + 60
+        while be.stats.decode_steps < 1 and _t.time() < deadline:
+            _t.sleep(0.005)
+        assert be.stats.decode_steps >= 1, "A never started decoding"
         h_b = be.submit(long_prompt, max_tokens=8, sampler=GREEDY)
         out_a = h_a.text(timeout=120)
         out_b = h_b.text(timeout=120)
