@@ -55,6 +55,10 @@ MOE = {
 QK_NORM = {
     "qwen3", "qwen35", "qwen35moe", "qwen3moe", "qwen3next",
     "gemma2", "gemma3", "gemma3n", "olmo2",
+    # OLMoE: flat RMSNorm over the whole q/k projection before RoPE (HF
+    # OlmoeAttention.q_norm/k_norm) — the reference misses it
+    # (architecture.rs:512-526 has no OlmoE arm); HF-oracle verified
+    "olmoe",
 }
 
 # StableLM is NOT here: HF/llama.cpp keep separate q/k/v projections
@@ -62,6 +66,12 @@ QK_NORM = {
 COMBINED_QKV = {
     "phi2", "phi3", "phimoe", "gptneox", "gptj", "falcon", "falcon-h1",
     "refact", "codeshell", "bloom", "mpt",
+    # StarCoder (gpt_bigcode) stores c_attn as one [q|k|v] tensor (MQA:
+    # kv rows are a single head); the reference misses this
+    # (architecture.rs:529-545 has no StarCoder arm) — HF-oracle verified
+    "starcoder",
+    # DBRX Wqkv is combined as well (HF DbrxAttention.Wqkv)
+    "dbrx",
 }
 
 POST_FFN_NORM = {"gemma2", "gemma3", "gemma3n", "olmo2"}
@@ -79,10 +89,20 @@ LAYER_NORM = {
     "phimoe",
     # Cohere family LayerNorm is mean-centered, weight-only (no bias)
     "command", "command-r", "cohere2",
+    # Nemotron LayerNorm1P: the conversion stores weight+1 (zero-centered
+    # gamma compensation), so runtime is a PLAIN LayerNorm with bias
+    "nemotron",
+    # DBRX uses bias-free LayerNorm (HF DbrxNormAttentionNorm nn.LayerNorm
+    # with bias=False)
+    "dbrx",
 }
 
 # OPT is plain ReLU MLP (HF activation_function="relu")
 RELU = {"opt"}
+
+# Nemotron is squared-ReLU ("relu2": relu(x)**2, HF NemotronConfig
+# hidden_act default)
+RELU2 = {"nemotron"}
 
 GELU = {
     # NOTE: phi3/phimoe are SwiGLU (silu), unlike phi2's gelu_new.
@@ -114,6 +134,8 @@ NO_GATE_FFN = {
     "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
     "codeshell", "bert", "modern-bert",
     "nomic-bert", "t5", "t5encoder", "starcoder", "starcoder2",
+    # Nemotron MLP is up -> relu^2 -> down (no gate projection)
+    "nemotron",
 }
 
 NEOX_ROPE = {
@@ -122,15 +144,22 @@ NEOX_ROPE = {
     "gptj", "stablelm", "starcoder2",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
+    # nemotron / dbrx conversions don't permute q/k (only nemotron's norm
+    # weights get +1), so runtime rope is rotate-half = NEOX; nemotron is
+    # also partial (rope.dimension_count = head_dim/2)
+    "nemotron", "dbrx",
 }
 
 ATTENTION_BIAS = {
     "qwen", "qwen2", "qwen2moe", "phi2", "phi3", "phimoe", "gptneox",
     "gptj", "falcon", "bloom", "mpt", "opt", "gpt2", "stablelm", "baichuan",
+    # gpt_bigcode keeps GPT-2's biases everywhere
+    "starcoder",
 }
 
 MLP_BIAS = {
     "gpt2", "gptj", "gptneox", "bloom", "opt", "stablelm", "phi2", "phi3",
+    "starcoder",
 }
 
 PARALLEL_RESIDUAL = {
@@ -143,6 +172,17 @@ PARALLEL_RESIDUAL = {
 
 # Qwen3Next hybrid: DeltaNet linear-attention layers interleaved with GQA.
 DELTANET = {"qwen3next", "qwen35", "qwen35moe", "kimi-linear"}
+
+# Archs whose converters do NOT write `{arch}.expert_weights_norm` but whose
+# runtime graph renormalizes the top-k routing weights anyway (llama.cpp
+# hardcodes norm_w=true in the model build; HF Mixtral divides by the top-k
+# sum, Qwen3MoE/DBRX set norm_topk_prob/moe_normalize_expert_weights).
+# Real Mixtral GGUFs carry general.architecture="llama" + expert_count>0
+# and no expert_weights_norm key — without this default they'd silently
+# skip renormalization. Metadata, when present, still wins.
+MOE_RENORM_DEFAULT = {
+    "llama", "mixtral", "dbrx", "qwen3moe", "qwen3vlmoe",
+}
 
 # Sliding-window layer pattern N: every Nth layer (il % N == N-1) is FULL
 # attention, the rest use the sliding window — llama.cpp set_swa_pattern
@@ -204,6 +244,14 @@ class ArchInfo:
     @property
     def uses_relu(self) -> bool:
         return self.name in RELU
+
+    @property
+    def uses_relu2(self) -> bool:
+        return self.name in RELU2
+
+    @property
+    def moe_renorm_default(self) -> bool:
+        return self.name in MOE_RENORM_DEFAULT
 
     @property
     def is_encoder_only(self) -> bool:

@@ -30,6 +30,7 @@ class Activation(enum.Enum):
     SILU = "silu"
     GELU = "gelu"
     RELU = "relu"
+    RELU2 = "relu2"  # squared ReLU (nemotron)
 
 
 @dataclass
@@ -65,6 +66,7 @@ class ModelConfig:
     hidden_act: Activation = Activation.SILU
     attention_bias: bool = False
     mlp_bias: bool = False
+    clamp_kqv: float = 0.0  # DBRX clip_qkv / MPT attn clamp; 0 = off
     tie_word_embeddings: bool = False
     num_experts: int = 0
     num_experts_per_token: int = 0
@@ -274,6 +276,7 @@ def parse_config(metadata: Mapping[str, Any],
         use_parallel_residual=info.uses_parallel_residual,
         hidden_act=(Activation.GELU if info.uses_gelu
                     else Activation.RELU if info.uses_relu
+                    else Activation.RELU2 if info.uses_relu2
                     else Activation.SILU),
         attention_bias=info.default_attention_bias,
         mlp_bias=info.default_mlp_bias,
@@ -282,7 +285,11 @@ def parse_config(metadata: Mapping[str, Any],
         num_experts_per_token=gi("expert_used_count", 0),
         expert_intermediate_size=gi("expert_feed_forward_length", 0),
         expert_shared_count=gi("expert_shared_count", 0),
-        expert_weights_norm=bool(metadata.get(f"{arch}.expert_weights_norm", False)),
+        expert_weights_norm=bool(metadata.get(
+            f"{arch}.expert_weights_norm",
+            # converters for the Mixtral/DBRX/Qwen3MoE families never
+            # write the key; their runtimes renormalize top-k anyway
+            info.moe_renorm_default)),
         expert_weights_scale=gf("expert_weights_scale", 1.0),
         # phimoe routes with sparsemixer (HF PhimoeSparseMoeBlock), not
         # plain softmax-topk — selection by thresholded argmax, weights
@@ -309,6 +316,7 @@ def parse_config(metadata: Mapping[str, Any],
                      if arch.startswith("granite") and gf("logit_scale", 1.0)
                      else gf("logit_scale", 1.0)),
         attention_scale=gf("attention.scale", 0.0),
+        clamp_kqv=gf("attention.clamp_kqv", 0.0),
         residual_scale=gf("residual_scale", 1.0),
         final_logit_softcap=gf("final_logit_softcapping", 0.0),
         sliding_window=gi("attention.sliding_window", 0),

@@ -233,6 +233,10 @@ class ModelLoader:
         layer["attn"] = attn
 
         ffn_norm = self.norm(f"{p}.ffn_norm", required=False)
+        if ffn_norm is None:
+            # DBRX stores its pre-MoE norm as attn_output_norm
+            # (norm_attn_norm.norm_2 in HF, ATTN_OUT_NORM in llama.cpp)
+            ffn_norm = self.norm(f"{p}.attn_output_norm", required=False)
         if ffn_norm is not None:
             layer["ffn_norm"] = ffn_norm
 

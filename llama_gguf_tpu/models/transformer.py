@@ -43,6 +43,8 @@ def _act(x: jnp.ndarray, act: Activation) -> jnp.ndarray:
         return jax.nn.gelu(x, approximate=True)
     if act == Activation.RELU:  # OPT
         return jax.nn.relu(x)
+    if act == Activation.RELU2:  # nemotron squared ReLU
+        return jnp.square(jax.nn.relu(x))
     return jax.nn.silu(x)
 
 
@@ -140,6 +142,11 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         q = L.apply(layer["wq"], x)
         k = L.apply(layer["wk"], x)
         v = L.apply(layer["wv"], x)
+
+    if cfg.clamp_kqv > 0:  # DBRX clip_qkv / MPT clamp (attention.clamp_kqv)
+        c = cfg.clamp_kqv
+        q, k, v = (jnp.clip(q, -c, c), jnp.clip(k, -c, c),
+                   jnp.clip(v, -c, c))
 
     if "q_norm" in layer and layer["q_norm"].shape[-1] == nh * hd:
         # olmo2: QK RMSNorm over the FLAT projection (all heads at once)

@@ -253,7 +253,8 @@ def mixtral_pair(tmp_path_factory):
     w.add_metadata("llama.rope.freq_base", 10000.0)
     w.add_metadata("llama.expert_count", c["experts"])
     w.add_metadata("llama.expert_used_count", c["topk"])
-    w.add_metadata("llama.expert_weights_norm", True)  # HF renormalizes top-k
+    # NO expert_weights_norm key on purpose: real Mixtral GGUFs don't carry
+    # it (arch="llama" + experts>0); renorm must come from the arch default
     w.add_metadata("llama.vocab_size", c["vocab"])
     w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
     for i in range(c["layers"]):
@@ -2293,3 +2294,312 @@ def test_jamba_matches_hf(tmp_path_factory, rng):
     _, cfg, _ = load_model(path, mode="dequant")
     assert cfg.layer_kinds == ("attn", "mamba", "attn", "mamba")
     assert cfg.rope.n_dims == 0  # NoPE
+
+
+def test_nemotron_matches_hf(tmp_path_factory, rng):
+    """Nemotron: LayerNorm1P (conversion stores weight+1, runtime is plain
+    LayerNorm with bias), squared-ReLU no-gate MLP, partial NEOX RoPE over
+    the first head_dim*0.5 dims (no q/k permutation at conversion)."""
+    import torch
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=128, ctx=64)
+    hd = c["hidden"] // c["heads"]
+    hf_cfg = NemotronConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        norm_eps=1e-5, partial_rotary_factor=0.5, hidden_act="relu2",
+        attention_bias=False, mlp_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(101)
+    with torch.no_grad():
+        model = NemotronForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "nemotron"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.rope.dimension_count", hd // 2)  # partial 0.5
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        for ours, theirs in (("attn_q", "self_attn.q_proj"),
+                             ("attn_k", "self_attn.k_proj"),
+                             ("attn_v", "self_attn.v_proj"),
+                             ("attn_output", "self_attn.o_proj"),
+                             ("ffn_up", "mlp.up_proj"),
+                             ("ffn_down", "mlp.down_proj")):
+            w.add_tensor_np(f"{p}.{ours}.weight", sd[f"{h}.{theirs}.weight"])
+        # LayerNorm1P compensation: conversion stores weight + 1
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"] + 1.0)
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"] + 1.0)
+        w.add_tensor_np(f"{p}.ffn_norm.bias",
+                        sd[f"{h}.post_attention_layernorm.bias"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"] + 1.0)
+    w.add_tensor_np("output_norm.bias", sd["model.norm.bias"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("nt") / "nemotron.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_olmoe_matches_hf(tmp_path_factory, rng):
+    """OLMoE: flat QK-RMSNorm over the whole projection BEFORE RoPE
+    (permuted alongside the llama-permuted q/k like olmo2), softmax top-k
+    MoE with NO renormalization (HF norm_topk_prob=False), SwiGLU experts."""
+    import torch
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=80, ctx=64,
+             experts=4, topk=2)
+    hf_cfg = OlmoeConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        rms_norm_eps=1e-5, num_experts=c["experts"],
+        num_experts_per_tok=c["topk"], norm_topk_prob=False,
+        attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(107)
+    with torch.no_grad():
+        model = OlmoeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    def permute(w, n_heads):
+        return (w.reshape(n_heads, 2, w.shape[0] // n_heads // 2, *w.shape[1:])
+                 .swapaxes(1, 2).reshape(w.shape))
+
+    w = GGUFWriter()
+    a = "olmoe"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    # NO expert_weights_norm key: norm_topk_prob=False is also llama.cpp's
+    # hardcoded choice for OLMoE -> arch default must stay False
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight",
+                        permute(sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight",
+                        permute(sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                        permute(sd[f"{h}.self_attn.q_norm.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                        permute(sd[f"{h}.self_attn.k_norm.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight", sd[f"{h}.mlp.gate.weight"])
+        for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+            stacked = np.stack(
+                [sd[f"{h}.mlp.experts.{e}.{theirs}.weight"]
+                 for e in range(c["experts"])])
+            w.add_tensor_np(f"{p}.ffn_{ours}_exps.weight", stacked)
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("oe") / "olmoe.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_starcoder_mqa_matches_hf(tmp_path_factory, rng):
+    """StarCoder (gpt_bigcode): MQA (one shared kv head) with a COMBINED
+    [q|k|v] c_attn tensor, learned absolute positions, LayerNorm with bias,
+    biased projections, tanh-GELU no-gate MLP, tied embeddings."""
+    import torch
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ffn=128, ctx=64)
+    hf_cfg = GPTBigCodeConfig(
+        vocab_size=c["vocab"], n_positions=c["ctx"], n_embd=c["hidden"],
+        n_layer=c["layers"], n_head=c["heads"], n_inner=c["ffn"],
+        activation_function="gelu_pytorch_tanh", multi_query=True,
+        layer_norm_epsilon=1e-5, attn_pdrop=0.0, embd_pdrop=0.0,
+        resid_pdrop=0.0, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(109)
+    with torch.no_grad():
+        model = GPTBigCodeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "starcoder"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", 1),  # MQA
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_tensor_np("token_embd.weight", sd["transformer.wte.weight"])
+    w.add_tensor_np("position_embd.weight", sd["transformer.wpe.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"transformer.h.{i}"
+        w.add_tensor_np(f"{p}.attn_qkv.weight", sd[f"{h}.attn.c_attn.weight"])
+        w.add_tensor_np(f"{p}.attn_qkv.bias", sd[f"{h}.attn.c_attn.bias"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.attn.c_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.bias", sd[f"{h}.attn.c_proj.bias"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.c_fc.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.bias", sd[f"{h}.mlp.c_fc.bias"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.c_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.bias", sd[f"{h}.mlp.c_proj.bias"])
+        w.add_tensor_np(f"{p}.attn_norm.weight", sd[f"{h}.ln_1.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias", sd[f"{h}.ln_1.bias"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight", sd[f"{h}.ln_2.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.bias", sd[f"{h}.ln_2.bias"])
+    w.add_tensor_np("output_norm.weight", sd["transformer.ln_f.weight"])
+    w.add_tensor_np("output_norm.bias", sd["transformer.ln_f.bias"])
+    # no output.weight: tied to token_embd like the real conversions
+    path = str(tmp_path_factory.mktemp("sc") / "starcoder.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_dbrx_matches_hf(tmp_path_factory, rng):
+    """DBRX: combined Wqkv with QKV clamping (clip_qkv ->
+    attention.clamp_kqv), bias-free LayerNorm, norm_2 stored as
+    attn_output_norm, merged expert tensors split per expert, top-k
+    renormalization WITHOUT any expert_weights_norm key (arch default)."""
+    import torch
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=80, ctx=64,
+             experts=4, topk=2)
+    hd = c["hidden"] // c["heads"]
+    hf_cfg = DbrxConfig(
+        d_model=c["hidden"], n_heads=c["heads"], n_layers=c["layers"],
+        max_seq_len=c["ctx"], vocab_size=c["vocab"],
+        attn_config=dict(kv_n_heads=c["kv"], clip_qkv=0.05,
+                         rope_theta=10000.0, attn_pdrop=0.0),
+        ffn_config=dict(ffn_hidden_size=c["ffn"],
+                        moe_num_experts=c["experts"], moe_top_k=c["topk"],
+                        moe_normalize_expert_weights=1.0),
+        resid_pdrop=0.0, emb_pdrop=0.0, output_router_logits=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(113)
+    with torch.no_grad():
+        model = DbrxForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "dbrx"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.attention.clamp_kqv", 0.05)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["transformer.wte.weight"])
+    E, F, H = c["experts"], c["ffn"], c["hidden"]
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"transformer.blocks.{i}"
+        w.add_tensor_np(f"{p}.attn_qkv.weight",
+                        sd[f"{h}.norm_attn_norm.attn.Wqkv.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.norm_attn_norm.attn.out_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.norm_attn_norm.norm_1.weight"])
+        w.add_tensor_np(f"{p}.attn_output_norm.weight",
+                        sd[f"{h}.norm_attn_norm.norm_2.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                        sd[f"{h}.ffn.router.layer.weight"])
+        # HF merges experts: w1/v1 [E*F, H] row-chunks are gate/up weights;
+        # w2 [E*F, H] chunks act as x @ chunk, so down weight = chunk.T
+        w1 = sd[f"{h}.ffn.experts.mlp.w1"].reshape(E, F, H)
+        v1 = sd[f"{h}.ffn.experts.mlp.v1"].reshape(E, F, H)
+        w2 = sd[f"{h}.ffn.experts.mlp.w2"].reshape(E, F, H)
+        w.add_tensor_np(f"{p}.ffn_gate_exps.weight", w1)
+        w.add_tensor_np(f"{p}.ffn_up_exps.weight", v1)
+        w.add_tensor_np(f"{p}.ffn_down_exps.weight",
+                        np.ascontiguousarray(w2.transpose(0, 2, 1)))
+    w.add_tensor_np("output_norm.weight", sd["transformer.norm_f.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("dx") / "dbrx.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
