@@ -142,6 +142,8 @@ NEOX_ROPE = {
     "qwen2", "qwen2moe", "qwen3", "qwen35", "qwen35moe", "qwen3moe",
     "qwen3next", "gptneox", "falcon", "phi", "phi2", "phi3", "phimoe",
     "gptj", "stablelm", "starcoder2",
+    # gpt-oss conversion does not permute q/k -> rotate-half at runtime
+    "gpt-oss",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
     # nemotron / dbrx conversions don't permute q/k (only nemotron's norm
@@ -155,6 +157,8 @@ ATTENTION_BIAS = {
     "gptj", "falcon", "bloom", "mpt", "opt", "gpt2", "stablelm", "baichuan",
     # gpt_bigcode keeps GPT-2's biases everywhere
     "starcoder",
+    # gpt-oss has biases on q/k/v/o (and on the router + experts)
+    "gpt-oss",
 }
 
 MLP_BIAS = {
@@ -173,6 +177,10 @@ PARALLEL_RESIDUAL = {
 # Qwen3Next hybrid: DeltaNet linear-attention layers interleaved with GQA.
 DELTANET = {"qwen3next", "qwen35", "qwen35moe", "kimi-linear"}
 
+# gpt-oss clamped SwiGLU (ggml_swiglu_oai: alpha=1.702, limit=7.0, up+1) —
+# hardcoded in llama.cpp's build_gpt_oss, no GGUF key
+SWIGLU_OAI = {"gpt-oss"}
+
 # Archs whose converters do NOT write `{arch}.expert_weights_norm` but whose
 # runtime graph renormalizes the top-k routing weights anyway (llama.cpp
 # hardcodes norm_w=true in the model build; HF Mixtral divides by the top-k
@@ -182,13 +190,19 @@ DELTANET = {"qwen3next", "qwen35", "qwen35moe", "kimi-linear"}
 # skip renormalization. Metadata, when present, still wins.
 MOE_RENORM_DEFAULT = {
     "llama", "mixtral", "dbrx", "qwen3moe", "qwen3vlmoe",
+    # gpt-oss routing is top-k THEN softmax over the kept logits — exactly
+    # softmax-before-top-k followed by renormalization (same top-k set,
+    # same weights), which is this flag
+    "gpt-oss",
 }
 
 # Sliding-window layer pattern N: every Nth layer (il % N == N-1) is FULL
 # attention, the rest use the sliding window — llama.cpp set_swa_pattern
 # semantics (gemma2 alternates 1:1, gemma3 runs 5 local + 1 global,
 # cohere2 runs 3 local + 1 global).
-SWA_PATTERN = {"gemma2": 2, "gemma3": 6, "gemma3n": 6, "cohere2": 4}
+SWA_PATTERN = {"gemma2": 2, "gemma3": 6, "gemma3n": 6, "cohere2": 4,
+               # gpt-oss alternates sliding (even) / full (odd) layers
+               "gpt-oss": 2}
 
 # archs whose full-attention (global) layers carry NO positional encoding
 # at all (cohere2 global layers are NoPE)
@@ -292,6 +306,10 @@ class ArchInfo:
     @property
     def has_deltanet_layers(self) -> bool:
         return self.name in DELTANET
+
+    @property
+    def uses_swiglu_oai(self) -> bool:
+        return self.name in SWIGLU_OAI
 
     @property
     def rope_partial_at_end(self) -> bool:

@@ -31,6 +31,9 @@ class Activation(enum.Enum):
     GELU = "gelu"
     RELU = "relu"
     RELU2 = "relu2"  # squared ReLU (nemotron)
+    # gpt-oss clamped SwiGLU: glu = min(g,7)*sigmoid(1.702*min(g,7)),
+    # out = glu * (clip(u,-7,7) + 1) — ggml_swiglu_oai semantics
+    SWIGLU_OAI = "swiglu_oai"
 
 
 @dataclass
@@ -277,6 +280,7 @@ def parse_config(metadata: Mapping[str, Any],
         hidden_act=(Activation.GELU if info.uses_gelu
                     else Activation.RELU if info.uses_relu
                     else Activation.RELU2 if info.uses_relu2
+                    else Activation.SWIGLU_OAI if info.uses_swiglu_oai
                     else Activation.SILU),
         attention_bias=info.default_attention_bias,
         mlp_bias=info.default_mlp_bias,

@@ -316,6 +316,11 @@ class ModelLoader:
                 "up": self._expert_stack(f"{p}.ffn_up_exps.weight", transpose=True),
                 "down": self._expert_stack(f"{p}.ffn_down_exps.weight", transpose=True),
             }
+            for key in ("gate", "up", "down"):  # gpt-oss per-expert biases
+                bname = f"{p}.ffn_{key}_exps.bias"
+                if self.has(bname):
+                    ffn["experts"][f"{key}_bias"] = self._put(
+                        self.dense(bname), bname)
             if self.has(f"{p}.exp_probs_b.bias"):  # V3 gating bias
                 ffn["router_bias"] = self._put(
                     self.dense(f"{p}.exp_probs_b.bias"),

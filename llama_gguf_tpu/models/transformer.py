@@ -48,6 +48,17 @@ def _act(x: jnp.ndarray, act: Activation) -> jnp.ndarray:
     return jax.nn.silu(x)
 
 
+def _glu(g: jnp.ndarray, u: jnp.ndarray, act: Activation) -> jnp.ndarray:
+    """Combine gate/up projections into the gated activation (f32 in/out)."""
+    if act == Activation.SWIGLU_OAI:
+        # gpt-oss clamped SwiGLU (ggml_swiglu_oai, alpha/limit hardcoded):
+        # glu = min(g,7)*sigmoid(1.702*min(g,7)); out = glu*(clip(u,±7)+1)
+        g = jnp.minimum(g, 7.0)
+        u = jnp.clip(u, -7.0, 7.0)
+        return (g * jax.nn.sigmoid(1.702 * g)) * (u + 1.0)
+    return _act(g, act) * u
+
+
 def mla_attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                   positions: jnp.ndarray, kv: dict, layer_idx: int,
                   lengths: jnp.ndarray,
@@ -249,12 +260,12 @@ def feed_forward(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
     if "gate_up" in ffn:  # fused projection (loader._fuse_ffn)
         gu = L.apply(ffn["gate_up"], x).astype(jnp.float32)
         half = ffn["gate_up"].splits[0]
-        g = _act(gu[..., :half], cfg.hidden_act)
-        return L.apply(ffn["down"], (g * gu[..., half:]).astype(x.dtype))
+        act = _glu(gu[..., :half], gu[..., half:], cfg.hidden_act)
+        return L.apply(ffn["down"], act.astype(x.dtype))
     if "gate" in ffn:
-        g = _act(L.apply(ffn["gate"], x).astype(jnp.float32), cfg.hidden_act)
+        g = L.apply(ffn["gate"], x).astype(jnp.float32)
         u = L.apply(ffn["up"], x).astype(jnp.float32)
-        return L.apply(ffn["down"], (g * u).astype(x.dtype))
+        return L.apply(ffn["down"], _glu(g, u, cfg.hidden_act).astype(x.dtype))
     h = _act(L.apply(ffn["up"], x).astype(jnp.float32), cfg.hidden_act)
     return L.apply(ffn["down"], h.astype(x.dtype))
 
@@ -354,9 +365,15 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         g = moe_qmatmul(xr, ex["gate"], idx)
         u = moe_qmatmul(xr, ex["up"], idx) if g is not None else None
         if u is not None:
-            act = (_act(g, cfg.hidden_act) * u)  # [N*k, F]
+            if "gate_bias" in ex:  # gpt-oss per-expert biases
+                g = g + jnp.take(ex["gate_bias"], idx, axis=0)
+            if "up_bias" in ex:
+                u = u + jnp.take(ex["up_bias"], idx, axis=0)
+            act = _glu(g, u, cfg.hidden_act)  # [N*k, F]
             dn = moe_qmatmul(act, ex["down"], idx)
             if dn is not None:
+                if "down_bias" in ex:
+                    dn = dn + jnp.take(ex["down_bias"], idx, axis=0)
                 y = (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
             else:
                 fused = False
@@ -378,10 +395,14 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
                        gsel.astype(jnp.float32))
         u = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32),
                        usel.astype(jnp.float32))
-        act = _act(g, cfg.hidden_act) * u
-        y = jnp.einsum(
-            "nkf,nkfh->nh", act * topv[:, :, None], dsel.astype(jnp.float32)
-        )
+        if "gate_bias" in ex:  # gpt-oss per-expert biases
+            g = g + jnp.take(ex["gate_bias"], topi, axis=0)
+            u = u + jnp.take(ex["up_bias"], topi, axis=0)
+        act = _glu(g, u, cfg.hidden_act)
+        dn = jnp.einsum("nkf,nkfh->nkh", act, dsel.astype(jnp.float32))
+        if "down_bias" in ex:  # added per expert, then routing-weighted
+            dn = dn + jnp.take(ex["down_bias"], topi, axis=0)
+        y = (dn * topv[:, :, None]).sum(axis=1)
 
     if "shared" in ffn:  # DeepSeek/Qwen2Moe shared experts (+ optional gate)
         sh = feed_forward(ffn["shared"], cfg, xf[None])[0]

@@ -2603,3 +2603,256 @@ def test_dbrx_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_qwen3_matches_hf(tmp_path_factory, rng):
+    """Qwen3: per-head QK-RMSNorm (q_norm/k_norm of size head_dim, applied
+    before RoPE), NEOX rope (conversion does NOT permute q/k), explicit
+    head_dim != hidden/heads via attention.key_length, no attention biases
+    (unlike qwen2)."""
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=96, ctx=64,
+             hd=32)
+    hf_cfg = Qwen3Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        head_dim=c["hd"], max_position_embeddings=c["ctx"],
+        rope_theta=10000.0, rms_norm_eps=1e-5, attention_dropout=0.0,
+        tie_word_embeddings=False, use_sliding_window=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(111)
+    with torch.no_grad():
+        model = Qwen3ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "qwen3"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                        sd[f"{h}.self_attn.q_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                        sd[f"{h}.self_attn.k_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("q3") / "qwen3.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_qwen3moe_matches_hf(tmp_path_factory, rng):
+    """Qwen3-MoE: qwen3 attention (per-head QK-norm, NEOX, head_dim key)
+    plus softmax top-k routing WITH renormalization (HF norm_topk_prob=True
+    == llama.cpp's hardcoded norm_w for qwen3moe; no expert_weights_norm
+    key is written) and a separate expert_feed_forward_length."""
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=96, ctx=64,
+             hd=16, experts=4, topk=2, effn=48)
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        head_dim=c["hd"], max_position_embeddings=c["ctx"],
+        rope_theta=10000.0, rms_norm_eps=1e-5, attention_dropout=0.0,
+        num_experts=c["experts"], num_experts_per_tok=c["topk"],
+        moe_intermediate_size=c["effn"], norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(113)
+    with torch.no_grad():
+        model = Qwen3MoeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "qwen3moe"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("expert_feed_forward_length", c["effn"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                        sd[f"{h}.self_attn.q_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                        sd[f"{h}.self_attn.k_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight", sd[f"{h}.mlp.gate.weight"])
+        for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+            stacked = np.stack(
+                [sd[f"{h}.mlp.experts.{e}.{theirs}.weight"]
+                 for e in range(c["experts"])])
+            w.add_tensor_np(f"{p}.ffn_{ours}_exps.weight", stacked)
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("q3m") / "qwen3moe.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_gpt_oss_matches_hf(tmp_path_factory, rng):
+    """gpt-oss: attention sinks (extra softmax logit per head), alternating
+    sliding/full layers (pattern 2, even layers sliding), biased q/k/v/o +
+    router + per-expert biases, clamped SwiGLU-OAI experts (interleaved HF
+    gate_up split into gate/up at conversion), top-k-then-softmax routing
+    (== softmax + renorm), NEOX rope."""
+    import torch
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, hd=16, ctx=64,
+             experts=4, topk=2, effn=48, window=4)
+    hf_cfg = GptOssConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], head_dim=c["hd"],
+        intermediate_size=c["effn"], num_local_experts=c["experts"],
+        num_experts_per_tok=c["topk"], sliding_window=c["window"],
+        rope_theta=10000.0, rms_norm_eps=1e-5, rope_scaling=None,
+        max_position_embeddings=c["ctx"], attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    torch.manual_seed(127)
+    with torch.no_grad():
+        model = GptOssForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "gpt-oss"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("attention.sliding_window", c["window"]),
+                     ("feed_forward_length", c["effn"]),
+                     ("expert_feed_forward_length", c["effn"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                             ("v", "v_proj"), ("output", "o_proj")):
+            w.add_tensor_np(f"{p}.attn_{ours}.weight",
+                            sd[f"{h}.self_attn.{theirs}.weight"])
+            w.add_tensor_np(f"{p}.attn_{ours}.bias",
+                            sd[f"{h}.self_attn.{theirs}.bias"])
+        w.add_tensor_np(f"{p}.attn_sinks.weight", sd[f"{h}.self_attn.sinks"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                        sd[f"{h}.mlp.router.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.bias", sd[f"{h}.mlp.router.bias"])
+        # HF stores [E, H, 2F] with gate/up INTERLEAVED; conversion splits
+        # and transposes to GGUF's [E, F, H] (out-major) layout
+        gu = sd[f"{h}.mlp.experts.gate_up_proj"]
+        gub = sd[f"{h}.mlp.experts.gate_up_proj_bias"]
+        w.add_tensor_np(f"{p}.ffn_gate_exps.weight",
+                        np.ascontiguousarray(gu[:, :, 0::2].transpose(0, 2, 1)))
+        w.add_tensor_np(f"{p}.ffn_up_exps.weight",
+                        np.ascontiguousarray(gu[:, :, 1::2].transpose(0, 2, 1)))
+        w.add_tensor_np(f"{p}.ffn_gate_exps.bias",
+                        np.ascontiguousarray(gub[:, 0::2]))
+        w.add_tensor_np(f"{p}.ffn_up_exps.bias",
+                        np.ascontiguousarray(gub[:, 1::2]))
+        dn = sd[f"{h}.mlp.experts.down_proj"]  # [E, F, H]
+        w.add_tensor_np(f"{p}.ffn_down_exps.weight",
+                        np.ascontiguousarray(dn.transpose(0, 2, 1)))
+        w.add_tensor_np(f"{p}.ffn_down_exps.bias",
+                        sd[f"{h}.mlp.experts.down_proj_bias"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("oss") / "gptoss.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
