@@ -95,6 +95,8 @@ LAYER_NORM = {
     # DBRX uses bias-free LayerNorm (HF DbrxNormAttentionNorm nn.LayerNorm
     # with bias=False)
     "dbrx",
+    # OLMo v1 uses non-parametric LayerNorm (F.layer_norm, no weight/bias)
+    "olmo",
 }
 
 # OPT is plain ReLU MLP (HF activation_function="relu")
@@ -207,6 +209,15 @@ SWA_PATTERN = {"gemma2": 2, "gemma3": 6, "gemma3n": 6, "cohere2": 4,
 # archs whose full-attention (global) layers carry NO positional encoding
 # at all (cohere2 global layers are NoPE)
 NOPE_GLOBAL_LAYERS = {"cohere2"}
+
+# every Nth layer ((il+1) % N == 0) skips RoPE entirely, independent of any
+# sliding window (SmolLM3 no_rope_layers, Llama-4 nope_layer_interval);
+# GGUF `{arch}.nope_layer_interval` overrides when present
+NOPE_LAYER_INTERVAL = {"smollm3": 4, "llama4": 4}
+
+# OLMo (v1): non-parametric LayerNorm — no weight/bias tensors exist in the
+# GGUF; the loader synthesizes unit weights (HF OlmoLayerNorm)
+NON_PARAMETRIC_NORM = {"olmo"}
 
 # [nope | rope] head-dim layout instead of [rope | nope] for partial RoPE.
 # archs whose partial RoPE rotates the LAST n_dims of the head (HF Qwen3Next
@@ -322,6 +333,14 @@ class ArchInfo:
     @property
     def nope_global_layers(self) -> bool:
         return self.name in NOPE_GLOBAL_LAYERS
+
+    @property
+    def nope_layer_interval(self) -> int:
+        return NOPE_LAYER_INTERVAL.get(self.name, 0)
+
+    @property
+    def non_parametric_norm(self) -> bool:
+        return self.name in NON_PARAMETRIC_NORM
 
     @property
     def is_llama_like(self) -> bool:

@@ -103,6 +103,8 @@ class ModelConfig:
     # every Nth layer is full attention; 1 = window (if any) on all layers
     swa_pattern: int = 1
     nope_global_layers: bool = False  # cohere2: global layers skip RoPE
+    nope_layer_interval: int = 0  # smollm3/llama4: every Nth layer is NoPE
+    non_parametric_norm: bool = False  # olmo: weightless LayerNorm
     # local (sliding) layers' RoPE base when it differs from the global
     # layers' (gemma3 locals use 10k while globals use 1M); 0 = same
     rope_freq_base_swa: float = 0.0
@@ -327,6 +329,9 @@ def parse_config(metadata: Mapping[str, Any],
         swa_pattern=gi("attention.sliding_window_pattern",
                        info.swa_pattern) or 1,
         nope_global_layers=info.nope_global_layers,
+        nope_layer_interval=gi("nope_layer_interval",
+                               info.nope_layer_interval) or 0,
+        non_parametric_norm=info.non_parametric_norm,
         rope_freq_base_swa=gf(
             "rope.freq_base_swa",
             10000.0 if arch in ("gemma3", "gemma3n") else 0.0),

@@ -87,9 +87,15 @@ class ModelLoader:
                          shape=info.np_shape)
         return arr
 
-    def norm(self, prefix: str, required: bool = True) -> dict | None:
+    def norm(self, prefix: str, required: bool = True,
+             unit_ok: bool = False) -> dict | None:
         wname = f"{prefix}.weight"
         if not self.has(wname):
+            if unit_ok and self.config.non_parametric_norm:
+                # OLMo v1: non-parametric LayerNorm — no tensors in the
+                # GGUF, normalize with unit weight (HF OlmoLayerNorm)
+                ones = np.ones(self.config.hidden_size, np.float32)
+                return {"weight": self._put(ones, wname)}
             if required:
                 raise KeyError(f"missing tensor {wname}")
             return None
@@ -205,7 +211,7 @@ class ModelLoader:
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
 
-        attn_norm = self.norm(f"{p}.attn_norm", required=False)
+        attn_norm = self.norm(f"{p}.attn_norm", required=False, unit_ok=True)
         if attn_norm is not None:
             layer["attn_norm"] = attn_norm  # absent for olmo2 (post-norm only)
         attn: dict[str, Any] = {}
@@ -232,7 +238,7 @@ class ModelLoader:
         self._fuse_attn(attn, cfg)
         layer["attn"] = attn
 
-        ffn_norm = self.norm(f"{p}.ffn_norm", required=False)
+        ffn_norm = self.norm(f"{p}.ffn_norm", required=False, unit_ok=True)
         if ffn_norm is None:
             # DBRX stores its pre-MoE norm as attn_output_norm
             # (norm_attn_norm.norm_2 in HF, ATTN_OUT_NORM in llama.cpp)
@@ -452,7 +458,7 @@ class ModelLoader:
             return "attn"
 
         cfg.layer_kinds = tuple(kind(i) for i in range(cfg.num_layers))
-        params["final_norm"] = self.norm("output_norm")
+        params["final_norm"] = self.norm("output_norm", unit_ok=True)
         if self.has("output.weight"):
             params["output"] = self.linear("output")
         else:

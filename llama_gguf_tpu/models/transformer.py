@@ -176,6 +176,9 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     window = cfg.sliding_window if is_swa else 0
     use_rope = cfg.rope.n_dims > 0 and not (
         cfg.nope_global_layers and cfg.sliding_window > 0 and not is_swa)
+    if cfg.nope_layer_interval > 0 and \
+            (layer_idx + 1) % cfg.nope_layer_interval == 0:
+        use_rope = False  # smollm3/llama4 periodic NoPE layers
     if use_rope:
         rope_cfg = cfg.rope
         if is_swa and cfg.rope_freq_base_swa > 0:

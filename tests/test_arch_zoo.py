@@ -2856,3 +2856,374 @@ def test_gpt_oss_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_gemma1_matches_hf(tmp_path_factory, rng):
+    """Gemma (v1): +1-offset RMSNorm weights (converter stores w+1), NEOX
+    rope, gated tanh-GELU MLP, tied embeddings, sqrt(hidden) embedding
+    scale, explicit head_dim (attention.key_length) != hidden/heads."""
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=96, ctx=64,
+             hd=32)
+    hf_cfg = GemmaConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        head_dim=c["hd"], max_position_embeddings=c["ctx"],
+        rope_theta=10000.0, rms_norm_eps=1e-5, attention_dropout=0.0,
+        hidden_activation="gelu_pytorch_tanh", attention_bias=False,
+        tie_word_embeddings=True, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(131)
+    with torch.no_grad():
+        model = GemmaForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "gemma"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"] + 1.0)
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"] + 1.0)
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"] + 1.0)
+    # tied: no output.weight
+    path = str(tmp_path_factory.mktemp("g1") / "gemma.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_phi2_matches_hf(tmp_path_factory, rng):
+    """Phi-2: parallel residual off a single LayerNorm, combined [q|k|v]
+    attn_qkv with biases, partial NEOX rope (rope.dimension_count <
+    head_dim), no-gate tanh-GELU MLP with biases, biased lm_head and
+    final LayerNorm."""
+    import torch
+    from transformers import PhiConfig, PhiForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, ffn=128, ctx=64)
+    hf_cfg = PhiConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["heads"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        partial_rotary_factor=0.5, layer_norm_eps=1e-5,
+        hidden_act="gelu_new", attention_dropout=0.0, resid_pdrop=0.0,
+        embd_pdrop=0.0, qk_layernorm=False, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(137)
+    with torch.no_grad():
+        model = PhiForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "phi2"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["heads"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("rope.dimension_count", (c["hidden"] // c["heads"]) // 2),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        qkv_w = np.concatenate([sd[f"{h}.self_attn.q_proj.weight"],
+                                sd[f"{h}.self_attn.k_proj.weight"],
+                                sd[f"{h}.self_attn.v_proj.weight"]])
+        qkv_b = np.concatenate([sd[f"{h}.self_attn.q_proj.bias"],
+                                sd[f"{h}.self_attn.k_proj.bias"],
+                                sd[f"{h}.self_attn.v_proj.bias"]])
+        w.add_tensor_np(f"{p}.attn_qkv.weight", qkv_w)
+        w.add_tensor_np(f"{p}.attn_qkv.bias", qkv_b)
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.dense.weight"])
+        w.add_tensor_np(f"{p}.attn_output.bias",
+                        sd[f"{h}.self_attn.dense.bias"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.bias",
+                        sd[f"{h}.input_layernorm.bias"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.fc1.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.bias", sd[f"{h}.mlp.fc1.bias"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.fc2.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.bias", sd[f"{h}.mlp.fc2.bias"])
+    w.add_tensor_np("output_norm.weight", sd["model.final_layernorm.weight"])
+    w.add_tensor_np("output_norm.bias", sd["model.final_layernorm.bias"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    w.add_tensor_np("output.bias", sd["lm_head.bias"])
+    path = str(tmp_path_factory.mktemp("p2") / "phi2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_olmo_matches_hf(tmp_path_factory, rng):
+    """OLMo v1: NON-PARAMETRIC LayerNorm (no norm tensors in the GGUF at
+    all — loader synthesizes unit weights), clip_qkv clamping, llama-style
+    permuted q/k, SwiGLU, untied embeddings."""
+    import torch
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=96, ctx=64)
+    hf_cfg = OlmoConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        clip_qkv=0.5, attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(139)
+    with torch.no_grad():
+        model = OlmoForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "olmo"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_epsilon", 1e-5)
+    w.add_metadata(f"{a}.attention.clamp_kqv", 0.5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        # NO norm tensors: OLMo norms are non-parametric
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("ol") / "olmo.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_granitemoe_matches_hf(tmp_path_factory, rng):
+    """GraniteMoE: the four Granite multipliers (embedding/residual/
+    attention/logits) combined with MoE where HF fuses gate|up into
+    input_linear [E, 2F, H] (conversion splits it) and routing is
+    top-k-then-softmax (renorm default, no expert_weights_norm key)."""
+    import torch
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=48, ctx=64,
+             experts=4, topk=2)
+    hf_cfg = GraniteMoeConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        rms_norm_eps=1e-5, num_local_experts=c["experts"],
+        num_experts_per_tok=c["topk"], embedding_multiplier=6.0,
+        logits_scaling=3.0, residual_multiplier=0.5,
+        attention_multiplier=0.08, attention_bias=False,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(149)
+    with torch.no_grad():
+        model = GraniteMoeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "granitemoe"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.embedding_scale", 6.0)
+    w.add_metadata(f"{a}.logit_scale", 3.0)
+    w.add_metadata(f"{a}.residual_scale", 0.5)
+    w.add_metadata(f"{a}.attention.scale", 0.08)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    F, H = c["ffn"], c["hidden"]
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                        sd[f"{h}.block_sparse_moe.router.layer.weight"])
+        inp = sd[f"{h}.block_sparse_moe.input_linear.weight"]  # [E, 2F, H]
+        w.add_tensor_np(f"{p}.ffn_gate_exps.weight",
+                        np.ascontiguousarray(inp[:, :F, :]))
+        w.add_tensor_np(f"{p}.ffn_up_exps.weight",
+                        np.ascontiguousarray(inp[:, F:, :]))
+        w.add_tensor_np(f"{p}.ffn_down_exps.weight",
+                        sd[f"{h}.block_sparse_moe.output_linear.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("gm") / "granitemoe.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_smollm3_matches_hf(tmp_path_factory, rng):
+    """SmolLM3: llama-style layers where every 4th layer ((il+1)%4==0)
+    skips RoPE entirely (NoPE interval 4, llama.cpp hardcodes it); 4 layers
+    so the test actually crosses one NoPE layer."""
+    import torch
+    from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=4, heads=4, kv=2, ffn=96, ctx=64)
+    hf_cfg = SmolLM3Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        max_position_embeddings=c["ctx"], rope_theta=10000.0,
+        rms_norm_eps=1e-5, attention_bias=False, attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(151)
+    with torch.no_grad():
+        model = SmolLM3ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "smollm3"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("s3") / "smollm3.gguf")
+    w.write_to_path(path)
+
+    # sanity: the default config really marks layer 3 NoPE
+    assert hf_cfg.no_rope_layers[3] == 0
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
