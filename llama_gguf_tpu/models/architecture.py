@@ -196,6 +196,9 @@ MOE_RENORM_DEFAULT = {
     # softmax-before-top-k followed by renormalization (same top-k set,
     # same weights), which is this flag
     "gpt-oss",
+    # GraniteMoeTopKGating: logits.topk(k) then softmax == renorm (verified
+    # numerically vs HF: renorm matches 100x closer than no-renorm)
+    "granitemoe",
 }
 
 # Sliding-window layer pattern N: every Nth layer (il % N == N-1) is FULL

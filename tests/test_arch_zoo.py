@@ -3151,11 +3151,17 @@ def test_granitemoe_matches_hf(tmp_path_factory, rng):
     path = str(tmp_path_factory.mktemp("gm") / "granitemoe.gguf")
     w.write_to_path(path)
 
+    # the logits multipliers shrink everything to ~1e-2, which would let a
+    # wrong renorm flag hide inside a 5e-4 atol — lock the semantic (HF
+    # topk-then-softmax == softmax+renorm) and compare tightly
+    from llama_gguf_tpu.models.architecture import resolve
+    assert resolve("granitemoe").moe_renorm_default
+
     tokens = rng.integers(0, c["vocab"], size=10).tolist()
     with torch.no_grad():
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
-    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
 
 def test_smollm3_matches_hf(tmp_path_factory, rng):
