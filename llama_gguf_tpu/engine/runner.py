@@ -105,7 +105,8 @@ class ModelRunner:
             cache["deltanet"] = init_deltanet_state(
                 self.cfg, b, self.cfg.num_layers
             )
-        if any(k == "mamba" for k in (self.cfg.layer_kinds or ())):
+        if any(k in ("mamba", "mamba2", "hybrid_par")
+               for k in (self.cfg.layer_kinds or ())):
             from ..models.mamba import init_mamba_state
             cache["mamba"] = init_mamba_state(self.cfg, b, self.cfg.num_layers)
         if self.mesh is not None:

@@ -64,7 +64,8 @@ QK_NORM = {
 # StableLM is NOT here: HF/llama.cpp keep separate q/k/v projections
 # (verified against StableLmForCausalLM, tests/test_arch_zoo.py)
 COMBINED_QKV = {
-    "phi2", "phi3", "phimoe", "gptneox", "gptj", "falcon", "falcon-h1",
+    # falcon-h1 is NOT here: HF FalconH1Attention keeps split q/k/v
+    "phi2", "phi3", "phimoe", "gptneox", "gptj", "falcon",
     "refact", "codeshell", "bloom", "mpt",
     # StarCoder (gpt_bigcode) stores c_attn as one [q|k|v] tensor (MQA:
     # kv rows are a single head); the reference misses this
@@ -146,6 +147,8 @@ NEOX_ROPE = {
     "gptj", "stablelm", "starcoder2",
     # gpt-oss conversion does not permute q/k -> rotate-half at runtime
     "gpt-oss",
+    # falcon-h1 likewise (HF rotate-half, no conversion permute)
+    "falcon-h1",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
     # nemotron / dbrx conversions don't permute q/k (only nemotron's norm
@@ -198,7 +201,7 @@ MOE_RENORM_DEFAULT = {
     "gpt-oss",
     # GraniteMoeTopKGating: logits.topk(k) then softmax == renorm (verified
     # numerically vs HF: renorm matches 100x closer than no-renorm)
-    "granitemoe",
+    "granitemoe", "granitehybrid",
 }
 
 # Sliding-window layer pattern N: every Nth layer (il % N == N-1) is FULL

@@ -92,6 +92,10 @@ class ModelConfig:
     ssm_n_group: int = 0
     ssm_dt_rank: int = 0
     ssm_conv_kernel: int = 0
+    # gated RMSNorm variant in the mamba2 mixer: Falcon-H1 normalizes per
+    # GROUP and applies the norm BEFORE the silu(z) gate
+    ssm_norm_groups: int = 1
+    ssm_norm_before_gate: bool = False
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     # logits MULTIPLIER before sampling (Cohere stores the multiplier;
@@ -315,6 +319,9 @@ def parse_config(metadata: Mapping[str, Any],
         ssm_n_group=gi("ssm.group_count", 1 if is_mamba else 0),
         ssm_dt_rank=gi("ssm.time_step_rank", 0),
         ssm_conv_kernel=gi("ssm.conv_kernel", 0),
+        ssm_norm_groups=(max(gi("ssm.group_count", 1) or 1, 1)
+                         if arch == "falcon-h1" else 1),
+        ssm_norm_before_gate=(arch == "falcon-h1"),
         attn_logit_softcap=gf("attn_logit_softcapping", 0.0),
         # granite.logit_scale is a DIVISOR (llama.cpp scales by 1/x);
         # command-r's is a multiplier

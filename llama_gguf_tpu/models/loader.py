@@ -204,10 +204,20 @@ class ModelLoader:
         if self.has(f"{p}.ssm_beta.weight") or self.has(f"{p}.ssm_ba.weight"):
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
-        if self.has(f"{p}.ssm_a.weight") or self.has(f"{p}.ssm_a"):
+        has_ssm_a = self.has(f"{p}.ssm_a.weight") or self.has(f"{p}.ssm_a")
+        # Falcon-H1: attention AND a mamba2 mixer in the same block — fall
+        # through to the attention path; mixer fields attach at the end
+        hybrid_par = has_ssm_a and (self.has(f"{p}.attn_q.weight")
+                                    or self.has(f"{p}.attn_qkv.weight"))
+        if has_ssm_a and not hybrid_par:
+            if not self.has(f"{p}.ssm_x.weight"):
+                # Mamba-2 folds dt/B/C into ssm_in (no ssm_x projection)
+                # and carries a gated ssm_norm; Mamba-1 always has ssm_x
+                from .mamba import load_mamba2_layer
+                return load_mamba2_layer(self, i, cfg)
             from .mamba import load_mamba_layer
             return load_mamba_layer(self, i, cfg)
-        if self.has(f"{p}.ssm_in.weight"):
+        if self.has(f"{p}.ssm_in.weight") and not hybrid_par:
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
 
@@ -254,6 +264,10 @@ class ModelLoader:
         post_ffw = self.norm(f"{p}.post_ffw_norm", required=False)
         if post_ffw is not None:
             layer["post_ffn_norm"] = post_ffw
+        if self.has(f"{p}.ssm_a.weight") or self.has(f"{p}.ssm_a"):
+            # Falcon-H1 parallel hybrid: attach the mamba2 mixer fields
+            from .mamba import load_mamba2_fields
+            layer["mamba"] = load_mamba2_fields(self, i, cfg)
         return layer
 
     def _load_mla_attn(self, i: int, cfg: ModelConfig) -> dict:
@@ -452,6 +466,11 @@ class ModelLoader:
                     self.has(f"blk.{i}.ssm_ba.weight"):
                 return "deltanet"
             if self.has(f"blk.{i}.ssm_a.weight") or self.has(f"blk.{i}.ssm_a"):
+                if self.has(f"blk.{i}.attn_q.weight") or \
+                        self.has(f"blk.{i}.attn_qkv.weight"):
+                    return "hybrid_par"
+                if not self.has(f"blk.{i}.ssm_x.weight"):
+                    return "mamba2"
                 return "mamba"
             if self.has(f"blk.{i}.ssm_in.weight"):
                 return "deltanet"

@@ -33,13 +33,26 @@ def init_mamba_state(cfg, batch: int, num_layers: int) -> dict[str, Any]:
     # a stacked buffer with interleaved per-layer reads and .at[layer]
     # updates defeats XLA's in-place aliasing inside lax.scan
     ks = cfg.ssm_conv_kernel
+    di, ds = cfg.ssm_d_inner, cfg.ssm_d_state
+    kinds = cfg.layer_kinds or ("mamba",) * num_layers
+
+    def conv_shape(i):
+        if kinds[i] in ("mamba2", "hybrid_par"):  # conv runs over [x|B|C]
+            ng = max(cfg.ssm_n_group, 1)
+            return (batch, ks - 1, di + 2 * ng * ds)
+        return (batch, ks - 1, di)
+
+    def ssm_shape(i):
+        if kinds[i] in ("mamba2", "hybrid_par"):  # per-head [nh, hd, ds]
+            nh = max(cfg.ssm_dt_rank, 1)
+            return (batch, nh, di // nh, ds)
+        return (batch, di, ds)
+
     return {
-        "conv": tuple(
-            jnp.zeros((batch, ks - 1, cfg.ssm_d_inner), jnp.float32)
-            for _ in range(num_layers)),
-        "ssm": tuple(
-            jnp.zeros((batch, cfg.ssm_d_inner, cfg.ssm_d_state), jnp.float32)
-            for _ in range(num_layers)),
+        "conv": tuple(jnp.zeros(conv_shape(i), jnp.float32)
+                      for i in range(num_layers)),
+        "ssm": tuple(jnp.zeros(ssm_shape(i), jnp.float32)
+                     for i in range(num_layers)),
     }
 
 
@@ -178,6 +191,180 @@ def load_mamba_layer(loader, i: int, cfg) -> dict:
                 loader.dense(f"{name}.weight"), f"{name}.weight")
     # jamba blocks pair the mamba mixer with an FFN/MoE half
     if loader.has(f"{p}.ffn_norm.weight"):
+        layer["ffn_norm"] = loader.norm(f"{p}.ffn_norm")
+        layer["ffn"] = loader._load_ffn(i, cfg)
+    return layer
+
+
+def mamba2_mixer(layer: dict, cfg, h: jnp.ndarray, positions: jnp.ndarray,
+                 kv: dict, layer_idx: int,
+                 lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    """Mamba-2 (SSD) mixer core: normed input [B, T, H] -> (out, kv').
+
+    HF Mamba2Mixer torch-path parity: in_proj -> [z | xBC | dt], causal
+    depthwise conv over [x|B|C], per-HEAD scalar decay a=-exp(A_log[h]),
+    grouped B/C broadcast to heads, state h[b,head,hd,ds], y = h.C + D*x,
+    gated RMSNorm (optional; group-wise and norm-before-gate variants for
+    Falcon-H1), out_proj. Same TPU layout as mamba_layer: all matmuls
+    batched outside the scan, only the O(T) state update inside lax.scan."""
+    b, t, _ = h.shape
+    di, ds = cfg.ssm_d_inner, cfg.ssm_d_state
+    nh = cfg.ssm_dt_rank  # llama.cpp: time_step_rank == n_heads for mamba2
+    ng = max(cfg.ssm_n_group, 1)
+    hd = di // nh
+    ks = cfg.ssm_conv_kernel
+    conv_dim = di + 2 * ng * ds
+    valid = positions < lengths[:, None]  # [B, T]
+    vf = valid.astype(jnp.float32)[..., None]
+
+    proj = L.apply(layer["ssm_in"], h).astype(jnp.float32)
+    z = proj[..., :di]
+    xbc = proj[..., di: di + conv_dim] * vf
+    dt_raw = proj[..., di + conv_dim:]  # [B, T, nh]
+
+    conv_state = kv["mamba"]["conv"][layer_idx]  # [B, ks-1, conv_dim]
+    seq = jnp.concatenate([conv_state, xbc], axis=1)
+    w = layer["conv_w"].astype(jnp.float32)  # [ks, conv_dim]
+    stacked = jnp.stack([seq[:, k: k + t, :] for k in range(ks)], axis=2)
+    conv = jnp.einsum("btkd,kd->btd", stacked, w)
+    if layer.get("conv_b") is not None:
+        conv = conv + layer["conv_b"].astype(jnp.float32)
+    n_valid = valid.sum(axis=1).astype(jnp.int32)
+    gather_idx = n_valid[:, None] + jnp.arange(ks - 1)[None, :]
+    new_conv = jnp.take_along_axis(seq, gather_idx[..., None], axis=1)
+    xbc = jax.nn.silu(conv)
+
+    xs = xbc[..., :di].reshape(b, t, nh, hd)
+    rep = nh // ng
+    b_h = jnp.repeat(
+        xbc[..., di: di + ng * ds].reshape(b, t, ng, ds), rep, axis=2)
+    c_h = jnp.repeat(
+        xbc[..., di + ng * ds:].reshape(b, t, ng, ds), rep, axis=2)
+
+    dt = jax.nn.softplus(dt_raw + layer["dt_bias"].astype(jnp.float32))
+    a = layer["ssm_a"].astype(jnp.float32).reshape(-1)  # [nh], -exp(A_log)
+    decay = jnp.exp(dt * a[None, None, :])  # [B, T, nh]
+    # freeze the state across padding slots: decay=1, drive=0
+    decay = jnp.where(valid[..., None], decay, 1.0)
+    drive = (dt[..., None] * xs)[..., None] * b_h[..., None, :]
+    drive = drive * valid[:, :, None, None, None]  # [B, T, nh, hd, ds]
+
+    ssm0 = kv["mamba"]["ssm"][layer_idx]  # [B, nh, hd, ds]
+
+    def body(state, inp):
+        dec, drv, c = inp  # [B,nh], [B,nh,hd,ds], [B,nh,ds]
+        state = dec[..., None, None] * state + drv
+        y = jnp.einsum("bnhs,bns->bnh", state, c)
+        return state, y
+
+    ssm_f, ys = jax.lax.scan(
+        body, ssm0,
+        (decay.swapaxes(0, 1), drive.swapaxes(0, 1), c_h.swapaxes(0, 1)))
+    y = ys.swapaxes(0, 1)  # [B, T, nh, hd]
+    if layer.get("ssm_d") is not None:
+        d = layer["ssm_d"].astype(jnp.float32).reshape(-1)  # [nh]
+        y = y + d[None, None, :, None] * xs
+    y = y.reshape(b, t, di)
+
+    def gated_norm(y):
+        groups = cfg.ssm_norm_groups  # static (config, not pytree)
+        if groups > 1:  # Falcon-H1: variance per group of di/ng channels
+            yr = y.reshape(b, t, groups, di // groups)
+            yr = yr * jax.lax.rsqrt(
+                jnp.mean(jnp.square(yr), -1, keepdims=True) + cfg.norm_eps)
+            return yr.reshape(b, t, di) * layer["ssm_norm"].astype(jnp.float32)
+        return rms_norm(y, layer["ssm_norm"], cfg.norm_eps)
+
+    if "ssm_norm" not in layer:  # Falcon-H1 mamba_rms_norm=False
+        y = y * jax.nn.silu(z)
+    elif cfg.ssm_norm_before_gate:  # Falcon-H1 default order
+        y = gated_norm(y) * jax.nn.silu(z)
+    else:  # Mamba-2 MambaRMSNormGated: gate first, then norm
+        y = gated_norm(y * jax.nn.silu(z))
+    out = L.apply(layer["ssm_out"], y.astype(h.dtype))
+
+    kv = dict(kv)
+    mamba = dict(kv["mamba"])
+    conv = list(mamba["conv"])
+    conv[layer_idx] = new_conv
+    mamba["conv"] = tuple(conv)
+    ssm = list(mamba["ssm"])
+    ssm[layer_idx] = ssm_f
+    mamba["ssm"] = tuple(ssm)
+    kv["mamba"] = mamba
+    return out, kv
+
+
+def mamba2_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
+                 kv: dict, layer_idx: int,
+                 lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    """Full Mamba-2 block: pre-norm + mixer + residual (+ hybrid FFN half).
+
+    cfg.residual_scale (granitehybrid residual_multiplier) scales both the
+    mixer and FFN contributions, mirroring the attention blocks."""
+    rs = cfg.residual_scale
+    h = rms_norm(x, layer["attn_norm"]["weight"], cfg.norm_eps)
+    out, kv = mamba2_mixer(layer, cfg, h, positions, kv, layer_idx, lengths)
+    if rs != 1.0:
+        out = out * jnp.asarray(rs, out.dtype)
+    x = x + out
+
+    if "ffn" in layer:  # hybrid blocks pairing the mixer with an FFN half
+        from ..ops.norms import apply_norm
+        from .transformer import feed_forward, moe_layer
+
+        h2 = apply_norm(x, layer["ffn_norm"], cfg.norm_eps,
+                        cfg.uses_layer_norm)
+        ffn_out = (
+            moe_layer(layer["ffn"], cfg, h2)
+            if "router" in layer["ffn"]
+            else feed_forward(layer["ffn"], cfg, h2)
+        )
+        if rs != 1.0:
+            ffn_out = ffn_out * jnp.asarray(rs, ffn_out.dtype)
+        x = x + ffn_out
+    return x, kv
+
+
+def load_mamba2_fields(loader, i: int, cfg) -> dict:
+    """Mixer-only Mamba-2 tensors: ssm_in is [z|xBC|dt] combined, no
+    ssm_x/ssm_dt projection (dt comes straight from in_proj; only
+    ssm_dt.bias exists), per-head ssm_a/ssm_d, optional gated ssm_norm.
+    Shared by pure Mamba-2 layers and Falcon-H1 parallel hybrids."""
+    import numpy as np
+
+    p = f"blk.{i}"
+    layer: dict[str, Any] = {
+        "ssm_in": loader.linear(f"{p}.ssm_in"),
+        "ssm_out": loader.linear(f"{p}.ssm_out"),
+    }
+    conv_w = loader.dense(f"{p}.ssm_conv1d.weight")  # [conv_dim, ks]
+    layer["conv_w"] = loader._put(
+        np.ascontiguousarray(conv_w.T), f"{p}.ssm_conv1d.weight")
+    if loader.has(f"{p}.ssm_conv1d.bias"):
+        layer["conv_b"] = loader._put(loader.dense(f"{p}.ssm_conv1d.bias"),
+                                      f"{p}.ssm_conv1d.bias")
+    layer["ssm_a"] = loader._put(loader.dense(f"{p}.ssm_a"), f"{p}.ssm_a")
+    layer["dt_bias"] = loader._put(loader.dense(f"{p}.ssm_dt.bias"),
+                                   f"{p}.ssm_dt.bias")
+    if loader.has(f"{p}.ssm_d"):
+        layer["ssm_d"] = loader._put(loader.dense(f"{p}.ssm_d"), f"{p}.ssm_d")
+    if loader.has(f"{p}.ssm_norm.weight"):
+        # conversion stores ssm_norm as [ng, di/ng]; Mamba-2 normalizes
+        # full-width (flatten back), Falcon-H1 normalizes per GROUP and
+        # applies the norm BEFORE the silu(z) gate
+        layer["ssm_norm"] = loader._put(
+            loader.dense(f"{p}.ssm_norm.weight").reshape(-1),
+            f"{p}.ssm_norm.weight")
+    return layer
+
+
+def load_mamba2_layer(loader, i: int, cfg) -> dict:
+    """Load one pure Mamba-2 block (pre-norm + mixer + optional FFN half)."""
+    p = f"blk.{i}"
+    layer = {"attn_norm": loader.norm(f"{p}.attn_norm")}
+    layer.update(load_mamba2_fields(loader, i, cfg))
+    if loader.has(f"{p}.ffn_norm.weight"):  # hybrid block FFN half
         layer["ffn_norm"] = loader.norm(f"{p}.ffn_norm")
         layer["ffn"] = loader._load_ffn(i, cfg)
     return layer

@@ -502,6 +502,33 @@ def compute_logits(params: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarra
     return logits
 
 
+def parallel_hybrid_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
+                          positions: jnp.ndarray, kv: dict, layer_idx: int,
+                          lengths: jnp.ndarray,
+                          read_bound: int | None = None
+                          ) -> tuple[jnp.ndarray, dict]:
+    """Falcon-H1 block: attention and a Mamba-2 mixer run in PARALLEL off
+    one pre-norm; their outputs sum into the residual, then a gated FFN
+    half (HF FalconH1DecoderLayer; the checkpoint multipliers are folded
+    into the weights at conversion, so the runtime graph is multiplier-free).
+    """
+    from .mamba import mamba2_mixer
+
+    h = apply_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.uses_layer_norm)
+    attn_out, kv = attention(layer["attn"], cfg, h, positions, kv, layer_idx,
+                             lengths, read_bound)
+    ssm_out, kv = mamba2_mixer(layer["mamba"], cfg, h, positions, kv,
+                               layer_idx, lengths)
+    x = x + attn_out + ssm_out.astype(x.dtype)
+    h2 = apply_norm(x, layer["ffn_norm"], cfg.norm_eps, cfg.uses_layer_norm)
+    ffn_out = (
+        moe_layer(layer["ffn"], cfg, h2)
+        if "router" in layer["ffn"]
+        else feed_forward(layer["ffn"], cfg, h2)
+    )
+    return x + ffn_out, kv
+
+
 def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, kv: dict,
             lengths: jnp.ndarray,
@@ -522,6 +549,12 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
         elif kinds[i] == "mamba":
             from .mamba import mamba_layer
             x, kv = mamba_layer(layer, cfg, x, positions, kv, i, lengths)
+        elif kinds[i] == "mamba2":
+            from .mamba import mamba2_layer
+            x, kv = mamba2_layer(layer, cfg, x, positions, kv, i, lengths)
+        elif kinds[i] == "hybrid_par":
+            x, kv = parallel_hybrid_layer(layer, cfg, x, positions, kv, i,
+                                          lengths, read_bound)
         else:
             x, kv = transformer_layer(layer, cfg, x, positions, kv, i,
                                       lengths, read_bound)

@@ -3233,3 +3233,282 @@ def test_smollm3_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_mamba2_matches_hf(tmp_path_factory, rng):
+    """Mamba-2 (SSD): combined in_proj [z|xBC|dt], causal conv over
+    [x|B|C], per-head scalar decay (ssm_a = -exp(A_log), [nh]), grouped
+    B/C broadcast to heads, per-head D skip, gated full-width RMSNorm
+    before out_proj, conversion-reshaped ssm_norm [ng, di/ng]."""
+    import torch
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    c = dict(vocab=96, hidden=32, layers=2, ctx=64, ds=8, ng=2, nh=4,
+             hd=16, ks=4)
+    di = c["nh"] * c["hd"]  # 64 (expand=2)
+    hf_cfg = Mamba2Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], state_size=c["ds"],
+        head_dim=c["hd"], num_heads=c["nh"], n_groups=c["ng"],
+        expand=2, conv_kernel=c["ks"], use_conv_bias=True, use_bias=False,
+        rms_norm=True, layer_norm_epsilon=1e-5, rescale_prenorm_residual=False,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(157)
+    with torch.no_grad():
+        model = Mamba2ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "mamba2"
+    w.add_metadata("general.architecture", a)
+    w.add_metadata(f"{a}.block_count", c["layers"])
+    w.add_metadata(f"{a}.embedding_length", c["hidden"])
+    w.add_metadata(f"{a}.context_length", c["ctx"])
+    w.add_metadata(f"{a}.vocab_size", c["vocab"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.ssm.inner_size", di)
+    w.add_metadata(f"{a}.ssm.state_size", c["ds"])
+    w.add_metadata(f"{a}.ssm.time_step_rank", c["nh"])  # == n_heads
+    w.add_metadata(f"{a}.ssm.conv_kernel", c["ks"])
+    w.add_metadata(f"{a}.ssm.group_count", c["ng"])
+    w.add_tensor_np("token_embd.weight", sd["backbone.embeddings.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"backbone.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight", sd[f"{h}.norm.weight"])
+        w.add_tensor_np(f"{p}.ssm_in.weight", sd[f"{h}.mixer.in_proj.weight"])
+        # HF conv1d.weight [conv_dim, 1, ks] -> GGUF [conv_dim, ks]
+        w.add_tensor_np(f"{p}.ssm_conv1d.weight",
+                        sd[f"{h}.mixer.conv1d.weight"][:, 0, :])
+        w.add_tensor_np(f"{p}.ssm_conv1d.bias", sd[f"{h}.mixer.conv1d.bias"])
+        w.add_tensor_np(f"{p}.ssm_dt.bias", sd[f"{h}.mixer.dt_bias"])
+        w.add_tensor_np(f"{p}.ssm_a", -np.exp(sd[f"{h}.mixer.A_log"]))
+        w.add_tensor_np(f"{p}.ssm_d", sd[f"{h}.mixer.D"])
+        w.add_tensor_np(f"{p}.ssm_norm.weight",
+                        sd[f"{h}.mixer.norm.weight"].reshape(c["ng"], -1))
+        w.add_tensor_np(f"{p}.ssm_out.weight",
+                        sd[f"{h}.mixer.out_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["backbone.norm_f.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("m2") / "mamba2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_falcon_h1_matches_hf(tmp_path_factory, rng):
+    """Falcon-H1: attention AND a Mamba-2 mixer in PARALLEL in every block
+    off a single pre-norm, outputs summed into the residual, then a SwiGLU
+    FFN half. Mixer uses GROUP-wise gated RMSNorm applied BEFORE the
+    silu(z) gate (mamba_rms_norm=True path); multipliers are 1.0 (the
+    conversion folds real checkpoints' multipliers into weights)."""
+    import torch
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    c = dict(vocab=96, hidden=32, layers=2, heads=4, kv=2, ffn=64, ctx=64,
+             ds=8, ng=2, nh=4, hd=16, ks=4)
+    di = c["nh"] * c["hd"]  # 64
+    hf_cfg = FalconH1Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        mamba_d_ssm=di, mamba_n_heads=c["nh"], mamba_d_head=c["hd"],
+        mamba_n_groups=c["ng"], mamba_d_state=c["ds"], mamba_d_conv=c["ks"],
+        mamba_expand=2, mamba_rms_norm=True, rope_theta=10000.0,
+        rms_norm_eps=1e-5, max_position_embeddings=c["ctx"],
+        attention_bias=False, tie_word_embeddings=False, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(163)
+    with torch.no_grad():
+        model = FalconH1ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "falcon-h1"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.ssm.inner_size", di)
+    w.add_metadata(f"{a}.ssm.state_size", c["ds"])
+    w.add_metadata(f"{a}.ssm.time_step_rank", c["nh"])
+    w.add_metadata(f"{a}.ssm.conv_kernel", c["ks"])
+    w.add_metadata(f"{a}.ssm.group_count", c["ng"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.pre_ff_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight",
+                        sd[f"{h}.feed_forward.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight",
+                        sd[f"{h}.feed_forward.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight",
+                        sd[f"{h}.feed_forward.down_proj.weight"])
+        w.add_tensor_np(f"{p}.ssm_in.weight", sd[f"{h}.mamba.in_proj.weight"])
+        w.add_tensor_np(f"{p}.ssm_conv1d.weight",
+                        sd[f"{h}.mamba.conv1d.weight"][:, 0, :])
+        w.add_tensor_np(f"{p}.ssm_conv1d.bias", sd[f"{h}.mamba.conv1d.bias"])
+        w.add_tensor_np(f"{p}.ssm_dt.bias", sd[f"{h}.mamba.dt_bias"])
+        w.add_tensor_np(f"{p}.ssm_a", -np.exp(sd[f"{h}.mamba.A_log"]))
+        w.add_tensor_np(f"{p}.ssm_d", sd[f"{h}.mamba.D"])
+        w.add_tensor_np(f"{p}.ssm_norm.weight",
+                        sd[f"{h}.mamba.norm.weight"].reshape(c["ng"], -1))
+        w.add_tensor_np(f"{p}.ssm_out.weight", sd[f"{h}.mamba.out_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.final_layernorm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("fh1") / "falconh1.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_granitehybrid_matches_hf(tmp_path_factory, rng):
+    """Granite-4.0 hybrid (granitemoehybrid): per-layer mamba2 OR attention
+    blocks (NoPE attention — rope.dimension_count=0), each paired with
+    MoE experts PLUS an always-on shared MLP (both fused gate|up splits),
+    all four Granite multipliers, residual_multiplier on the mamba half
+    too."""
+    import torch
+    from transformers import GraniteMoeHybridConfig, GraniteMoeHybridForCausalLM
+
+    c = dict(vocab=96, hidden=32, layers=2, heads=4, kv=2, ffn=48, ctx=64,
+             ds=8, ng=2, nh=4, hd=16, ks=4, experts=4, topk=2)
+    di = c["nh"] * c["hd"]  # 64 == mamba_expand * hidden
+    hf_cfg = GraniteMoeHybridConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        shared_intermediate_size=c["ffn"], num_local_experts=c["experts"],
+        num_experts_per_tok=c["topk"], layer_types=["mamba", "attention"],
+        mamba_n_heads=c["nh"], mamba_d_head=c["hd"], mamba_n_groups=c["ng"],
+        mamba_d_state=c["ds"], mamba_d_conv=c["ks"], mamba_expand=2,
+        embedding_multiplier=6.0, logits_scaling=3.0,
+        residual_multiplier=0.5, attention_multiplier=0.08,
+        rms_norm_eps=1e-5, attention_bias=False, attention_dropout=0.0,
+        max_position_embeddings=c["ctx"], tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(167)
+    with torch.no_grad():
+        model = GraniteMoeHybridForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "granitehybrid"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"]),
+                     ("expert_shared_count", 1),
+                     ("rope.dimension_count", 0),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.embedding_scale", 6.0)
+    w.add_metadata(f"{a}.logit_scale", 3.0)
+    w.add_metadata(f"{a}.residual_scale", 0.5)
+    w.add_metadata(f"{a}.attention.scale", 0.08)
+    w.add_metadata(f"{a}.ssm.inner_size", di)
+    w.add_metadata(f"{a}.ssm.state_size", c["ds"])
+    w.add_metadata(f"{a}.ssm.time_step_rank", c["nh"])
+    w.add_metadata(f"{a}.ssm.conv_kernel", c["ks"])
+    w.add_metadata(f"{a}.ssm.group_count", c["ng"])
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    F = c["ffn"]
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        if f"{h}.mamba.in_proj.weight" in sd:
+            w.add_tensor_np(f"{p}.ssm_in.weight",
+                            sd[f"{h}.mamba.in_proj.weight"])
+            w.add_tensor_np(f"{p}.ssm_conv1d.weight",
+                            sd[f"{h}.mamba.conv1d.weight"][:, 0, :])
+            w.add_tensor_np(f"{p}.ssm_conv1d.bias",
+                            sd[f"{h}.mamba.conv1d.bias"])
+            w.add_tensor_np(f"{p}.ssm_dt.bias", sd[f"{h}.mamba.dt_bias"])
+            w.add_tensor_np(f"{p}.ssm_a", -np.exp(sd[f"{h}.mamba.A_log"]))
+            w.add_tensor_np(f"{p}.ssm_d", sd[f"{h}.mamba.D"])
+            w.add_tensor_np(f"{p}.ssm_norm.weight",
+                            sd[f"{h}.mamba.norm.weight"].reshape(c["ng"], -1))
+            w.add_tensor_np(f"{p}.ssm_out.weight",
+                            sd[f"{h}.mamba.out_proj.weight"])
+        else:
+            w.add_tensor_np(f"{p}.attn_q.weight",
+                            sd[f"{h}.self_attn.q_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_k.weight",
+                            sd[f"{h}.self_attn.k_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_v.weight",
+                            sd[f"{h}.self_attn.v_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_output.weight",
+                            sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                        sd[f"{h}.block_sparse_moe.router.layer.weight"])
+        inp = sd[f"{h}.block_sparse_moe.input_linear.weight"]  # [E, 2F, H]
+        w.add_tensor_np(f"{p}.ffn_gate_exps.weight",
+                        np.ascontiguousarray(inp[:, :F, :]))
+        w.add_tensor_np(f"{p}.ffn_up_exps.weight",
+                        np.ascontiguousarray(inp[:, F:, :]))
+        w.add_tensor_np(f"{p}.ffn_down_exps.weight",
+                        sd[f"{h}.block_sparse_moe.output_linear.weight"])
+        shin = sd[f"{h}.shared_mlp.input_linear.weight"]  # [2F, H]
+        w.add_tensor_np(f"{p}.ffn_gate_shexp.weight",
+                        np.ascontiguousarray(shin[:F, :]))
+        w.add_tensor_np(f"{p}.ffn_up_shexp.weight",
+                        np.ascontiguousarray(shin[F:, :]))
+        w.add_tensor_np(f"{p}.ffn_down_shexp.weight",
+                        sd[f"{h}.shared_mlp.output_linear.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("gh") / "granitehybrid.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
