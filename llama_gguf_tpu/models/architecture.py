@@ -149,6 +149,10 @@ NEOX_ROPE = {
     "gpt-oss",
     # falcon-h1 likewise (HF rotate-half, no conversion permute)
     "falcon-h1",
+    # glm4moe partial rope is rotate-half on the FIRST rotary dims (unlike
+    # dense glm4's interleaved rope); dots1 is full rotate-half — neither
+    # conversion permutes
+    "glm4moe", "dots1",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
     # nemotron / dbrx conversions don't permute q/k (only nemotron's norm

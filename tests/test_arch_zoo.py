@@ -3512,3 +3512,316 @@ def test_granitehybrid_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def _write_ds3_style_moe(w, a, sd, c, rope_dims=None, attn_bias=False,
+                         qk_norm=True):
+    """Shared GGUF assembly for DeepSeek-V3-style MoE clones (glm4moe,
+    dots1): sigmoid router + e_score_correction_bias (exp_probs_b),
+    group-limited top-k, shared experts, first_k_dense_replace dense
+    layer 0, per-head QK-RMSNorm, NEOX (rotate-half) rope."""
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("expert_feed_forward_length", c["effn"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"]),
+                     ("expert_shared_count", 1),
+                     ("expert_gating_func", 2),
+                     ("expert_group_count", c["groups"]),
+                     ("expert_group_used_count", c["topk_groups"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.expert_weights_norm", True)
+    w.add_metadata(f"{a}.expert_weights_scale", c["scale"])
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    if rope_dims is not None:
+        w.add_metadata(f"{a}.rope.dimension_count", rope_dims)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        for ours, theirs in (("attn_q", "q_proj"), ("attn_k", "k_proj"),
+                             ("attn_v", "v_proj")):
+            w.add_tensor_np(f"{p}.{ours}.weight",
+                            sd[f"{h}.self_attn.{theirs}.weight"])
+            if attn_bias:
+                w.add_tensor_np(f"{p}.{ours}.bias",
+                                sd[f"{h}.self_attn.{theirs}.bias"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        if qk_norm:
+            w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                            sd[f"{h}.self_attn.q_norm.weight"])
+            w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                            sd[f"{h}.self_attn.k_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        if f"{h}.mlp.gate.weight" in sd:  # MoE layer
+            w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                            sd[f"{h}.mlp.gate.weight"])
+            w.add_tensor_np(f"{p}.exp_probs_b.bias",
+                            sd[f"{h}.mlp.gate.e_score_correction_bias"])
+            for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                                 ("down", "down_proj")):
+                stacked = np.stack(
+                    [sd[f"{h}.mlp.experts.{e}.{theirs}.weight"]
+                     for e in range(c["experts"])])
+                w.add_tensor_np(f"{p}.ffn_{ours}_exps.weight", stacked)
+                w.add_tensor_np(f"{p}.ffn_{ours}_shexp.weight",
+                                sd[f"{h}.mlp.shared_experts.{theirs}.weight"])
+        else:  # first_k_dense_replace dense layer
+            w.add_tensor_np(f"{p}.ffn_gate.weight",
+                            sd[f"{h}.mlp.gate_proj.weight"])
+            w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+            w.add_tensor_np(f"{p}.ffn_down.weight",
+                            sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+
+
+def test_glm4moe_matches_hf(tmp_path_factory, rng):
+    """GLM-4.5 (glm4moe): DeepSeek-V3-style sigmoid routing with
+    correction bias and group-limited top-k, shared expert, first layer
+    dense, per-head QK-norm, PARTIAL rotate-half rope (factor 0.5) with
+    biased q/k/v — unlike dense glm4's interleaved rope."""
+    import torch
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, hd=16, ffn=96,
+             effn=48, ctx=64, experts=4, topk=2, groups=2, topk_groups=1,
+             scale=1.5)
+    hf_cfg = Glm4MoeConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], head_dim=c["hd"],
+        intermediate_size=c["ffn"], moe_intermediate_size=c["effn"],
+        n_routed_experts=c["experts"], num_experts_per_tok=c["topk"],
+        n_shared_experts=1, n_group=c["groups"], topk_group=c["topk_groups"],
+        norm_topk_prob=True, routed_scaling_factor=c["scale"],
+        first_k_dense_replace=1, use_qk_norm=True,
+        partial_rotary_factor=0.5, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attention_bias=True, attention_dropout=0.0,
+        max_position_embeddings=c["ctx"], tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(173)
+    with torch.no_grad():
+        model = Glm4MoeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    _write_ds3_style_moe(w, "glm4moe", sd, c, rope_dims=c["hd"] // 2,
+                         attn_bias=True)
+    path = str(tmp_path_factory.mktemp("g4m") / "glm4moe.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_dots1_matches_hf(tmp_path_factory, rng):
+    """dots.llm1: DeepSeek-V3-style MoE routing (sigmoid + correction
+    bias + groups + shared expert + dense layer 0) on a standard GQA
+    attention with per-head QK-norm and full rotate-half rope."""
+    import torch
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, hd=16, ffn=96,
+             effn=48, ctx=64, experts=4, topk=2, groups=2, topk_groups=1,
+             scale=1.5)
+    hf_cfg = Dots1Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        moe_intermediate_size=c["effn"], n_routed_experts=c["experts"],
+        num_experts_per_tok=c["topk"], n_shared_experts=1,
+        n_group=c["groups"], topk_group=c["topk_groups"],
+        norm_topk_prob=True, routed_scaling_factor=c["scale"],
+        first_k_dense_replace=1, rope_theta=10000.0, rms_norm_eps=1e-5,
+        attention_bias=False, attention_dropout=0.0,
+        max_position_embeddings=c["ctx"], tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(179)
+    with torch.no_grad():
+        model = Dots1ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    _write_ds3_style_moe(w, "dots1", sd, c)
+    path = str(tmp_path_factory.mktemp("d1") / "dots1.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_ernie4_5_matches_hf(tmp_path_factory, rng):
+    """ERNIE 4.5 (dense): llama-family block with explicit head_dim and
+    tied embeddings (0.3B convention); conversion permutes q/k."""
+    import torch
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, hd=16, ffn=96,
+             ctx=64)
+    hf_cfg = Ernie4_5Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], head_dim=c["hd"],
+        intermediate_size=c["ffn"], rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=c["ctx"], use_bias=False,
+        tie_word_embeddings=True, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(181)
+    with torch.no_grad():
+        model = Ernie4_5ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "ernie4_5"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    # tied embeddings: no output.weight
+    path = str(tmp_path_factory.mktemp("e45") / "ernie.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_seed_oss_matches_hf(tmp_path_factory, rng):
+    """Seed-OSS: llama-family block with q/k/v biases (permuted along
+    with the weights for q/k), bias-free o_proj, explicit head_dim."""
+    import torch
+    from transformers import SeedOssConfig, SeedOssForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, hd=16, ffn=96,
+             ctx=64)
+    hf_cfg = SeedOssConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], head_dim=c["hd"],
+        intermediate_size=c["ffn"], rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=c["ctx"], attention_bias=True,
+        attention_dropout=0.0, tie_word_embeddings=False, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(191)
+    with torch.no_grad():
+        model = SeedOssForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    def permute_vec(b, n_heads):
+        return permute_llama(b[:, None], n_heads)[:, 0]
+
+    w = GGUFWriter()
+    a = "seed_oss"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_q.bias", permute_vec(
+            sd[f"{h}.self_attn.q_proj.bias"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_k.bias", permute_vec(
+            sd[f"{h}.self_attn.k_proj.bias"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.bias", sd[f"{h}.self_attn.v_proj.bias"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("sos") / "seedoss.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
