@@ -105,7 +105,7 @@ class ModelRunner:
             cache["deltanet"] = init_deltanet_state(
                 self.cfg, b, self.cfg.num_layers
             )
-        if any(k in ("mamba", "mamba2", "hybrid_par")
+        if any(k in ("mamba", "mamba2", "hybrid_par", "shortconv")
                for k in (self.cfg.layer_kinds or ())):
             from ..models.mamba import init_mamba_state
             cache["mamba"] = init_mamba_state(self.cfg, b, self.cfg.num_layers)

@@ -103,9 +103,8 @@ LAYER_NORM = {
 # OPT is plain ReLU MLP (HF activation_function="relu")
 RELU = {"opt"}
 
-# Nemotron is squared-ReLU ("relu2": relu(x)**2, HF NemotronConfig
-# hidden_act default)
-RELU2 = {"nemotron"}
+# Nemotron and Arcee (AFM) are squared-ReLU ("relu2": relu(x)**2)
+RELU2 = {"nemotron", "arcee"}
 
 GELU = {
     # NOTE: phi3/phimoe are SwiGLU (silu), unlike phi2's gelu_new.
@@ -137,8 +136,8 @@ NO_GATE_FFN = {
     "gpt2", "gptj", "gptneox", "bloom", "opt", "falcon", "phi", "phi2",
     "codeshell", "bert", "modern-bert",
     "nomic-bert", "t5", "t5encoder", "starcoder", "starcoder2",
-    # Nemotron MLP is up -> relu^2 -> down (no gate projection)
-    "nemotron",
+    # Nemotron and Arcee MLPs are up -> relu^2 -> down (no gate projection)
+    "nemotron", "arcee",
 }
 
 NEOX_ROPE = {
@@ -153,6 +152,9 @@ NEOX_ROPE = {
     # dense glm4's interleaved rope); dots1 is full rotate-half — neither
     # conversion permutes
     "glm4moe", "dots1",
+    # exaone4 is rotate-half with no conversion permute (sliding layers
+    # only; global layers are NoPE)
+    "exaone4",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
     # nemotron / dbrx conversions don't permute q/k (only nemotron's norm
@@ -214,11 +216,13 @@ MOE_RENORM_DEFAULT = {
 # cohere2 runs 3 local + 1 global).
 SWA_PATTERN = {"gemma2": 2, "gemma3": 6, "gemma3n": 6, "cohere2": 4,
                # gpt-oss alternates sliding (even) / full (odd) layers
-               "gpt-oss": 2}
+               "gpt-oss": 2,
+               # exaone4 runs 3 sliding : 1 full ("LLLG")
+               "exaone4": 4}
 
 # archs whose full-attention (global) layers carry NO positional encoding
-# at all (cohere2 global layers are NoPE)
-NOPE_GLOBAL_LAYERS = {"cohere2"}
+# at all (cohere2 and exaone4 global layers are NoPE)
+NOPE_GLOBAL_LAYERS = {"cohere2", "exaone4"}
 
 # every Nth layer ((il+1) % N == 0) skips RoPE entirely, independent of any
 # sliding window (SmolLM3 no_rope_layers, Llama-4 nope_layer_interval);

@@ -96,6 +96,7 @@ class ModelConfig:
     # GROUP and applies the norm BEFORE the silu(z) gate
     ssm_norm_groups: int = 1
     ssm_norm_before_gate: bool = False
+    shortconv_l_cache: int = 0  # LFM2 short-conv tap count
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     # logits MULTIPLIER before sampling (Cohere stores the multiplier;
@@ -322,6 +323,7 @@ def parse_config(metadata: Mapping[str, Any],
         ssm_norm_groups=(max(gi("ssm.group_count", 1) or 1, 1)
                          if arch == "falcon-h1" else 1),
         ssm_norm_before_gate=(arch == "falcon-h1"),
+        shortconv_l_cache=gi("shortconv.l_cache", 0),
         attn_logit_softcap=gf("attn_logit_softcapping", 0.0),
         # granite.logit_scale is a DIVISOR (llama.cpp scales by 1/x);
         # command-r's is a multiplier

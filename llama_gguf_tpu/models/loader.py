@@ -220,6 +220,9 @@ class ModelLoader:
         if self.has(f"{p}.ssm_in.weight") and not hybrid_par:
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
+        if self.has(f"{p}.shortconv.in_proj.weight"):  # LFM2 conv blocks
+            from .mamba import load_shortconv_layer
+            return load_shortconv_layer(self, i, cfg)
 
         attn_norm = self.norm(f"{p}.attn_norm", required=False, unit_ok=True)
         if attn_norm is not None:
@@ -456,9 +459,15 @@ class ModelLoader:
         if self.has("position_embd.weight"):  # learned positions (gpt2...)
             params["position_embed"] = self._put(
                 self.dense("position_embd.weight"), "position_embd.weight")
+        # LFM2 stores its FINAL norm under token_embd_norm (the llama.cpp
+        # conversion maps model.embedding_norm there); bloom's is a real
+        # post-embedding LayerNorm
+        lfm2_final = (self.config.arch_info is not None
+                      and self.config.arch_info.name in ("lfm2", "lfm2moe")
+                      and not self.has("output_norm.weight"))
         embed_norm = self.norm("token_embd_norm", required=False)
-        if embed_norm is not None:  # bloom word_embeddings_layernorm
-            params["embed_norm"] = embed_norm
+        if embed_norm is not None and not lfm2_final:
+            params["embed_norm"] = embed_norm  # bloom word_embeddings_layernorm
         params["layers"] = [self.load_layer(i, cfg) for i in range(cfg.num_layers)]
 
         def kind(i: int) -> str:
@@ -474,10 +483,13 @@ class ModelLoader:
                 return "mamba"
             if self.has(f"blk.{i}.ssm_in.weight"):
                 return "deltanet"
+            if self.has(f"blk.{i}.shortconv.in_proj.weight"):
+                return "shortconv"
             return "attn"
 
         cfg.layer_kinds = tuple(kind(i) for i in range(cfg.num_layers))
-        params["final_norm"] = self.norm("output_norm", unit_ok=True)
+        params["final_norm"] = (embed_norm if lfm2_final
+                                else self.norm("output_norm", unit_ok=True))
         if self.has("output.weight"):
             params["output"] = self.linear("output")
         else:

@@ -37,12 +37,17 @@ def init_mamba_state(cfg, batch: int, num_layers: int) -> dict[str, Any]:
     kinds = cfg.layer_kinds or ("mamba",) * num_layers
 
     def conv_shape(i):
+        if kinds[i] == "shortconv":  # LFM2: (L_cache-1)-tap Bx window
+            return (batch, cfg.shortconv_l_cache - 1, cfg.hidden_size)
         if kinds[i] in ("mamba2", "hybrid_par"):  # conv runs over [x|B|C]
             ng = max(cfg.ssm_n_group, 1)
             return (batch, ks - 1, di + 2 * ng * ds)
-        return (batch, ks - 1, di)
+        # attn layers in ssm-less hybrids (lfm2) have ks == 0: placeholder
+        return (batch, max(ks - 1, 0), di)
 
     def ssm_shape(i):
+        if kinds[i] == "shortconv":  # no SSM state, placeholder only
+            return (batch, 0, 0)
         if kinds[i] in ("mamba2", "hybrid_par"):  # per-head [nh, hd, ds]
             nh = max(cfg.ssm_dt_rank, 1)
             return (batch, nh, di // nh, ds)
@@ -367,4 +372,74 @@ def load_mamba2_layer(loader, i: int, cfg) -> dict:
     if loader.has(f"{p}.ffn_norm.weight"):  # hybrid block FFN half
         layer["ffn_norm"] = loader.norm(f"{p}.ffn_norm")
         layer["ffn"] = loader._load_ffn(i, cfg)
+    return layer
+
+
+def shortconv_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
+                    kv: dict, layer_idx: int,
+                    lengths: jnp.ndarray) -> tuple[jnp.ndarray, dict]:
+    """LFM2 short-convolution mixer block: [B, T, H] -> ([B, T, H], kv').
+
+    HF Lfm2ShortConv parity: in_proj -> [B | C | x] (each hidden-wide),
+    Bx = B*x, causal depthwise conv over L_cache taps, y = C * conv(Bx),
+    out_proj; then the block's SwiGLU FFN half. Recurrent state is the
+    (L_cache - 1)-tap Bx window stored in the kv["mamba"]["conv"] tuple."""
+    b, t, d = x.shape
+    lc = cfg.shortconv_l_cache
+    valid = positions < lengths[:, None]
+    vf = valid.astype(jnp.float32)[..., None]
+
+    h = rms_norm(x, layer["attn_norm"]["weight"], cfg.norm_eps)
+    proj = L.apply(layer["conv_in"], h).astype(jnp.float32)  # [B, T, 3H]
+    b_g, c_g, x_g = proj[..., :d], proj[..., d: 2 * d], proj[..., 2 * d:]
+    bx = b_g * x_g * vf  # zero padding slots so they can't enter the state
+
+    conv_state = kv["mamba"]["conv"][layer_idx]  # [B, lc-1, H]
+    seq = jnp.concatenate([conv_state, bx], axis=1)
+    w = layer["conv_w"].astype(jnp.float32)  # [lc, H]
+    stacked = jnp.stack([seq[:, k: k + t, :] for k in range(lc)], axis=2)
+    conv_out = jnp.einsum("btkd,kd->btd", stacked, w)
+    if layer.get("conv_b") is not None:
+        conv_out = conv_out + layer["conv_b"].astype(jnp.float32)
+    n_valid = valid.sum(axis=1).astype(jnp.int32)
+    gather_idx = n_valid[:, None] + jnp.arange(lc - 1)[None, :]
+    new_conv = jnp.take_along_axis(seq, gather_idx[..., None], axis=1)
+
+    y = c_g * conv_out
+    out = L.apply(layer["conv_out"], y.astype(x.dtype))
+
+    kv = dict(kv)
+    mamba = dict(kv["mamba"])
+    conv = list(mamba["conv"])
+    conv[layer_idx] = new_conv
+    mamba["conv"] = tuple(conv)
+    kv["mamba"] = mamba
+    x = x + out
+
+    from ..ops.norms import apply_norm
+    from .transformer import feed_forward
+
+    h2 = apply_norm(x, layer["ffn_norm"], cfg.norm_eps, cfg.uses_layer_norm)
+    return x + feed_forward(layer["ffn"], cfg, h2), kv
+
+
+def load_shortconv_layer(loader, i: int, cfg) -> dict:
+    """LFM2 conv block tensors: blk.N.shortconv.{in_proj,out_proj,conv}."""
+    import numpy as np
+
+    p = f"blk.{i}"
+    layer: dict[str, Any] = {
+        "attn_norm": loader.norm(f"{p}.attn_norm"),
+        "conv_in": loader.linear(f"{p}.shortconv.in_proj"),
+        "conv_out": loader.linear(f"{p}.shortconv.out_proj"),
+    }
+    conv_w = loader.dense(f"{p}.shortconv.conv.weight")  # [H, lc]
+    layer["conv_w"] = loader._put(
+        np.ascontiguousarray(conv_w.T), f"{p}.shortconv.conv.weight")
+    if loader.has(f"{p}.shortconv.conv.bias"):
+        layer["conv_b"] = loader._put(
+            loader.dense(f"{p}.shortconv.conv.bias"),
+            f"{p}.shortconv.conv.bias")
+    layer["ffn_norm"] = loader.norm(f"{p}.ffn_norm")
+    layer["ffn"] = loader._load_ffn(i, cfg)
     return layer

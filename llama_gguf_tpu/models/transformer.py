@@ -555,6 +555,9 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
         elif kinds[i] == "hybrid_par":
             x, kv = parallel_hybrid_layer(layer, cfg, x, positions, kv, i,
                                           lengths, read_bound)
+        elif kinds[i] == "shortconv":
+            from .mamba import shortconv_layer  # LFM2 conv blocks
+            x, kv = shortconv_layer(layer, cfg, x, positions, kv, i, lengths)
         else:
             x, kv = transformer_layer(layer, cfg, x, positions, kv, i,
                                       lengths, read_bound)

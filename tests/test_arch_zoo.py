@@ -3825,3 +3825,237 @@ def test_seed_oss_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_lfm2_matches_hf(tmp_path_factory, rng):
+    """LFM2: short-conv mixer blocks (in_proj -> [B|C|x], Bx = B*x, causal
+    depthwise conv over L_cache taps, y = C*conv(Bx)) interleaved with GQA
+    attention blocks carrying per-head QK-norm; the FINAL norm is stored
+    as token_embd_norm (llama.cpp maps HF embedding_norm there)."""
+    import torch
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=4, heads=4, kv=2, hd=16, ctx=64,
+             lc=3)
+    hf_cfg = Lfm2Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=96,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        conv_L_cache=c["lc"], conv_bias=False, rope_theta=10000.0,
+        norm_eps=1e-5, max_position_embeddings=c["ctx"],
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(193)
+    with torch.no_grad():
+        model = Lfm2ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    ffn = sd["model.layers.0.feed_forward.w1.weight"].shape[0]
+    w = GGUFWriter()
+    a = "lfm2"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", ffn),
+                     ("shortconv.l_cache", c["lc"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.operator_norm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight", sd[f"{h}.ffn_norm.weight"])
+        if f"{h}.conv.in_proj.weight" in sd:
+            w.add_tensor_np(f"{p}.shortconv.in_proj.weight",
+                            sd[f"{h}.conv.in_proj.weight"])
+            w.add_tensor_np(f"{p}.shortconv.out_proj.weight",
+                            sd[f"{h}.conv.out_proj.weight"])
+            w.add_tensor_np(f"{p}.shortconv.conv.weight",
+                            sd[f"{h}.conv.conv.weight"][:, 0, :])
+        else:
+            w.add_tensor_np(f"{p}.attn_q.weight",
+                            sd[f"{h}.self_attn.q_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_k.weight",
+                            sd[f"{h}.self_attn.k_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_v.weight",
+                            sd[f"{h}.self_attn.v_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_output.weight",
+                            sd[f"{h}.self_attn.out_proj.weight"])
+            w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                            sd[f"{h}.self_attn.q_layernorm.weight"])
+            w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                            sd[f"{h}.self_attn.k_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight",
+                        sd[f"{h}.feed_forward.w1.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight",
+                        sd[f"{h}.feed_forward.w3.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight",
+                        sd[f"{h}.feed_forward.w2.weight"])
+    w.add_tensor_np("token_embd_norm.weight",
+                    sd["model.embedding_norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("lf2") / "lfm2.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_exaone4_matches_hf(tmp_path_factory, rng):
+    """EXAONE-4.0: POST-norm only (no pre-norms; post_attention/
+    post_feedforward norms applied to the block outputs, olmo2-style),
+    per-head QK-norm, 3-sliding:1-full pattern where GLOBAL layers are
+    NoPE and only sliding layers rope (rotate-half, no permute)."""
+    import torch
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=4, heads=4, kv=2, hd=16, ffn=96,
+             ctx=64, window=4)
+    hf_cfg = Exaone4Config(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], head_dim=c["hd"],
+        intermediate_size=c["ffn"], sliding_window=c["window"],
+        sliding_window_pattern=4, rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=c["ctx"], attention_dropout=0.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(197)
+    with torch.no_grad():
+        model = Exaone4ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "exaone4"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("attention.sliding_window", c["window"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                        sd[f"{h}.self_attn.q_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                        sd[f"{h}.self_attn.k_norm.weight"])
+        # POST-norms only (no attn_norm/ffn_norm pre-norm tensors)
+        w.add_tensor_np(f"{p}.post_attention_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.post_ffw_norm.weight",
+                        sd[f"{h}.post_feedforward_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_gate.weight", sd[f"{h}.mlp.gate_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("ex4") / "exaone4.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_arcee_matches_hf(tmp_path_factory, rng):
+    """Arcee (AFM): llama-family attention (permuted q/k) with a
+    NO-GATE squared-ReLU MLP (up -> relu^2 -> down) under RMSNorm."""
+    import torch
+    from transformers import ArceeConfig, ArceeForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, ffn=96, ctx=64)
+    hf_cfg = ArceeConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=c["ctx"], attention_bias=False,
+        attention_dropout=0.0, tie_word_embeddings=False, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(199)
+    with torch.no_grad():
+        model = ArceeForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "arcee"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", permute_llama(
+            sd[f"{h}.self_attn.q_proj.weight"], c["heads"]))
+        w.add_tensor_np(f"{p}.attn_k.weight", permute_llama(
+            sd[f"{h}.self_attn.k_proj.weight"], c["kv"]))
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("arc") / "arcee.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
