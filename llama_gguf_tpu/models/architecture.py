@@ -218,7 +218,9 @@ SWA_PATTERN = {"gemma2": 2, "gemma3": 6, "gemma3n": 6, "cohere2": 4,
                # gpt-oss alternates sliding (even) / full (odd) layers
                "gpt-oss": 2,
                # exaone4 runs 3 sliding : 1 full ("LLLG")
-               "exaone4": 4}
+               "exaone4": 4,
+               # llama4: 3 chunked-attention rope layers : 1 full NoPE
+               "llama4": 4}
 
 # archs whose full-attention (global) layers carry NO positional encoding
 # at all (cohere2 and exaone4 global layers are NoPE)

@@ -97,6 +97,14 @@ class ModelConfig:
     ssm_norm_groups: int = 1
     ssm_norm_before_gate: bool = False
     shortconv_l_cache: int = 0  # LFM2 short-conv tap count
+    # llama4: local (rope) layers use CHUNKED attention of sliding_window
+    # size; NoPE q gets log-floor temperature scaling; weightless L2
+    # QK-norm AFTER rope; MoE scales the expert INPUT by the router score
+    swa_chunked: bool = False
+    attn_temp_scale: float = 0.0
+    attn_temp_floor: float = 8192.0
+    use_qk_l2norm: bool = False
+    moe_weight_before_ffn: bool = False
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     # logits MULTIPLIER before sampling (Cohere stores the multiplier;
@@ -334,9 +342,18 @@ def parse_config(metadata: Mapping[str, Any],
         clamp_kqv=gf("attention.clamp_kqv", 0.0),
         residual_scale=gf("residual_scale", 1.0),
         final_logit_softcap=gf("final_logit_softcapping", 0.0),
-        sliding_window=gi("attention.sliding_window", 0),
+        sliding_window=gi("attention.sliding_window",
+                          gi("attention.chunk_size", 0)
+                          if arch == "llama4" else 0),
+        swa_chunked=(arch == "llama4"),
         swa_pattern=gi("attention.sliding_window_pattern",
                        info.swa_pattern) or 1,
+        attn_temp_scale=gf("attention.temperature_scale",
+                           0.1 if arch == "llama4" else 0.0),
+        attn_temp_floor=gf("attention.floor_scale", 8192.0),
+        use_qk_l2norm=bool(metadata.get(
+            f"{arch}.attention.use_kq_norm", False)),
+        moe_weight_before_ffn=(arch == "llama4"),
         nope_global_layers=info.nope_global_layers,
         nope_layer_interval=gi("nope_layer_interval",
                                info.nope_layer_interval) or 0,

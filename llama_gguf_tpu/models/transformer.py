@@ -174,6 +174,8 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
     is_swa = cfg.layer_is_swa(layer_idx)
     window = cfg.sliding_window if is_swa else 0
+    if window and cfg.swa_chunked:
+        window = -window  # chunked-attention encoding (ops/attention)
     use_rope = cfg.rope.n_dims > 0 and not (
         cfg.nope_global_layers and cfg.sliding_window > 0 and not is_swa)
     if cfg.nope_layer_interval > 0 and \
@@ -192,8 +194,24 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         cos, sin = rope_cos_sin(positions, rope_cfg)  # [B, T, nd/2]
         q = apply_rope(q, cos, sin, rope_cfg)
         k = apply_rope(k, cos, sin, rope_cfg)
+        if cfg.use_qk_l2norm:
+            # llama4: weightless L2 norm AFTER rope, rope layers only
+            def l2n(v):
+                vf32 = v.astype(jnp.float32)
+                return (vf32 * jax.lax.rsqrt(
+                    jnp.mean(jnp.square(vf32), -1, keepdims=True) + 1e-6)
+                        ).astype(v.dtype)
+
+            q, k = l2n(q), l2n(k)
     # else: learned absolute positions at the embedding (gpt2 family), or a
     # NoPE global layer (cohere2)
+    if cfg.attn_temp_scale > 0.0 and not use_rope:
+        # llama4 NoPE-layer temperature tuning: q *= log1p(floor((pos+1)/
+        # floor_scale)) * scale + 1 (HF Llama4TextAttention)
+        pf = positions.astype(jnp.float32) + 1.0
+        tsc = (jnp.log1p(jnp.floor(pf / cfg.attn_temp_floor))
+               * cfg.attn_temp_scale + 1.0)
+        q = (q.astype(jnp.float32) * tsc[:, :, None, None]).astype(q.dtype)
 
     # SWA ring cache (llama.cpp iSWA analogue): sliding layers store only
     # ~window positions in a ring; full layers use the contiguous stack.
@@ -364,7 +382,10 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         nt = xf.shape[0]
         idx = topi.reshape(-1)  # [N*k]
         xr = jnp.broadcast_to(
-            xf.astype(jnp.float32)[:, None, :], (nt, k, h)).reshape(-1, h)
+            xf.astype(jnp.float32)[:, None, :], (nt, k, h))
+        if cfg.moe_weight_before_ffn:  # llama4: scale the expert INPUT
+            xr = xr * topv[:, :, None]
+        xr = xr.reshape(-1, h)
         g = moe_qmatmul(xr, ex["gate"], idx)
         u = moe_qmatmul(xr, ex["up"], idx) if g is not None else None
         if u is not None:
@@ -377,7 +398,10 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
             if dn is not None:
                 if "down_bias" in ex:
                     dn = dn + jnp.take(ex["down_bias"], idx, axis=0)
-                y = (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
+                if cfg.moe_weight_before_ffn:  # input already scaled
+                    y = dn.reshape(nt, k, h).sum(axis=1)
+                else:
+                    y = (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
             else:
                 fused = False
         else:
@@ -394,10 +418,15 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         gsel = gather(ex["gate"])  # [N, k, H, F]
         usel = gather(ex["up"])
         dsel = gather(ex["down"])  # [N, k, F, H]
-        g = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32),
-                       gsel.astype(jnp.float32))
-        u = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32),
-                       usel.astype(jnp.float32))
+        if cfg.moe_weight_before_ffn:  # llama4: scale the expert INPUT
+            xk = xf.astype(jnp.float32)[:, None, :] * topv[:, :, None]
+            g = jnp.einsum("nkh,nkhf->nkf", xk, gsel.astype(jnp.float32))
+            u = jnp.einsum("nkh,nkhf->nkf", xk, usel.astype(jnp.float32))
+        else:
+            g = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32),
+                           gsel.astype(jnp.float32))
+            u = jnp.einsum("nh,nkhf->nkf", xf.astype(jnp.float32),
+                           usel.astype(jnp.float32))
         if "gate_bias" in ex:  # gpt-oss per-expert biases
             g = g + jnp.take(ex["gate_bias"], topi, axis=0)
             u = u + jnp.take(ex["up_bias"], topi, axis=0)
@@ -405,7 +434,10 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         dn = jnp.einsum("nkf,nkfh->nkh", act, dsel.astype(jnp.float32))
         if "down_bias" in ex:  # added per expert, then routing-weighted
             dn = dn + jnp.take(ex["down_bias"], topi, axis=0)
-        y = (dn * topv[:, :, None]).sum(axis=1)
+        if cfg.moe_weight_before_ffn:  # input already scaled
+            y = dn.sum(axis=1)
+        else:
+            y = (dn * topv[:, :, None]).sum(axis=1)
 
     if "shared" in ffn:  # DeepSeek/Qwen2Moe shared experts (+ optional gate)
         sh = feed_forward(ffn["shared"], cfg, xf[None])[0]

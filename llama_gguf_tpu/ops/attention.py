@@ -63,6 +63,11 @@ def _mask_block(positions, lengths, s_idx, sliding_window: int):
         valid &= si >= 0  # never-written ring slots
     if sliding_window > 0:
         valid &= si > (positions[:, :, None] - sliding_window)
+    elif sliding_window < 0:
+        # CHUNKED attention (llama4 rope layers), encoded as a negative
+        # window: keys visible only within the query's chunk of size -w
+        c = -sliding_window
+        valid &= si >= (positions[:, :, None] // c) * c
     return valid
 
 

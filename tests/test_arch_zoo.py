@@ -4059,3 +4059,110 @@ def test_arcee_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_llama4_matches_hf(tmp_path_factory, rng):
+    """Llama-4: CHUNKED attention on rope layers (every 4th layer is full
+    attention AND NoPE), weightless L2 QK-norm AFTER rope, log-floor
+    temperature scaling of q on NoPE layers, MoE every 2nd layer with
+    sigmoid top-k routing where the router score scales the expert INPUT
+    (weight-before-ffn) plus an always-on shared expert; interleaved
+    (NORMAL) rope with no conversion permute."""
+    import torch
+    from transformers.models.llama4.modeling_llama4 import Llama4ForCausalLM
+    from transformers import Llama4TextConfig
+
+    c = dict(vocab=96, hidden=64, layers=4, heads=4, kv=2, hd=16, ctx=64,
+             effn=48, dffn=96, experts=4, topk=2, chunk=4)
+    hf_cfg = Llama4TextConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], head_dim=c["hd"],
+        intermediate_size=c["effn"], intermediate_size_mlp=c["dffn"],
+        num_local_experts=c["experts"], num_experts_per_tok=c["topk"],
+        interleave_moe_layer_step=2, attention_chunk_size=c["chunk"],
+        use_qk_norm=True, attn_temperature_tuning=True, floor_scale=4.0,
+        attn_scale=0.25, rope_theta=10000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=c["ctx"], attention_bias=False,
+        attention_dropout=0.0, tie_word_embeddings=False, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2, rope_scaling=None,
+    )
+    torch.manual_seed(211)
+    with torch.no_grad():
+        model = Llama4ForCausalLM(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "llama4"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("attention.chunk_size", c["chunk"]),
+                     ("feed_forward_length", c["dffn"]),
+                     ("expert_feed_forward_length", c["effn"]),
+                     ("expert_count", c["experts"]),
+                     ("expert_used_count", c["topk"]),
+                     ("expert_shared_count", 1),
+                     ("expert_gating_func", 2),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.attention.use_kq_norm", True)
+    w.add_metadata(f"{a}.attention.temperature_scale", 0.25)
+    w.add_metadata(f"{a}.attention.floor_scale", 4.0)
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    F = c["effn"]
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.input_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.post_attention_layernorm.weight"])
+        if f"{h}.feed_forward.router.weight" in sd:  # MoE layer
+            w.add_tensor_np(f"{p}.ffn_gate_inp.weight",
+                            sd[f"{h}.feed_forward.router.weight"])
+            gu = sd[f"{h}.feed_forward.experts.gate_up_proj"]  # [E,H,2F]
+            w.add_tensor_np(f"{p}.ffn_gate_exps.weight", np.ascontiguousarray(
+                gu[:, :, :F].transpose(0, 2, 1)))
+            w.add_tensor_np(f"{p}.ffn_up_exps.weight", np.ascontiguousarray(
+                gu[:, :, F:].transpose(0, 2, 1)))
+            dn = sd[f"{h}.feed_forward.experts.down_proj"]  # [E, F, H]
+            w.add_tensor_np(f"{p}.ffn_down_exps.weight",
+                            np.ascontiguousarray(dn.transpose(0, 2, 1)))
+            for ours, theirs in (("gate", "gate_proj"), ("up", "up_proj"),
+                                 ("down", "down_proj")):
+                w.add_tensor_np(
+                    f"{p}.ffn_{ours}_shexp.weight",
+                    sd[f"{h}.feed_forward.shared_expert.{theirs}.weight"])
+        else:  # dense MLP layer
+            w.add_tensor_np(f"{p}.ffn_gate.weight",
+                            sd[f"{h}.feed_forward.gate_proj.weight"])
+            w.add_tensor_np(f"{p}.ffn_up.weight",
+                            sd[f"{h}.feed_forward.up_proj.weight"])
+            w.add_tensor_np(f"{p}.ffn_down.weight",
+                            sd[f"{h}.feed_forward.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("l4") / "llama4.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
