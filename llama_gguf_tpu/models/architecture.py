@@ -19,7 +19,8 @@ KNOWN_ARCHITECTURES = {
     "falcon", "falcon-h1", "starcoder", "starcoder2", "mpt", "gptneox",
     "gpt2", "gptj", "bloom", "opt", "baichuan", "internlm", "internlm2",
     "yi", "deepseek", "deepseek2", "codellama", "orion", "olmo", "olmo2",
-    "olmoe", "dbrx", "command", "command-r", "jamba", "mamba", "mamba2",
+    "olmo3", "olmoe", "dbrx", "command", "command-r", "jamba", "mamba",
+    "mamba2",
     "deci", "grok", "refact", "bert", "modern-bert", "nomic-bert",
     "nomic-bert-moe", "neo-bert", "jina-bert-v2", "jina-bert-v3", "eurobert",
     "stablelm", "plamo", "plamo2", "plamo3", "codeshell", "minicpm",
@@ -54,7 +55,9 @@ MOE = {
 
 QK_NORM = {
     "qwen3", "qwen35", "qwen35moe", "qwen3moe", "qwen3next",
-    "gemma2", "gemma3", "gemma3n", "olmo2",
+    "gemma2", "gemma3", "gemma3n", "olmo2", "olmo3",
+    # HunYuan's per-head norms apply AFTER rope (cfg.qk_norm_post_rope)
+    "hunyuan-dense", "hunyuan-moe",
     # OLMoE: flat RMSNorm over the whole q/k projection before RoPE (HF
     # OlmoeAttention.q_norm/k_norm) — the reference misses it
     # (architecture.rs:512-526 has no OlmoE arm); HF-oracle verified
@@ -75,7 +78,7 @@ COMBINED_QKV = {
     "dbrx",
 }
 
-POST_FFN_NORM = {"gemma2", "gemma3", "gemma3n", "olmo2"}
+POST_FFN_NORM = {"gemma2", "gemma3", "gemma3n", "olmo2", "olmo3"}
 
 LOGIT_SOFTCAP = {"gemma2"}
 
@@ -103,8 +106,9 @@ LAYER_NORM = {
 # OPT is plain ReLU MLP (HF activation_function="relu")
 RELU = {"opt"}
 
-# Nemotron and Arcee (AFM) are squared-ReLU ("relu2": relu(x)**2)
-RELU2 = {"nemotron", "arcee"}
+# Nemotron and Arcee (AFM) are squared-ReLU ("relu2": relu(x)**2, no
+# gate); BitNet is GATED relu2 (relu2(gate) * up)
+RELU2 = {"nemotron", "arcee", "bitnet"}
 
 GELU = {
     # NOTE: phi3/phimoe are SwiGLU (silu), unlike phi2's gelu_new.
@@ -155,6 +159,8 @@ NEOX_ROPE = {
     # exaone4 is rotate-half with no conversion permute (sliding layers
     # only; global layers are NoPE)
     "exaone4",
+    # hunyuan is rotate-half, no conversion permute, per-head norms after
+    "hunyuan-dense", "hunyuan-moe",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
     # nemotron / dbrx conversions don't permute q/k (only nemotron's norm

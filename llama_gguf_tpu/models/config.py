@@ -105,6 +105,7 @@ class ModelConfig:
     attn_temp_floor: float = 8192.0
     use_qk_l2norm: bool = False
     moe_weight_before_ffn: bool = False
+    qk_norm_post_rope: bool = False  # HunYuan: per-head norms after rope
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     # logits MULTIPLIER before sampling (Cohere stores the multiplier;
@@ -354,6 +355,7 @@ def parse_config(metadata: Mapping[str, Any],
         use_qk_l2norm=bool(metadata.get(
             f"{arch}.attention.use_kq_norm", False)),
         moe_weight_before_ffn=(arch == "llama4"),
+        qk_norm_post_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
         nope_global_layers=info.nope_global_layers,
         nope_layer_interval=gi("nope_layer_interval",
                                info.nope_layer_interval) or 0,

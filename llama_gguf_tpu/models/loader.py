@@ -248,6 +248,10 @@ class ModelLoader:
         if self.has(f"{p}.attn_sinks.weight"):
             attn["sinks"] = self._put(self.dense(f"{p}.attn_sinks.weight"),
                                       f"{p}.attn_sinks.weight")
+        if self.has(f"{p}.attn_sub_norm.weight"):  # BitNet pre-o_proj norm
+            attn["sub_norm"] = self._put(
+                self.dense(f"{p}.attn_sub_norm.weight"),
+                f"{p}.attn_sub_norm.weight")
         self._fuse_attn(attn, cfg)
         layer["attn"] = attn
 
@@ -362,6 +366,10 @@ class ModelLoader:
             ffn["gate"] = self.linear(f"{p}.ffn_gate")
         ffn["up"] = self.linear(f"{p}.ffn_up")
         ffn["down"] = self.linear(f"{p}.ffn_down")
+        if self.has(f"{p}.ffn_sub_norm.weight"):  # BitNet pre-down norm
+            ffn["sub_norm"] = self._put(
+                self.dense(f"{p}.ffn_sub_norm.weight"),
+                f"{p}.ffn_sub_norm.weight")
         self._fuse_ffn(ffn)
         return ffn
 

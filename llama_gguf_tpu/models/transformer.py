@@ -167,7 +167,8 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     k = k.reshape(b, t, nkv, hd)
     v = v.reshape(b, t, nkv, vd)
 
-    if "q_norm" in layer and layer["q_norm"].shape[-1] == hd:
+    per_head_qk = "q_norm" in layer and layer["q_norm"].shape[-1] == hd
+    if per_head_qk and not cfg.qk_norm_post_rope:
         # per-head QK RMSNorm before RoPE (Qwen3, Gemma2...)
         q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
@@ -205,6 +206,10 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
             q, k = l2n(q), l2n(k)
     # else: learned absolute positions at the embedding (gpt2 family), or a
     # NoPE global layer (cohere2)
+    if per_head_qk and cfg.qk_norm_post_rope:
+        # HunYuan: per-head QK-RMSNorm applied AFTER rope
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
     if cfg.attn_temp_scale > 0.0 and not use_rope:
         # llama4 NoPE-layer temperature tuning: q *= log1p(floor((pos+1)/
         # floor_scale)) * scale + 1 (HF Llama4TextAttention)
@@ -269,6 +274,9 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         )
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
 
+    if "sub_norm" in layer:  # BitNet: RMSNorm on attn output BEFORE o_proj
+        ctx = rms_norm(ctx, layer["sub_norm"], cfg.norm_eps).astype(x.dtype)
+
     if "gate" in layer:  # Qwen3Next sigmoid attention gate
         g = L.apply(layer["gate"], x)
         ctx = ctx * jax.nn.sigmoid(g.astype(jnp.float32)).astype(ctx.dtype)
@@ -278,17 +286,21 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
 
 def feed_forward(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
+    def down(act):
+        if "sub_norm" in ffn:  # BitNet: RMSNorm BEFORE down_proj
+            act = rms_norm(act, ffn["sub_norm"], cfg.norm_eps)
+        return L.apply(ffn["down"], act.astype(x.dtype))
+
     if "gate_up" in ffn:  # fused projection (loader._fuse_ffn)
         gu = L.apply(ffn["gate_up"], x).astype(jnp.float32)
         half = ffn["gate_up"].splits[0]
-        act = _glu(gu[..., :half], gu[..., half:], cfg.hidden_act)
-        return L.apply(ffn["down"], act.astype(x.dtype))
+        return down(_glu(gu[..., :half], gu[..., half:], cfg.hidden_act))
     if "gate" in ffn:
         g = L.apply(ffn["gate"], x).astype(jnp.float32)
         u = L.apply(ffn["up"], x).astype(jnp.float32)
-        return L.apply(ffn["down"], _glu(g, u, cfg.hidden_act).astype(x.dtype))
-    h = _act(L.apply(ffn["up"], x).astype(jnp.float32), cfg.hidden_act)
-    return L.apply(ffn["down"], h.astype(x.dtype))
+        return down(_glu(g, u, cfg.hidden_act))
+    return down(_act(L.apply(ffn["up"], x).astype(jnp.float32),
+                     cfg.hidden_act))
 
 
 def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
