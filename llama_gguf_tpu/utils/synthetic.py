@@ -45,6 +45,14 @@ HYBRID_PRESETS = {
     "tiny-qwen3next": (512, 128, 4, 4, 2, 32, 256, 256, 4, 2, 32, 32, 4),
 }
 
+# Falcon-H1-convention parallel hybrid: every block runs attention AND a
+# Mamba-2 mixer off one pre-norm, outputs summed, then a SwiGLU FFN half.
+# name: (vocab, hidden, layers, heads, kv_heads, ffn, ctx, d_inner,
+#        d_state, n_groups, n_heads, conv)
+FALCONH1_PRESETS = {
+    "tiny-falconh1": (512, 128, 2, 4, 2, 256, 256, 128, 16, 2, 4, 4),
+}
+
 
 def build_synthetic_gguf(
     path: str,
@@ -60,6 +68,8 @@ def build_synthetic_gguf(
         return _build_moe(path, preset, quant, seed, max_ctx)
     if preset in HYBRID_PRESETS:
         return _build_hybrid(path, preset, quant, seed, max_ctx)
+    if preset in FALCONH1_PRESETS:
+        return _build_falconh1(path, preset, quant, seed, max_ctx)
     arch, vocab, hidden, layers, heads, kv_heads, ffn, ctx, tie = PRESETS[preset]
     if max_ctx:
         ctx = min(ctx, max_ctx)
@@ -306,6 +316,79 @@ def _build_hybrid(path: str, preset: str, quant: GGMLType, seed: int,
                             np.ones(head_dim, np.float32) + rw(head_dim))
             w.add_tensor_np(f"{p}.attn_k_norm.weight",
                             np.ones(head_dim, np.float32) + rw(head_dim))
+    w.add_tensor_np("output_norm.weight",
+                    np.ones(hidden, np.float32) + rw(hidden))
+    addq("output.weight", rw(vocab, hidden),
+         GGMLType.F32 if quant == GGMLType.F32 else GGMLType.Q8_0)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    w.write_to_path(path)
+    return path
+
+
+def _build_falconh1(path: str, preset: str, quant: GGMLType, seed: int,
+                    max_ctx: int | None) -> str:
+    """Falcon-H1-convention parallel hybrid: attention + mamba2 mixer in
+    every block (GGUF conventions match tests/test_arch_zoo.py's
+    falcon-h1 HF-oracle builder: in_proj = [z|xBC|dt], ssm_a = -exp(A_log)
+    per head, per-group gated ssm_norm stored [ng, di/ng])."""
+    (vocab, hidden, layers, heads, kv_heads, ffn, ctx,
+     di, ds, ng, nh, conv) = FALCONH1_PRESETS[preset]
+    if max_ctx:
+        ctx = min(ctx, max_ctx)
+    head_dim = hidden // heads
+    rng = np.random.default_rng(seed)
+
+    def rw(*shape):
+        return (rng.standard_normal(shape).astype(np.float32) * 0.02)
+
+    a = "falcon-h1"
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", a)
+    w.add_metadata("general.name", f"synthetic-{preset}")
+    w.add_metadata(f"{a}.embedding_length", hidden)
+    w.add_metadata(f"{a}.block_count", layers)
+    w.add_metadata(f"{a}.attention.head_count", heads)
+    w.add_metadata(f"{a}.attention.head_count_kv", kv_heads)
+    w.add_metadata(f"{a}.feed_forward_length", ffn)
+    w.add_metadata(f"{a}.context_length", ctx)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.ssm.inner_size", di)
+    w.add_metadata(f"{a}.ssm.state_size", ds)
+    w.add_metadata(f"{a}.ssm.group_count", ng)
+    w.add_metadata(f"{a}.ssm.time_step_rank", nh)
+    w.add_metadata(f"{a}.ssm.conv_kernel", conv)
+    w.add_metadata(f"{a}.vocab_size", vocab)
+    _add_tokenizer(w, vocab)
+
+    def addq(name, arr, q=quant):
+        _quant_put(w, name, arr, q)
+
+    conv_dim = di + 2 * ng * ds
+    addq("token_embd.weight", rw(vocab, hidden),
+         GGMLType.F32 if quant == GGMLType.F32 else GGMLType.Q8_0)
+    for i in range(layers):
+        p = f"blk.{i}"
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        np.ones(hidden, np.float32) + rw(hidden))
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        np.ones(hidden, np.float32) + rw(hidden))
+        addq(f"{p}.attn_q.weight", rw(heads * head_dim, hidden))
+        addq(f"{p}.attn_k.weight", rw(kv_heads * head_dim, hidden))
+        addq(f"{p}.attn_v.weight", rw(kv_heads * head_dim, hidden))
+        addq(f"{p}.attn_output.weight", rw(hidden, heads * head_dim))
+        addq(f"{p}.ssm_in.weight", rw(2 * di + 2 * ng * ds + nh, hidden))
+        w.add_tensor_np(f"{p}.ssm_conv1d.weight", rw(conv_dim, conv))
+        w.add_tensor_np(f"{p}.ssm_conv1d.bias", rw(conv_dim))
+        w.add_tensor_np(f"{p}.ssm_dt.bias", rw(nh))
+        w.add_tensor_np(f"{p}.ssm_a", -np.exp(rw(nh)).astype(np.float32))
+        w.add_tensor_np(f"{p}.ssm_d", rw(nh))
+        w.add_tensor_np(f"{p}.ssm_norm.weight",
+                        (np.ones(di, np.float32) + rw(di)).reshape(ng, -1))
+        addq(f"{p}.ssm_out.weight", rw(hidden, di))
+        addq(f"{p}.ffn_gate.weight", rw(ffn, hidden))
+        addq(f"{p}.ffn_up.weight", rw(ffn, hidden))
+        addq(f"{p}.ffn_down.weight", rw(hidden, ffn))
     w.add_tensor_np("output_norm.weight",
                     np.ones(hidden, np.float32) + rw(hidden))
     addq("output.weight", rw(vocab, hidden),

@@ -196,3 +196,21 @@ def test_engine_mesh_matches_single_device(tmp_path):
     # generation path (streaming decode_one) also works over the mesh
     out = meshed.generate("tok4", max_tokens=4)
     assert isinstance(out, str)
+
+
+@pytest.fixture(scope="module")
+def falconh1_model(tmp_path_factory):
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    path = str(tmp_path_factory.mktemp("fh") / "tiny-falconh1.gguf")
+    build_synthetic_gguf(path, preset="tiny-falconh1", quant=GGMLType.F32)
+    return load_model(path, mode="dequant")
+
+
+def test_falconh1_parallel_hybrid_mesh_matches_single_device(
+        falconh1_model, rng):
+    """Falcon-H1 parallel attn+mamba2 blocks over a (2,4) mesh: attention
+    TP, mamba2 mixer weights replicated, per-head SSM + conv state carried
+    through the sharded step; must match single-device bit-for-bit-close."""
+    _mesh_parity(falconh1_model, make_mesh(n_model=4, n_data=2), rng)
