@@ -315,7 +315,10 @@ def parse_config(metadata: Mapping[str, Any],
         # plain softmax-topk — selection by thresholded argmax, weights
         # from the masked softmax
         expert_gating_func=(3 if arch == "phimoe"
-                            else gi("expert_gating_func", 1) or 1),
+                            # llama4 routing is sigmoid(top-k logits);
+                            # conversions don't write the key
+                            else gi("expert_gating_func",
+                                    2 if arch == "llama4" else 1) or 1),
         router_jitter_eps=gf("router_jitter_eps",
                              0.01 if arch == "phimoe" else 0.0),
         expert_group_count=gi("expert_group_count", 0),
@@ -343,8 +346,11 @@ def parse_config(metadata: Mapping[str, Any],
         clamp_kqv=gf("attention.clamp_kqv", 0.0),
         residual_scale=gf("residual_scale", 1.0),
         final_logit_softcap=gf("final_logit_softcapping", 0.0),
+        # llama4 conversions don't write these keys (llama.cpp hardcodes
+        # them in the graph builder), so the arch defaults must match the
+        # real checkpoints: 8192-token chunked attention, L2 QK-norm on
         sliding_window=gi("attention.sliding_window",
-                          gi("attention.chunk_size", 0)
+                          gi("attention.chunk_size", 8192)
                           if arch == "llama4" else 0),
         swa_chunked=(arch == "llama4"),
         swa_pattern=gi("attention.sliding_window_pattern",
@@ -353,7 +359,7 @@ def parse_config(metadata: Mapping[str, Any],
                            0.1 if arch == "llama4" else 0.0),
         attn_temp_floor=gf("attention.floor_scale", 8192.0),
         use_qk_l2norm=bool(metadata.get(
-            f"{arch}.attention.use_kq_norm", False)),
+            f"{arch}.attention.use_kq_norm", arch == "llama4")),
         moe_weight_before_ffn=(arch == "llama4"),
         qk_norm_post_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
         nope_global_layers=info.nope_global_layers,

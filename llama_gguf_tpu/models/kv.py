@@ -221,6 +221,8 @@ def write_swa(kv: dict[str, Any], swa_idx: int, k: jnp.ndarray,
     """
     r = kv["k_swa"][swa_idx].shape[1]
     t = k.shape[1]
+    window = abs(window)  # negative = chunked-attention encoding; the
+    # reach-back bound is the same |window| positions
     if t > r - window + 1:
         raise ValueError(
             f"prefill chunk T={t} too large for SWA ring (R={r}, "

@@ -193,36 +193,49 @@ class ModelLoader:
 
     # -- model building ------------------------------------------------------
 
+    def layer_kind(self, i: int) -> str:
+        """Classify layer i by TENSOR PRESENCE (not arch), so hybrids like
+        jamba / falcon-h1 / lfm2 mix kinds per layer. The single source of
+        truth for both load_layer dispatch and cfg.layer_kinds.
+
+        DeltaNet layers (qwen3next/qwen3.5) carry ssm_beta/ssm_ba (both
+        variants also have ssm_a, so check those FIRST). ssm_a + attention
+        projections in the same block = Falcon-H1 parallel hybrid. Mamba-2
+        folds dt/B/C into ssm_in (no ssm_x projection); Mamba-1 always has
+        ssm_x."""
+        p = f"blk.{i}"
+        if self.has(f"{p}.ssm_beta.weight") or self.has(f"{p}.ssm_ba.weight"):
+            return "deltanet"
+        if self.has(f"{p}.ssm_a.weight") or self.has(f"{p}.ssm_a"):
+            if self.has(f"{p}.attn_q.weight") or \
+                    self.has(f"{p}.attn_qkv.weight"):
+                return "hybrid_par"
+            return "mamba" if self.has(f"{p}.ssm_x.weight") else "mamba2"
+        if self.has(f"{p}.ssm_in.weight"):
+            return "deltanet"
+        if self.has(f"{p}.shortconv.in_proj.weight"):  # LFM2 conv blocks
+            return "shortconv"
+        return "attn"
+
     def load_layer(self, i: int, cfg: ModelConfig) -> dict:
         p = f"blk.{i}"
         layer: dict[str, Any] = {}
 
-        # DeltaNet layers (qwen3next/qwen3.5) carry ssm_beta/ssm_ba (both
-        # variants also have ssm_a, so check these FIRST); Mamba layers have
-        # ssm_a + ssm_dt without them. Tensor presence (not the arch)
-        # decides, so hybrids like jamba mix kinds per layer.
-        if self.has(f"{p}.ssm_beta.weight") or self.has(f"{p}.ssm_ba.weight"):
+        kind = self.layer_kind(i)
+        if kind == "deltanet":
             from .deltanet import load_deltanet_layer
             return load_deltanet_layer(self, i, cfg)
-        has_ssm_a = self.has(f"{p}.ssm_a.weight") or self.has(f"{p}.ssm_a")
-        # Falcon-H1: attention AND a mamba2 mixer in the same block — fall
-        # through to the attention path; mixer fields attach at the end
-        hybrid_par = has_ssm_a and (self.has(f"{p}.attn_q.weight")
-                                    or self.has(f"{p}.attn_qkv.weight"))
-        if has_ssm_a and not hybrid_par:
-            if not self.has(f"{p}.ssm_x.weight"):
-                # Mamba-2 folds dt/B/C into ssm_in (no ssm_x projection)
-                # and carries a gated ssm_norm; Mamba-1 always has ssm_x
-                from .mamba import load_mamba2_layer
-                return load_mamba2_layer(self, i, cfg)
+        if kind == "mamba2":
+            from .mamba import load_mamba2_layer
+            return load_mamba2_layer(self, i, cfg)
+        if kind == "mamba":
             from .mamba import load_mamba_layer
             return load_mamba_layer(self, i, cfg)
-        if self.has(f"{p}.ssm_in.weight") and not hybrid_par:
-            from .deltanet import load_deltanet_layer
-            return load_deltanet_layer(self, i, cfg)
-        if self.has(f"{p}.shortconv.in_proj.weight"):  # LFM2 conv blocks
+        if kind == "shortconv":
             from .mamba import load_shortconv_layer
             return load_shortconv_layer(self, i, cfg)
+        # "attn" and "hybrid_par" fall through to the attention path;
+        # hybrid_par attaches the mamba2 mixer fields at the end
 
         attn_norm = self.norm(f"{p}.attn_norm", required=False, unit_ok=True)
         if attn_norm is not None:
@@ -271,7 +284,7 @@ class ModelLoader:
         post_ffw = self.norm(f"{p}.post_ffw_norm", required=False)
         if post_ffw is not None:
             layer["post_ffn_norm"] = post_ffw
-        if self.has(f"{p}.ssm_a.weight") or self.has(f"{p}.ssm_a"):
+        if kind == "hybrid_par":
             # Falcon-H1 parallel hybrid: attach the mamba2 mixer fields
             from .mamba import load_mamba2_fields
             layer["mamba"] = load_mamba2_fields(self, i, cfg)
@@ -478,24 +491,8 @@ class ModelLoader:
             params["embed_norm"] = embed_norm  # bloom word_embeddings_layernorm
         params["layers"] = [self.load_layer(i, cfg) for i in range(cfg.num_layers)]
 
-        def kind(i: int) -> str:
-            if self.has(f"blk.{i}.ssm_beta.weight") or \
-                    self.has(f"blk.{i}.ssm_ba.weight"):
-                return "deltanet"
-            if self.has(f"blk.{i}.ssm_a.weight") or self.has(f"blk.{i}.ssm_a"):
-                if self.has(f"blk.{i}.attn_q.weight") or \
-                        self.has(f"blk.{i}.attn_qkv.weight"):
-                    return "hybrid_par"
-                if not self.has(f"blk.{i}.ssm_x.weight"):
-                    return "mamba2"
-                return "mamba"
-            if self.has(f"blk.{i}.ssm_in.weight"):
-                return "deltanet"
-            if self.has(f"blk.{i}.shortconv.in_proj.weight"):
-                return "shortconv"
-            return "attn"
-
-        cfg.layer_kinds = tuple(kind(i) for i in range(cfg.num_layers))
+        cfg.layer_kinds = tuple(
+            self.layer_kind(i) for i in range(cfg.num_layers))
         params["final_norm"] = (embed_norm if lfm2_final
                                 else self.norm("output_norm", unit_ok=True))
         if self.has("output.weight"):

@@ -307,8 +307,10 @@ def mamba2_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
 
     cfg.residual_scale (granitehybrid residual_multiplier) scales both the
     mixer and FFN contributions, mirroring the attention blocks."""
+    from ..ops.norms import apply_norm
+
     rs = cfg.residual_scale
-    h = rms_norm(x, layer["attn_norm"]["weight"], cfg.norm_eps)
+    h = apply_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.uses_layer_norm)
     out, kv = mamba2_mixer(layer, cfg, h, positions, kv, layer_idx, lengths)
     if rs != 1.0:
         out = out * jnp.asarray(rs, out.dtype)
@@ -384,12 +386,14 @@ def shortconv_layer(layer: dict, cfg, x: jnp.ndarray, positions: jnp.ndarray,
     Bx = B*x, causal depthwise conv over L_cache taps, y = C * conv(Bx),
     out_proj; then the block's SwiGLU FFN half. Recurrent state is the
     (L_cache - 1)-tap Bx window stored in the kv["mamba"]["conv"] tuple."""
+    from ..ops.norms import apply_norm
+
     b, t, d = x.shape
     lc = cfg.shortconv_l_cache
     valid = positions < lengths[:, None]
     vf = valid.astype(jnp.float32)[..., None]
 
-    h = rms_norm(x, layer["attn_norm"]["weight"], cfg.norm_eps)
+    h = apply_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.uses_layer_norm)
     proj = L.apply(layer["conv_in"], h).astype(jnp.float32)  # [B, T, 3H]
     b_g, c_g, x_g = proj[..., :d], proj[..., d: 2 * d], proj[..., 2 * d:]
     bx = b_g * x_g * vf  # zero padding slots so they can't enter the state

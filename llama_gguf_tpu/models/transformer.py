@@ -232,6 +232,9 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
     rep = nh // nkv
     qg = q.reshape(b, t, nkv, rep, hd).astype(jnp.float32)
+    sinks = None
+    if "sinks" in layer:  # attention sinks (gpt-oss): extra logit/head
+        sinks = layer["sinks"].reshape(nkv, rep).astype(jnp.float32)
     if ring:
         keys, vals, key_pos = KV.read_swa(kv, cache_idx)
         from ..ops.attention import attention_scores
@@ -239,7 +242,7 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         ctx = attention_scores(
             qg, keys, vals, positions, lengths,
             scale=cfg.attention_scale or hd**-0.5, softcap=cfg.attn_logit_softcap,
-            sliding_window=window, key_positions=key_pos,
+            sliding_window=window, key_positions=key_pos, sinks=sinks,
         )
     elif cfg.kv_format == "qjl":  # attention on compressed keys (QJL)
         if "sinks" in layer:
@@ -263,9 +266,6 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                              bound=read_bound)
         from ..ops.attention import attention_scores
 
-        sinks = None
-        if "sinks" in layer:  # attention sinks (gpt-oss): extra logit/head
-            sinks = layer["sinks"].reshape(nkv, rep).astype(jnp.float32)
         ctx = attention_scores(
             qg, keys, vals, positions, lengths,
             scale=cfg.attention_scale or hd**-0.5, softcap=cfg.attn_logit_softcap,
@@ -441,6 +441,7 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
                            usel.astype(jnp.float32))
         if "gate_bias" in ex:  # gpt-oss per-expert biases
             g = g + jnp.take(ex["gate_bias"], topi, axis=0)
+        if "up_bias" in ex:
             u = u + jnp.take(ex["up_bias"], topi, axis=0)
         act = _glu(g, u, cfg.hidden_act)
         dn = jnp.einsum("nkf,nkfh->nkh", act, dsel.astype(jnp.float32))

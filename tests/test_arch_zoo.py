@@ -2857,6 +2857,23 @@ def test_gpt_oss_matches_hf(tmp_path_factory, rng):
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
+    # SWA ring-cache path must agree too (regression: the ring branch used
+    # to drop the per-head sink logit on sliding layers)
+    import jax.numpy as jnp
+
+    params, cfg, _ = load_model(path, mode="dequant")
+    runner = ModelRunner(params, cfg, max_batch=1, max_seq=256,
+                         swa_ring_extra=8)
+    assert runner.ring_slots > 0, "ring cache did not activate"
+    kv = runner.init_kv()
+    t = len(tokens)
+    logits, _ = runner.step(
+        jnp.asarray([tokens], jnp.int32),
+        jnp.asarray([list(range(t))], jnp.int32),
+        jnp.asarray([t], jnp.int32), kv)
+    np.testing.assert_allclose(np.asarray(logits[0]), want,
+                               rtol=5e-4, atol=5e-4)
+
 
 def test_gemma1_matches_hf(tmp_path_factory, rng):
     """Gemma (v1): +1-offset RMSNorm weights (converter stores w+1), NEOX
