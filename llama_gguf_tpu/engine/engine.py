@@ -73,9 +73,10 @@ class GenerationStats:
 class Engine:
     def __init__(self, runner: ModelRunner | None, tokenizer,
                  config: EngineConfig, gguf: GGUFFile | None = None,
-                 encoder=None):
+                 encoder=None, t5=None):
         self.runner = runner
         self.encoder = encoder  # BertEncoder for encoder-only models
+        self.t5 = t5  # T5Runner for encoder-decoder models
         self.tokenizer = tokenizer
         self.config = config
         self.gguf = gguf
@@ -130,6 +131,21 @@ class Engine:
             to_device=(lambda arr, name: np.asarray(arr)) if needs_mesh
             else None,
         )
+        if loader.config.arch_info is not None and \
+                loader.config.arch_info.name in ("t5", "t5encoder"):
+            from ..models.t5 import T5Runner
+
+            params, cfg = loader.build()
+            max_seq = cfg.max_seq_len
+            if config.max_context_len:
+                max_seq = min(max_seq, config.max_context_len)
+            log.info("loaded encoder-decoder %s (%s, %d enc / %d dec "
+                     "layers) in %.1fs", path, cfg.arch,
+                     len(params["enc"]["layers"]),
+                     len(params.get("dec", {}).get("layers", ())),
+                     time.time() - t0)
+            return cls(None, tokenizer, config, gguf,
+                       t5=T5Runner(params, cfg, max_seq=min(max_seq, 1024)))
         if loader.config.arch_info is not None and \
                 loader.config.arch_info.is_encoder_only:
             from ..models.bert import BertEncoder, load_bert
@@ -233,11 +249,76 @@ class Engine:
         return GrammarSampler(machine, vocab,
                               eos_token_id=self.tokenizer.eos_id)
 
+    def _t5_stream(self, prompt: str, max_tokens: int, sampler, stop,
+                   on_token) -> Iterator[str]:
+        """Seq2seq generation: encode the prompt once (with a trailing
+        EOS, the T5 convention), then decode from decoder_start_token_id
+        through the incremental cross-attention step."""
+        if "dec" not in self.t5.params:
+            raise RuntimeError(
+                "t5encoder model: use embed(), not generate()")
+        if sampler is not None and isinstance(sampler, SamplerConfig):
+            sampler = Sampler(sampler)
+        ids = self.tokenizer.encode(prompt)
+        eos = self.tokenizer.eos_id
+        if eos is not None and (not ids or ids[-1] != eos):
+            ids = ids + [eos]
+        self.stats = GenerationStats(prompt_tokens=len(ids))
+        t0 = time.time()
+        history: list[int] = []
+
+        def pick(row):
+            if sampler is None:
+                return int(np.argmax(row))
+            return sampler.sample(row[None], history)
+
+        decoder = self.tokenizer.streaming_decoder()
+        pieces: list[str] = []
+        t5 = self.t5
+        enc_out, enc_mask = t5.encode_ids(ids)
+        from ..models.t5 import t5_init_cache
+        cache = t5_init_cache(t5.params, t5.cfg, 1, t5.max_seq, enc_out)
+        self.stats.prefill_time = time.time() - t0
+        t1 = time.time()
+        tok = t5.cfg.decoder_start_token_id
+        import jax.numpy as jnp
+        text = ""
+        for t in range(min(max_tokens, t5.max_seq - 1)):
+            logits, cache = t5._step(
+                jnp.asarray([[tok]], jnp.int32),
+                jnp.asarray([[t]], jnp.int32),
+                jnp.asarray([t + 1], jnp.int32), cache, enc_mask)
+            tok = pick(np.asarray(logits[0, 0]))
+            if self.tokenizer.is_eog(tok):
+                break
+            history.append(tok)
+            self.stats.generated_tokens += 1
+            piece = decoder.push(tok)
+            if piece:
+                text += piece
+                if stop and any(s in text for s in stop):
+                    hit = next(s for s in stop if s in text)
+                    cut = text[: text.index(hit)]
+                    done = cut[len(text) - len(piece):]
+                    if done:
+                        if on_token:
+                            on_token(done)
+                        yield done
+                    break
+                if on_token:
+                    on_token(piece)
+                yield piece
+        self.stats.decode_time = time.time() - t1
+
     def generate_streaming(self, prompt: str, max_tokens: int = 128,
                            sampler: SamplerConfig | Sampler | None = None,
                            stop: list[str] | None = None,
                            on_token: Callable[[str], None] | None = None,
                            grammar=None) -> Iterator[str]:
+        if self.t5 is not None:  # encoder-decoder (T5) path
+            yield from self._t5_stream(prompt, max_tokens, sampler, stop,
+                                       on_token)
+            return
         if self.runner is None:
             raise RuntimeError(
                 "encoder-only model: use embed(), not generate()")
@@ -330,6 +411,9 @@ class Engine:
 
     def greedy_tokens(self, prompt_ids: list[int], max_tokens: int) -> list[int]:
         """Pure greedy decode for parity harnesses: returns generated ids."""
+        if self.t5 is not None:
+            eos = self.tokenizer.eos_id if self.tokenizer else None
+            return self.t5.generate_ids(prompt_ids, max_tokens, eos_id=eos)
         kv = self.runner.init_kv()
         logits, kv, pos = self.runner.prefill(prompt_ids, kv)
         out = []
@@ -352,6 +436,14 @@ class Engine:
         if self.encoder is not None:  # encoder-only (BERT-family) model
             return self.encoder.embed(ids, pooling=pooling,
                                       normalize=normalize)
+        if self.t5 is not None:  # t5 / t5encoder: pooled encoder output
+            enc_out, mask = self.t5.encode_ids(ids)
+            h = np.asarray(enc_out[0])[np.asarray(mask[0])]
+            vec = h[-1] if pooling == "last" else (
+                h[0] if pooling == "cls" else h.mean(axis=0))
+            if normalize:
+                vec = vec / (np.linalg.norm(vec) + 1e-12)
+            return vec
         from ..models.embeddings import extract_embedding
 
         return extract_embedding(self.runner, ids, pooling=pooling,

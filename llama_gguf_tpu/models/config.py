@@ -106,6 +106,10 @@ class ModelConfig:
     use_qk_l2norm: bool = False
     moe_weight_before_ffn: bool = False
     qk_norm_post_rope: bool = False  # HunYuan: per-head norms after rope
+    # T5 encoder-decoder
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    decoder_start_token_id: int = 0
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     # logits MULTIPLIER before sampling (Cohere stores the multiplier;
@@ -362,6 +366,9 @@ def parse_config(metadata: Mapping[str, Any],
             f"{arch}.attention.use_kq_norm", arch == "llama4")),
         moe_weight_before_ffn=(arch == "llama4"),
         qk_norm_post_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
+        rel_buckets=gi("attention.relative_buckets_count", 32) or 32,
+        rel_max_distance=gi("attention.relative_max_distance", 128) or 128,
+        decoder_start_token_id=gi("decoder_start_token_id", 0) or 0,
         nope_global_layers=info.nope_global_layers,
         nope_layer_interval=gi("nope_layer_interval",
                                info.nope_layer_interval) or 0,

@@ -449,6 +449,10 @@ class ModelLoader:
 
     def build(self) -> tuple[dict, ModelConfig]:
         cfg = self.config
+        if cfg.arch_info is not None and \
+                cfg.arch_info.name in ("t5", "t5encoder"):
+            from .t5 import load_t5  # encoder-decoder stacks (enc./dec.)
+            return load_t5(self, cfg), cfg
         params: dict[str, Any] = {}
         emb_name = "token_embd.weight"
         emb_info = self.gguf.tensors[emb_name]

@@ -396,3 +396,69 @@ def _build_falconh1(path: str, preset: str, quant: GGMLType, seed: int,
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     w.write_to_path(path)
     return path
+
+
+def build_synthetic_t5(path: str, vocab: int = 512, hidden: int = 64,
+                       layers: int = 2, heads: int = 4, hd: int = 16,
+                       ffn: int = 128, gated: bool = False,
+                       decoder: bool = True, seed: int = 0) -> str:
+    """Synthetic T5 GGUF (llama.cpp enc./dec. naming); ``decoder=False``
+    emits an encoder-only `t5encoder` model."""
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+
+    def rw(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    a = "t5" if decoder else "t5encoder"
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", a)
+    w.add_metadata("general.name", "synthetic-tiny-t5")
+    w.add_metadata(f"{a}.embedding_length", hidden)
+    w.add_metadata(f"{a}.block_count", layers)
+    w.add_metadata(f"{a}.attention.head_count", heads)
+    w.add_metadata(f"{a}.attention.key_length", hd)
+    w.add_metadata(f"{a}.attention.value_length", hd)
+    w.add_metadata(f"{a}.attention.relative_buckets_count", 8)
+    w.add_metadata(f"{a}.attention.relative_max_distance", 20)
+    w.add_metadata(f"{a}.decoder_start_token_id", 0)
+    w.add_metadata(f"{a}.feed_forward_length", ffn)
+    w.add_metadata(f"{a}.context_length", 512)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_metadata(f"{a}.vocab_size", vocab)
+    _add_tokenizer(w, vocab)
+    w.add_tensor_np("token_embd.weight", rw(vocab, hidden))
+    for pre in (("enc", "dec") if decoder else ("enc",)):
+        for i in range(layers):
+            p = f"{pre}.blk.{i}"
+            w.add_tensor_np(f"{p}.attn_q.weight", rw(heads * hd, hidden))
+            w.add_tensor_np(f"{p}.attn_k.weight", rw(heads * hd, hidden))
+            w.add_tensor_np(f"{p}.attn_v.weight", rw(heads * hd, hidden))
+            w.add_tensor_np(f"{p}.attn_o.weight", rw(hidden, heads * hd))
+            w.add_tensor_np(f"{p}.attn_norm.weight",
+                            np.ones(hidden, np.float32) + rw(hidden))
+            if i == 0:
+                w.add_tensor_np(f"{p}.attn_rel_b.weight", rw(8, heads))
+            if pre == "dec":
+                w.add_tensor_np(f"{p}.cross_attn_q.weight",
+                                rw(heads * hd, hidden))
+                w.add_tensor_np(f"{p}.cross_attn_k.weight",
+                                rw(heads * hd, hidden))
+                w.add_tensor_np(f"{p}.cross_attn_v.weight",
+                                rw(heads * hd, hidden))
+                w.add_tensor_np(f"{p}.cross_attn_o.weight",
+                                rw(hidden, heads * hd))
+                w.add_tensor_np(f"{p}.cross_attn_norm.weight",
+                                np.ones(hidden, np.float32) + rw(hidden))
+            if gated:
+                w.add_tensor_np(f"{p}.ffn_gate.weight", rw(ffn, hidden))
+            w.add_tensor_np(f"{p}.ffn_up.weight", rw(ffn, hidden))
+            w.add_tensor_np(f"{p}.ffn_down.weight", rw(hidden, ffn))
+            w.add_tensor_np(f"{p}.ffn_norm.weight",
+                            np.ones(hidden, np.float32) + rw(hidden))
+        w.add_tensor_np(f"{pre}.output_norm.weight",
+                        np.ones(hidden, np.float32) + rw(hidden))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    w.write_to_path(path)
+    return path

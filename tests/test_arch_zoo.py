@@ -4408,3 +4408,159 @@ def test_bitnet_matches_hf(tmp_path_factory, rng):
         want = model(torch.tensor([tokens])).logits[0].numpy()
     got = run_ours(path, tokens, c["ctx"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def _t5_pair(tmp_path_factory, rng, gated: bool, seed: int):
+    import torch
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, hd=16, ffn=128,
+             buckets=8, maxdist=20)
+    hf_cfg = T5Config(
+        vocab_size=c["vocab"], d_model=c["hidden"], d_kv=c["hd"],
+        d_ff=c["ffn"], num_layers=c["layers"], num_heads=c["heads"],
+        relative_attention_num_buckets=c["buckets"],
+        relative_attention_max_distance=c["maxdist"],
+        feed_forward_proj="gated-gelu" if gated else "relu",
+        dropout_rate=0.0, layer_norm_epsilon=1e-6,
+        tie_word_embeddings=not gated, decoder_start_token_id=0,
+        pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        model = T5ForConditionalGeneration(hf_cfg)
+        model.eval()
+        for p in model.parameters():
+            p.mul_(0.3)
+        sd = {k: v.numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}
+
+    w = GGUFWriter()
+    a = "t5"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("attention.relative_buckets_count", c["buckets"]),
+                     ("attention.relative_max_distance", c["maxdist"]),
+                     ("decoder_start_token_id", 0),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", 128),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_tensor_np("token_embd.weight", sd["shared.weight"])
+    for pre, hf_side in (("enc", "encoder"), ("dec", "decoder")):
+        for i in range(c["layers"]):
+            p, h = f"{pre}.blk.{i}", f"{hf_side}.block.{i}"
+            for ours, theirs in (("attn_q", "q"), ("attn_k", "k"),
+                                 ("attn_v", "v"), ("attn_o", "o")):
+                w.add_tensor_np(f"{p}.{ours}.weight",
+                                sd[f"{h}.layer.0.SelfAttention.{theirs}.weight"])
+            w.add_tensor_np(f"{p}.attn_norm.weight",
+                            sd[f"{h}.layer.0.layer_norm.weight"])
+            if i == 0:
+                w.add_tensor_np(
+                    f"{p}.attn_rel_b.weight",
+                    sd[f"{h}.layer.0.SelfAttention"
+                       ".relative_attention_bias.weight"])
+            fl = 1 if pre == "enc" else 2
+            if pre == "dec":
+                for ours, theirs in (("cross_attn_q", "q"),
+                                     ("cross_attn_k", "k"),
+                                     ("cross_attn_v", "v"),
+                                     ("cross_attn_o", "o")):
+                    w.add_tensor_np(
+                        f"{p}.{ours}.weight",
+                        sd[f"{h}.layer.1.EncDecAttention.{theirs}.weight"])
+                w.add_tensor_np(f"{p}.cross_attn_norm.weight",
+                                sd[f"{h}.layer.1.layer_norm.weight"])
+            mlp = f"{h}.layer.{fl}.DenseReluDense"
+            if gated:
+                w.add_tensor_np(f"{p}.ffn_gate.weight",
+                                sd[f"{mlp}.wi_0.weight"])
+                w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{mlp}.wi_1.weight"])
+            else:
+                w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{mlp}.wi.weight"])
+            w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{mlp}.wo.weight"])
+            w.add_tensor_np(f"{p}.ffn_norm.weight",
+                            sd[f"{h}.layer.{fl}.layer_norm.weight"])
+        w.add_tensor_np(f"{pre}.output_norm.weight",
+                        sd[f"{hf_side}.final_layer_norm.weight"])
+    if not hf_cfg.tie_word_embeddings:
+        w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("t5") /
+               ("t5g.gguf" if gated else "t5.gguf"))
+    w.write_to_path(path)
+    return path, model, c
+
+
+def _t5_run_ours(path, enc_ids, dec_ids):
+    import jax.numpy as jnp
+
+    from llama_gguf_tpu.models.t5 import (t5_decode_step, t5_encode,
+                                          t5_init_cache)
+
+    params, cfg, _ = load_model(path, mode="dequant")
+    enc_tok = jnp.asarray([enc_ids], jnp.int32)
+    enc_mask = jnp.ones_like(enc_tok, bool)
+    enc_out = t5_encode(params, cfg, enc_tok, enc_mask)
+    cache = t5_init_cache(params, cfg, 1, 32, enc_out)
+    t = len(dec_ids)
+    logits, _ = t5_decode_step(
+        params, cfg, jnp.asarray([dec_ids], jnp.int32),
+        jnp.asarray([list(range(t))], jnp.int32),
+        jnp.asarray([t], jnp.int32), cache, enc_mask)
+    return np.asarray(logits[0]), params, cfg, enc_out, enc_mask
+
+
+def test_t5_matches_hf(tmp_path_factory, rng):
+    """T5 (original): ReLU FFN, tied lm_head with the d_model**-0.5 scale,
+    shared relative-position-bias table (bidirectional buckets in the
+    encoder, causal in the decoder), UNSCALED attention scores, cross
+    attention from once-projected encoder K/V. Also checks the
+    incremental path: feeding decoder tokens one step at a time through
+    the scattered self-KV cache matches the batch decode."""
+    import torch
+
+    path, model, c = _t5_pair(tmp_path_factory, rng, gated=False, seed=233)
+    enc_ids = rng.integers(2, c["vocab"], size=9).tolist()
+    dec_ids = [0] + rng.integers(2, c["vocab"], size=5).tolist()
+    with torch.no_grad():
+        want = model(input_ids=torch.tensor([enc_ids]),
+                     decoder_input_ids=torch.tensor([dec_ids])
+                     ).logits[0].numpy()
+    got, params, cfg, enc_out, enc_mask = _t5_run_ours(path, enc_ids, dec_ids)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    # incremental decode parity: one token per step
+    import jax.numpy as jnp
+
+    from llama_gguf_tpu.models.t5 import t5_decode_step, t5_init_cache
+    cache = t5_init_cache(params, cfg, 1, 32, enc_out)
+    last = None
+    for t, tok in enumerate(dec_ids):
+        last, cache = t5_decode_step(
+            params, cfg, jnp.asarray([[tok]], jnp.int32),
+            jnp.asarray([[t]], jnp.int32), jnp.asarray([t + 1], jnp.int32),
+            cache, enc_mask)
+    np.testing.assert_allclose(np.asarray(last[0, 0]), want[-1],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_t5_gated_matches_hf(tmp_path_factory, rng):
+    """T5 v1.1/FLAN flavor: gated-GELU FFN (wi_0/wi_1 -> ffn_gate/ffn_up)
+    and an untied lm_head (no output scale)."""
+    import torch
+
+    path, model, c = _t5_pair(tmp_path_factory, rng, gated=True, seed=239)
+    enc_ids = rng.integers(2, c["vocab"], size=7).tolist()
+    dec_ids = [0] + rng.integers(2, c["vocab"], size=4).tolist()
+    with torch.no_grad():
+        want = model(input_ids=torch.tensor([enc_ids]),
+                     decoder_input_ids=torch.tensor([dec_ids])
+                     ).logits[0].numpy()
+    got = _t5_run_ours(path, enc_ids, dec_ids)[0]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

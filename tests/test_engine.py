@@ -93,3 +93,41 @@ def test_context_shift_generates_past_window(tmp_path_factory):
                                           max_context_len=32))
     eng2.generate("tok1 tok2 tok3", max_tokens=60, sampler=cfg)
     assert eng2.stats.generated_tokens <= 32
+
+
+def test_t5_engine_generate(tmp_path):
+    """T5 encoder-decoder through the Engine: deterministic greedy ids,
+    generate() returns text, stats populated (llama.cpp supports T5; the
+    reference does not — capability beyond reference parity)."""
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_t5
+
+    path = str(tmp_path / "t5.gguf")
+    build_synthetic_t5(path)
+    eng = Engine.load(path, EngineConfig(weight_mode="dequant"))
+    assert eng.t5 is not None
+    ids1 = eng.greedy_tokens([5, 9, 11], 8)
+    ids2 = eng.greedy_tokens([5, 9, 11], 8)
+    assert ids1 == ids2 and len(ids1) > 0
+    out = eng.generate("hello", max_tokens=8)
+    assert isinstance(out, str)
+    assert eng.stats.prompt_tokens > 0
+
+
+def test_t5encoder_embed(tmp_path):
+    """t5encoder (encoder-only): embed() pools the encoder output;
+    generate() raises."""
+    import numpy as np
+    import pytest
+
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_t5
+
+    path = str(tmp_path / "t5enc.gguf")
+    build_synthetic_t5(path, decoder=False)
+    eng = Engine.load(path, EngineConfig(weight_mode="dequant"))
+    vec = eng.embed("hello world")
+    assert vec.ndim == 1 and np.isfinite(vec).all()
+    assert abs(float(np.linalg.norm(vec)) - 1.0) < 1e-5
+    with pytest.raises(RuntimeError, match="t5encoder"):
+        eng.generate("hello", max_tokens=4)
