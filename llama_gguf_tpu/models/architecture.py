@@ -55,7 +55,7 @@ MOE = {
 
 QK_NORM = {
     "qwen3", "qwen35", "qwen35moe", "qwen3moe", "qwen3next",
-    "gemma2", "gemma3", "gemma3n", "olmo2", "olmo3",
+    "gemma2", "gemma3", "gemma3n", "olmo2", "olmo3", "apertus",
     # HunYuan's per-head norms apply AFTER rope (cfg.qk_norm_post_rope)
     "hunyuan-dense", "hunyuan-moe",
     # OLMoE: flat RMSNorm over the whole q/k projection before RoPE (HF
@@ -142,6 +142,8 @@ NO_GATE_FFN = {
     "nomic-bert", "t5", "t5encoder", "starcoder", "starcoder2",
     # Nemotron and Arcee MLPs are up -> relu^2 -> down (no gate projection)
     "nemotron", "arcee",
+    # Apertus MLP is up -> xIELU -> down
+    "apertus",
 }
 
 NEOX_ROPE = {
@@ -161,6 +163,8 @@ NEOX_ROPE = {
     "exaone4",
     # hunyuan is rotate-half, no conversion permute, per-head norms after
     "hunyuan-dense", "hunyuan-moe",
+    # apertus is rotate-half with per-head pre-rope QK-norm, no permute
+    "apertus",
     # gemma GGUFs are not permuted at conversion; llama.cpp ropes them NEOX
     "gemma", "gemma2", "gemma3", "gemma3n", "gemma-embedding",
     # nemotron / dbrx conversions don't permute q/k (only nemotron's norm

@@ -34,6 +34,9 @@ class Activation(enum.Enum):
     # gpt-oss clamped SwiGLU: glu = min(g,7)*sigmoid(1.702*min(g,7)),
     # out = glu * (clip(u,-7,7) + 1) — ggml_swiglu_oai semantics
     SWIGLU_OAI = "swiglu_oai"
+    # Apertus xIELU (per-layer learned alpha_p/alpha_n scalars; the
+    # effective post-softplus values ride the GGUF metadata)
+    XIELU = "xielu"
 
 
 @dataclass
@@ -110,6 +113,11 @@ class ModelConfig:
     rel_buckets: int = 32
     rel_max_distance: int = 128
     decoder_start_token_id: int = 0
+    # Apertus xIELU per-layer EFFECTIVE constants (softplus pre-applied)
+    xielu_alpha_p: tuple = ()
+    xielu_alpha_n: tuple = ()
+    xielu_beta: tuple = ()
+    xielu_eps: tuple = ()
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     # logits MULTIPLIER before sampling (Cohere stores the multiplier;
@@ -189,6 +197,13 @@ def _get_int(md: Mapping[str, Any], key: str, default: int | None = None) -> int
     if v is None:
         return default
     return int(v)
+
+
+def _float_tuple(md: Mapping[str, Any], key: str) -> tuple:
+    v = md.get(key)
+    if v is None:
+        return ()
+    return tuple(float(x) for x in v)
 
 
 def _get_float(md: Mapping[str, Any], key: str, default: float) -> float:
@@ -301,6 +316,7 @@ def parse_config(metadata: Mapping[str, Any],
                     else Activation.RELU if info.uses_relu
                     else Activation.RELU2 if info.uses_relu2
                     else Activation.SWIGLU_OAI if info.uses_swiglu_oai
+                    else Activation.XIELU if arch == "apertus"
                     else Activation.SILU),
         attention_bias=info.default_attention_bias,
         mlp_bias=info.default_mlp_bias,
@@ -366,6 +382,10 @@ def parse_config(metadata: Mapping[str, Any],
             f"{arch}.attention.use_kq_norm", arch == "llama4")),
         moe_weight_before_ffn=(arch == "llama4"),
         qk_norm_post_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
+        xielu_alpha_p=_float_tuple(metadata, f"{arch}.xielu.alpha_p"),
+        xielu_alpha_n=_float_tuple(metadata, f"{arch}.xielu.alpha_n"),
+        xielu_beta=_float_tuple(metadata, f"{arch}.xielu.beta"),
+        xielu_eps=_float_tuple(metadata, f"{arch}.xielu.eps"),
         rel_buckets=gi("attention.relative_buckets_count", 32) or 32,
         rel_max_distance=gi("attention.relative_max_distance", 128) or 128,
         decoder_start_token_id=gi("decoder_start_token_id", 0) or 0,

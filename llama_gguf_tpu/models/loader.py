@@ -379,6 +379,14 @@ class ModelLoader:
             ffn["gate"] = self.linear(f"{p}.ffn_gate")
         ffn["up"] = self.linear(f"{p}.ffn_up")
         ffn["down"] = self.linear(f"{p}.ffn_down")
+        from .config import Activation
+        if cfg.hidden_act == Activation.XIELU and cfg.xielu_alpha_p:
+            # Apertus: per-layer learned activation constants (effective
+            # post-softplus values from metadata); baked into the graph
+            ffn["xielu"] = (
+                float(cfg.xielu_alpha_p[i]), float(cfg.xielu_alpha_n[i]),
+                float(cfg.xielu_beta[i]) if cfg.xielu_beta else 0.5,
+                float(cfg.xielu_eps[i]) if cfg.xielu_eps else -1e-6)
         if self.has(f"{p}.ffn_sub_norm.weight"):  # BitNet pre-down norm
             ffn["sub_norm"] = self._put(
                 self.dense(f"{p}.ffn_sub_norm.weight"),

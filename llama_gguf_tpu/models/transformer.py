@@ -299,8 +299,13 @@ def feed_forward(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         g = L.apply(ffn["gate"], x).astype(jnp.float32)
         u = L.apply(ffn["up"], x).astype(jnp.float32)
         return down(_glu(g, u, cfg.hidden_act))
-    return down(_act(L.apply(ffn["up"], x).astype(jnp.float32),
-                     cfg.hidden_act))
+    u = L.apply(ffn["up"], x).astype(jnp.float32)
+    if "xielu" in ffn:  # Apertus per-layer xIELU constants
+        ap, an, beta, eps = ffn["xielu"]
+        return down(jnp.where(
+            u > 0, ap * u * u + beta * u,
+            (jnp.expm1(jnp.minimum(u, eps)) - u) * an + beta * u))
+    return down(_act(u, cfg.hidden_act))
 
 
 def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:

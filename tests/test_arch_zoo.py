@@ -4564,3 +4564,94 @@ def test_t5_gated_matches_hf(tmp_path_factory, rng):
                      ).logits[0].numpy()
     got = _t5_run_ours(path, enc_ids, dec_ids)[0]
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_apertus_matches_hf(tmp_path_factory, rng):
+    """Apertus: no-gate xIELU MLP with PER-LAYER learned activation
+    constants (effective post-softplus alpha_p / beta+softplus(alpha_n)
+    carried as GGUF metadata arrays), per-head pre-rope QK-norm,
+    rotate-half rope without permute."""
+    import torch
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    c = dict(vocab=96, hidden=64, layers=2, heads=4, kv=2, hd=16, ffn=96,
+             ctx=64)
+    hf_cfg = ApertusConfig(
+        vocab_size=c["vocab"], hidden_size=c["hidden"],
+        num_hidden_layers=c["layers"], num_attention_heads=c["heads"],
+        num_key_value_heads=c["kv"], intermediate_size=c["ffn"],
+        rope_theta=10000.0, rms_norm_eps=1e-5, rope_scaling=None,
+        max_position_embeddings=c["ctx"], attention_bias=False,
+        attention_dropout=0.0, tie_word_embeddings=False, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(241)
+    with torch.no_grad():
+        model = ApertusForCausalLM(hf_cfg)
+        model.eval()
+        for name, p in model.named_parameters():
+            if "alpha" not in name:  # keep activation params at init
+                p.mul_(0.3)
+        sd = {k: v.float().numpy().astype(np.float32)
+              for k, v in model.state_dict().items()}  # xielu params are bf16
+
+    # effective per-layer constants, softplus applied like the conversion
+    def softplus(v):
+        return float(np.log1p(np.exp(v)))
+
+    alpha_p, alpha_n, betas, epss = [], [], [], []
+    for i in range(c["layers"]):
+        act = model.model.layers[i].mlp.act_fn
+        beta = float(act.beta.float())
+        alpha_p.append(softplus(float(act.alpha_p.float())))
+        alpha_n.append(beta + softplus(float(act.alpha_n.float())))
+        betas.append(beta)
+        epss.append(float(act.eps.float()))
+
+    w = GGUFWriter()
+    a = "apertus"
+    w.add_metadata("general.architecture", a)
+    for key, val in [("embedding_length", c["hidden"]),
+                     ("block_count", c["layers"]),
+                     ("attention.head_count", c["heads"]),
+                     ("attention.head_count_kv", c["kv"]),
+                     ("attention.key_length", c["hd"]),
+                     ("attention.value_length", c["hd"]),
+                     ("feed_forward_length", c["ffn"]),
+                     ("context_length", c["ctx"]),
+                     ("vocab_size", c["vocab"])]:
+        w.add_metadata(f"{a}.{key}", val)
+    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata(f"{a}.rope.freq_base", 10000.0)
+    w.add_metadata(f"{a}.xielu.alpha_p", np.asarray(alpha_p, np.float32))
+    w.add_metadata(f"{a}.xielu.alpha_n", np.asarray(alpha_n, np.float32))
+    w.add_metadata(f"{a}.xielu.beta", np.asarray(betas, np.float32))
+    w.add_metadata(f"{a}.xielu.eps", np.asarray(epss, np.float32))
+    w.add_tensor_np("token_embd.weight", sd["model.embed_tokens.weight"])
+    for i in range(c["layers"]):
+        p, h = f"blk.{i}", f"model.layers.{i}"
+        w.add_tensor_np(f"{p}.attn_q.weight", sd[f"{h}.self_attn.q_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_k.weight", sd[f"{h}.self_attn.k_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_v.weight", sd[f"{h}.self_attn.v_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_output.weight",
+                        sd[f"{h}.self_attn.o_proj.weight"])
+        w.add_tensor_np(f"{p}.attn_q_norm.weight",
+                        sd[f"{h}.self_attn.q_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_k_norm.weight",
+                        sd[f"{h}.self_attn.k_norm.weight"])
+        w.add_tensor_np(f"{p}.attn_norm.weight",
+                        sd[f"{h}.attention_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_norm.weight",
+                        sd[f"{h}.feedforward_layernorm.weight"])
+        w.add_tensor_np(f"{p}.ffn_up.weight", sd[f"{h}.mlp.up_proj.weight"])
+        w.add_tensor_np(f"{p}.ffn_down.weight", sd[f"{h}.mlp.down_proj.weight"])
+    w.add_tensor_np("output_norm.weight", sd["model.norm.weight"])
+    w.add_tensor_np("output.weight", sd["lm_head.weight"])
+    path = str(tmp_path_factory.mktemp("ap") / "apertus.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=10).tolist()
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].numpy()
+    got = run_ours(path, tokens, c["ctx"])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
