@@ -107,6 +107,7 @@ class _Sequence:
     sampler: Sampler
     stop: _StopBuffer
     grammar: Any = None
+    logprobs: int = -1    # -1 = off; 0 = sampled token only; N = top-N too
     slot: int = -1
     pos: int = 0          # position of the NEXT token to decode
     last_token: int = 0
@@ -136,6 +137,10 @@ class RequestHandle:
         self.finish_reason: str | None = None
         self.completion_tokens = 0
         self._text_parts: list[str] = []
+        # per-token logprob records when requested (OpenAI logprobs):
+        # {"token": str, "id": int, "logprob": float,
+        #  "top_logprobs": [{"token", "id", "logprob"}, ...]}
+        self.logprobs: list[dict] = []
 
     @property
     def timings(self) -> dict:
@@ -232,7 +237,7 @@ class BatchedEngine:
     def submit(self, prompt: str | list[int], max_tokens: int = 128,
                sampler: SamplerConfig | None = None,
                stop: list[str] | None = None,
-               grammar=None) -> RequestHandle:
+               grammar=None, logprobs: int = -1) -> RequestHandle:
         """Enqueue a generation request; returns a streaming handle.
 
         Raises RuntimeError when the queue is full (admission control,
@@ -258,6 +263,7 @@ class BatchedEngine:
             sampler=Sampler(sampler or self.default_sampler),
             stop=_StopBuffer(stop or []),
             grammar=grammar,
+            logprobs=logprobs,
             decoder=self.tokenizer.streaming_decoder(),
         )
         self.stats.submitted += 1
@@ -420,6 +426,19 @@ class BatchedEngine:
         """Sample the next token for one sequence and emit text / finish."""
         mask = seq.grammar.get_token_mask() if seq.grammar is not None else None
         tok = seq.sampler.sample(logits, seq.token_ids, mask=mask)
+        if seq.logprobs >= 0:  # OpenAI logprobs: log-softmax of RAW logits
+            lf = logits.astype(np.float64)
+            lse = np.logaddexp.reduce(lf)
+            entry = {"token": self.tokenizer.decode([tok]), "id": int(tok),
+                     "logprob": float(lf[tok] - lse)}
+            if seq.logprobs > 0:
+                top = np.argpartition(-lf, seq.logprobs)[: seq.logprobs]
+                top = top[np.argsort(-lf[top])]
+                entry["top_logprobs"] = [
+                    {"token": self.tokenizer.decode([int(t)]),
+                     "id": int(t), "logprob": float(lf[t] - lse)}
+                    for t in top]
+            seq.handle.logprobs.append(entry)
         if self.tokenizer.is_eog(tok):
             self._finish(seq, "stop")
             return

@@ -188,6 +188,44 @@ def _max_tokens(body: dict, default: int) -> int:
                or body.get("max_tokens") or default)
 
 
+def _logprobs_arg(body: dict) -> int:
+    """-1 = off. Chat style: logprobs: bool + top_logprobs: int.
+    Legacy completions style: logprobs: int = top-N."""
+    lp = body.get("logprobs")
+    if lp is None or lp is False:
+        return -1
+    if lp is True:
+        return int(body.get("top_logprobs", 0) or 0)
+    return max(int(lp), 0)
+
+
+def _chat_logprobs(handle: RequestHandle) -> dict | None:
+    if not handle.logprobs:
+        return None
+    return {"content": [
+        {"token": e["token"], "logprob": e["logprob"],
+         "bytes": list(e["token"].encode("utf-8", "replace")),
+         "top_logprobs": [
+             {"token": t["token"], "logprob": t["logprob"],
+              "bytes": list(t["token"].encode("utf-8", "replace"))}
+             for t in e.get("top_logprobs", [])]}
+        for e in handle.logprobs]}
+
+
+def _completion_logprobs(handle: RequestHandle) -> dict | None:
+    if not handle.logprobs:
+        return None
+    has_top = any("top_logprobs" in e for e in handle.logprobs)
+    return {
+        "tokens": [e["token"] for e in handle.logprobs],
+        "token_logprobs": [e["logprob"] for e in handle.logprobs],
+        "top_logprobs": [
+            {t["token"]: t["logprob"] for t in e.get("top_logprobs", [])}
+            for e in handle.logprobs] if has_top else None,
+        "text_offset": [],
+    }
+
+
 def _usage(handle: RequestHandle) -> dict:
     return {
         "prompt_tokens": handle.prompt_tokens,
@@ -349,6 +387,7 @@ def create_app(state: ServerState) -> "web.Application":
                 max_tokens=_max_tokens(body, st.config.max_tokens_default),
                 sampler=_sampler_from_request(body),
                 stop=_stop_list(body),
+                logprobs=_logprobs_arg(body),
             )
         except RuntimeError as e:
             return _err(429, str(e), "rate_limit_exceeded")
@@ -364,7 +403,7 @@ def create_app(state: ServerState) -> "web.Application":
             "model": st.model_name,
             "choices": [{"index": 0, "text": text,
                          "finish_reason": handle.finish_reason,
-                         "logprobs": None}],
+                         "logprobs": _completion_logprobs(handle)}],
             "usage": _usage(handle),
             "timings": handle.timings,
         })
@@ -380,9 +419,11 @@ def create_app(state: ServerState) -> "web.Application":
         yield {
             "id": rid, "object": "text_completion", "created": created,
             "model": st.model_name,
+            # token-level logprobs ride the FINAL chunk (pieces are
+            # UTF-8-safe text fragments, not 1:1 with tokens)
             "choices": [{"index": 0, "text": "",
                          "finish_reason": handle.finish_reason,
-                         "logprobs": None}],
+                         "logprobs": _completion_logprobs(handle)}],
             "usage": _usage(handle),
         }
 
@@ -425,6 +466,7 @@ def create_app(state: ServerState) -> "web.Application":
                 sampler=_sampler_from_request(body),
                 stop=_stop_list(body) + list(st.engine.chat_template.stop),
                 grammar=grammar,
+                logprobs=_logprobs_arg(body),
             )
         except RuntimeError as e:
             return _err(429, str(e), "rate_limit_exceeded")
@@ -447,7 +489,8 @@ def create_app(state: ServerState) -> "web.Application":
             "id": rid, "object": "chat.completion", "created": created,
             "model": st.model_name,
             "choices": [{"index": 0, "message": message,
-                         "finish_reason": finish}],
+                         "finish_reason": finish,
+                         "logprobs": _chat_logprobs(handle)}],
             "usage": _usage(handle),
             "timings": handle.timings,
         })
@@ -470,8 +513,10 @@ def create_app(state: ServerState) -> "web.Application":
         yield {
             "id": rid, "object": "chat.completion.chunk", "created": created,
             "model": st.model_name,
+            # token-level logprobs ride the FINAL chunk (see completions)
             "choices": [{"index": 0, "delta": {},
-                         "finish_reason": handle.finish_reason}],
+                         "finish_reason": handle.finish_reason,
+                         "logprobs": _chat_logprobs(handle)}],
             "usage": _usage(handle),
         }
 

@@ -286,3 +286,51 @@ def test_remote_chat_client(server):
     assert len(vecs) == 2 and len(vecs[0]) == 64
     with pytest.raises(RemoteError, match="400"):
         c.complete(prompt=None)
+
+
+def test_completions_logprobs(server):
+    """Legacy completions logprobs: int = top-N per generated token."""
+    base, _ = server
+    r = requests.post(base + "/v1/completions", json={
+        "prompt": "Once upon", "max_tokens": 4, "temperature": 0.0,
+        "logprobs": 3,
+    })
+    assert r.status_code == 200, r.text
+    lp = r.json()["choices"][0]["logprobs"]
+    assert lp is not None
+    n = len(lp["tokens"])
+    assert n > 0 and len(lp["token_logprobs"]) == n
+    assert all(v <= 0.0 for v in lp["token_logprobs"])
+    assert len(lp["top_logprobs"]) == n
+    # dict-keyed by token STRING: distinct ids may decode to the same text
+    assert all(1 <= len(t) <= 3 for t in lp["top_logprobs"])
+    # greedy decode: the sampled token is the argmax, so nothing in the
+    # top list can beat it (string-keyed dicts may collide, so the
+    # sampled token itself isn't guaranteed a surviving key)
+    for tok, logp, top in zip(lp["tokens"], lp["token_logprobs"],
+                              lp["top_logprobs"]):
+        assert max(top.values()) <= logp + 1e-9
+
+
+def test_chat_logprobs(server):
+    """Chat logprobs: bool + top_logprobs, OpenAI content[] schema."""
+    base, _ = server
+    r = requests.post(base + "/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "temperature": 0.0,
+        "logprobs": True, "top_logprobs": 2,
+    })
+    assert r.status_code == 200, r.text
+    choice = r.json()["choices"][0]
+    content = choice["logprobs"]["content"]
+    assert len(content) > 0
+    for e in content:
+        assert e["logprob"] <= 0.0
+        assert isinstance(e["bytes"], list)
+        assert len(e["top_logprobs"]) == 2
+    # default: no logprobs requested -> null field
+    r2 = requests.post(base + "/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 2, "temperature": 0.0,
+    })
+    assert r2.json()["choices"][0]["logprobs"] is None
