@@ -226,6 +226,25 @@ def _completion_logprobs(handle: RequestHandle) -> dict | None:
     }
 
 
+def _sampler_n(body: dict, i: int) -> SamplerConfig:
+    """Per-choice sampler for n>1: distinct seeds so choices differ."""
+    cfg = _sampler_from_request(body)
+    if i and cfg.seed is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, seed=cfg.seed + i)
+    return cfg
+
+
+def _usage_sum(handles: list) -> dict:
+    return {
+        "prompt_tokens": handles[0].prompt_tokens,
+        "completion_tokens": sum(h.completion_tokens for h in handles),
+        "total_tokens": handles[0].prompt_tokens
+        + sum(h.completion_tokens for h in handles),
+    }
+
+
 def _usage(handle: RequestHandle) -> dict:
     return {
         "prompt_tokens": handle.prompt_tokens,
@@ -381,30 +400,35 @@ def create_app(state: ServerState) -> "web.Application":
         if isinstance(prompt, list):
             prompt = "".join(prompt) if all(
                 isinstance(p, str) for p in prompt) else prompt
+        n = max(int(body.get("n", 1) or 1), 1)
+        if n > 1 and body.get("stream"):
+            return _err(400, "n > 1 is not supported with stream=true")
         try:
-            handle = st.batched.submit(
+            handles = [st.batched.submit(
                 prompt,
                 max_tokens=_max_tokens(body, st.config.max_tokens_default),
-                sampler=_sampler_from_request(body),
+                sampler=_sampler_n(body, i),
                 stop=_stop_list(body),
                 logprobs=_logprobs_arg(body),
-            )
+            ) for i in range(n)]
         except RuntimeError as e:
             return _err(429, str(e), "rate_limit_exceeded")
+        handle = handles[0]
 
         rid = "cmpl-" + uuid.uuid4().hex[:24]
         created = int(time.time())
         if body.get("stream"):
             return await _sse(request, _completion_chunks(
                 st, rid, created, handle))
-        text = await asyncio.to_thread(handle.text, 600)
+        texts = [await asyncio.to_thread(h.text, 600) for h in handles]
         return web.json_response({
             "id": rid, "object": "text_completion", "created": created,
             "model": st.model_name,
-            "choices": [{"index": 0, "text": text,
-                         "finish_reason": handle.finish_reason,
-                         "logprobs": _completion_logprobs(handle)}],
-            "usage": _usage(handle),
+            "choices": [{"index": i, "text": t,
+                         "finish_reason": h.finish_reason,
+                         "logprobs": _completion_logprobs(h)}
+                        for i, (t, h) in enumerate(zip(texts, handles))],
+            "usage": _usage_sum(handles),
             "timings": handle.timings,
         })
 
@@ -447,51 +471,68 @@ def create_app(state: ServerState) -> "web.Application":
         prompt = st.engine.chat_template.render(messages, tools=tools or None)
 
         grammar = None
+        gram_schema: Any = False  # False = no grammar; None = bare JSON
         forcing_tool = bool(tools) and tool_choice not in ("none", None) and (
             tool_choice == "required" or isinstance(tool_choice, dict)
         )
         if forcing_tool:
-            schema = _tool_call_grammar(tools, tool_choice)
-            grammar = await asyncio.to_thread(_make_grammar, st, schema)
+            gram_schema = _tool_call_grammar(tools, tool_choice)
         elif response_format.get("type") == "json_object":
-            grammar = await asyncio.to_thread(_make_grammar, st, None)
+            gram_schema = None
         elif response_format.get("type") == "json_schema":
-            schema = response_format.get("json_schema", {}).get("schema", {})
-            grammar = await asyncio.to_thread(_make_grammar, st, schema)
+            gram_schema = response_format.get("json_schema", {}).get(
+                "schema", {})
+        if gram_schema is not False:
+            grammar = await asyncio.to_thread(_make_grammar, st, gram_schema)
 
+        n = max(int(body.get("n", 1) or 1), 1)
+        if n > 1 and body.get("stream"):
+            return _err(400, "n > 1 is not supported with stream=true")
         try:
-            handle = st.batched.submit(
-                prompt,
-                max_tokens=_max_tokens(body, st.config.max_tokens_default),
-                sampler=_sampler_from_request(body),
-                stop=_stop_list(body) + list(st.engine.chat_template.stop),
-                grammar=grammar,
-                logprobs=_logprobs_arg(body),
-            )
+            handles = []
+            for i in range(n):
+                # grammar machines are stateful: each choice gets its own
+                g = grammar if i == 0 else (
+                    await asyncio.to_thread(_make_grammar, st, gram_schema)
+                    if gram_schema is not False else None)
+                handles.append(st.batched.submit(
+                    prompt,
+                    max_tokens=_max_tokens(
+                        body, st.config.max_tokens_default),
+                    sampler=_sampler_n(body, i),
+                    stop=_stop_list(body)
+                    + list(st.engine.chat_template.stop),
+                    grammar=g,
+                    logprobs=_logprobs_arg(body),
+                ))
         except RuntimeError as e:
             return _err(429, str(e), "rate_limit_exceeded")
+        handle = handles[0]
 
         rid = "chatcmpl-" + uuid.uuid4().hex[:24]
         created = int(time.time())
         if body.get("stream"):
             return await _sse(request, _chat_chunks(st, rid, created, handle))
 
-        text = await asyncio.to_thread(handle.text, 600)
-        message: dict[str, Any] = {"role": "assistant", "content": text}
-        finish = handle.finish_reason
-        if forcing_tool:
-            calls = _parse_tool_output(text)
-            if calls:
-                message = {"role": "assistant", "content": None,
-                           "tool_calls": calls}
-                finish = "tool_calls"
+        choices = []
+        for i, h in enumerate(handles):
+            text = await asyncio.to_thread(h.text, 600)
+            message: dict[str, Any] = {"role": "assistant", "content": text}
+            finish = h.finish_reason
+            if forcing_tool:
+                calls = _parse_tool_output(text)
+                if calls:
+                    message = {"role": "assistant", "content": None,
+                               "tool_calls": calls}
+                    finish = "tool_calls"
+            choices.append({"index": i, "message": message,
+                            "finish_reason": finish,
+                            "logprobs": _chat_logprobs(h)})
         return web.json_response({
             "id": rid, "object": "chat.completion", "created": created,
             "model": st.model_name,
-            "choices": [{"index": 0, "message": message,
-                         "finish_reason": finish,
-                         "logprobs": _chat_logprobs(handle)}],
-            "usage": _usage(handle),
+            "choices": choices,
+            "usage": _usage_sum(handles),
             "timings": handle.timings,
         })
 

@@ -334,3 +334,22 @@ def test_chat_logprobs(server):
         "max_tokens": 2, "temperature": 0.0,
     })
     assert r2.json()["choices"][0]["logprobs"] is None
+
+
+def test_n_choices(server):
+    """OpenAI `n`: multiple sampled choices per request (seeded so the
+    choices are distinct but reproducible)."""
+    base, _ = server
+    r = requests.post(base + "/v1/chat/completions", json={
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 6, "temperature": 1.2, "seed": 7, "n": 3,
+    })
+    assert r.status_code == 200, r.text
+    d = r.json()
+    assert [c["index"] for c in d["choices"]] == [0, 1, 2]
+    assert d["usage"]["completion_tokens"] >= 3
+    # n>1 + stream rejected
+    r2 = requests.post(base + "/v1/completions", json={
+        "prompt": "x", "n": 2, "stream": True,
+    })
+    assert r2.status_code == 400
