@@ -141,6 +141,13 @@ class RequestHandle:
         # {"token": str, "id": int, "logprob": float,
         #  "top_logprobs": [{"token", "id", "logprob"}, ...]}
         self.logprobs: list[dict] = []
+        self.cancelled = False
+
+    def cancel(self) -> None:
+        """Ask the scheduler to finish this request at its next step
+        (used to reap orphaned submissions, e.g. a partially-admitted
+        n>1 batch)."""
+        self.cancelled = True
 
     @property
     def timings(self) -> dict:
@@ -337,6 +344,9 @@ class BatchedEngine:
                 break
             with self._lock:
                 self._pending_count -= 1
+            if seq.handle.cancelled:  # reaped before admission
+                seq.handle._finish("aborted")
+                continue
             seq.slot = slot
             if self.prompt_cache is not None:
                 self._kv, seq.prefilled = self.prompt_cache.restore(
@@ -424,24 +434,30 @@ class BatchedEngine:
 
     def _sample_and_emit(self, seq: _Sequence, logits: np.ndarray) -> None:
         """Sample the next token for one sequence and emit text / finish."""
+        if seq.handle.cancelled:
+            self._finish(seq, "aborted")
+            return
         mask = seq.grammar.get_token_mask() if seq.grammar is not None else None
         tok = seq.sampler.sample(logits, seq.token_ids, mask=mask)
+        if self.tokenizer.is_eog(tok):
+            # no logprob entry for the EOG token: OpenAI aligns
+            # logprobs.content 1:1 with the returned completion tokens
+            self._finish(seq, "stop")
+            return
         if seq.logprobs >= 0:  # OpenAI logprobs: log-softmax of RAW logits
             lf = logits.astype(np.float64)
             lse = np.logaddexp.reduce(lf)
             entry = {"token": self.tokenizer.decode([tok]), "id": int(tok),
                      "logprob": float(lf[tok] - lse)}
-            if seq.logprobs > 0:
-                top = np.argpartition(-lf, seq.logprobs)[: seq.logprobs]
+            k = min(seq.logprobs, lf.size - 1)  # clamp: kth must be in range
+            if k > 0:
+                top = np.argpartition(-lf, k)[:k]
                 top = top[np.argsort(-lf[top])]
                 entry["top_logprobs"] = [
                     {"token": self.tokenizer.decode([int(t)]),
                      "id": int(t), "logprob": float(lf[t] - lse)}
                     for t in top]
             seq.handle.logprobs.append(entry)
-        if self.tokenizer.is_eog(tok):
-            self._finish(seq, "stop")
-            return
         seq.token_ids.append(tok)
         seq.last_token = tok
         seq.generated += 1

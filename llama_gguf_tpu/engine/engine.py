@@ -144,8 +144,11 @@ class Engine:
                      len(params["enc"]["layers"]),
                      len(params.get("dec", {}).get("layers", ())),
                      time.time() - t0)
+            # decoder cache default-capped at 1024 slots; an explicit
+            # max_context_len overrides (T5 models rarely decode long)
+            dec_cap = config.max_context_len or min(max_seq, 1024)
             return cls(None, tokenizer, config, gguf,
-                       t5=T5Runner(params, cfg, max_seq=min(max_seq, 1024)))
+                       t5=T5Runner(params, cfg, max_seq=dec_cap))
         if loader.config.arch_info is not None and \
                 loader.config.arch_info.is_encoder_only:
             from ..models.bert import BertEncoder, load_bert
@@ -253,36 +256,34 @@ class Engine:
                    on_token) -> Iterator[str]:
         """Seq2seq generation: encode the prompt once (with a trailing
         EOS, the T5 convention), then decode from decoder_start_token_id
-        through the incremental cross-attention step."""
+        through the incremental cross-attention step. Stop strings use
+        the same prefix-withholding buffer as the batched engine."""
         if "dec" not in self.t5.params:
             raise RuntimeError(
                 "t5encoder model: use embed(), not generate()")
         if sampler is not None and isinstance(sampler, SamplerConfig):
             sampler = Sampler(sampler)
-        ids = self.tokenizer.encode(prompt)
-        eos = self.tokenizer.eos_id
-        if eos is not None and (not ids or ids[-1] != eos):
-            ids = ids + [eos]
+        ids = self._t5_encoder_ids(prompt)
         self.stats = GenerationStats(prompt_tokens=len(ids))
         t0 = time.time()
         history: list[int] = []
 
-        def pick(row):
+        def pick(row):  # row: 1-D [V] raw logits
             if sampler is None:
                 return int(np.argmax(row))
-            return sampler.sample(row[None], history)
+            return sampler.sample(row, history)
+
+        from .batched import _StopBuffer
 
         decoder = self.tokenizer.streaming_decoder()
-        pieces: list[str] = []
+        stopbuf = _StopBuffer(stop or [])
         t5 = self.t5
         enc_out, enc_mask = t5.encode_ids(ids)
-        from ..models.t5 import t5_init_cache
-        cache = t5_init_cache(t5.params, t5.cfg, 1, t5.max_seq, enc_out)
+        cache = t5.make_cache(enc_out)
         self.stats.prefill_time = time.time() - t0
         t1 = time.time()
         tok = t5.cfg.decoder_start_token_id
         import jax.numpy as jnp
-        text = ""
         for t in range(min(max_tokens, t5.max_seq - 1)):
             logits, cache = t5._step(
                 jnp.asarray([[tok]], jnp.int32),
@@ -295,20 +296,30 @@ class Engine:
             self.stats.generated_tokens += 1
             piece = decoder.push(tok)
             if piece:
-                text += piece
-                if stop and any(s in text for s in stop):
-                    hit = next(s for s in stop if s in text)
-                    cut = text[: text.index(hit)]
-                    done = cut[len(text) - len(piece):]
-                    if done:
-                        if on_token:
-                            on_token(done)
-                        yield done
-                    break
-                if on_token:
-                    on_token(piece)
-                yield piece
+                out, hit = stopbuf.push(piece)
+                if out:
+                    if on_token:
+                        on_token(out)
+                    yield out
+                if hit:
+                    self.stats.decode_time = time.time() - t1
+                    return
+        tail = stopbuf.flush()
+        if tail:
+            if on_token:
+                on_token(tail)
+            yield tail
         self.stats.decode_time = time.time() - t1
+
+    def _t5_encoder_ids(self, prompt: str | list[int]) -> list[int]:
+        """Tokenize (or pass through) encoder input, appending the
+        trailing EOS that llama.cpp/HF T5 conventions expect."""
+        ids = (self.tokenizer.encode(prompt) if isinstance(prompt, str)
+               else list(prompt))
+        eos = self.tokenizer.eos_id if self.tokenizer else None
+        if eos is not None and (not ids or ids[-1] != eos):
+            ids = ids + [eos]
+        return ids
 
     def generate_streaming(self, prompt: str, max_tokens: int = 128,
                            sampler: SamplerConfig | Sampler | None = None,
@@ -316,6 +327,10 @@ class Engine:
                            on_token: Callable[[str], None] | None = None,
                            grammar=None) -> Iterator[str]:
         if self.t5 is not None:  # encoder-decoder (T5) path
+            if grammar is not None:
+                raise ValueError(
+                    "grammar-constrained decoding is not supported for "
+                    "T5 models")
             yield from self._t5_stream(prompt, max_tokens, sampler, stop,
                                        on_token)
             return
@@ -413,7 +428,8 @@ class Engine:
         """Pure greedy decode for parity harnesses: returns generated ids."""
         if self.t5 is not None:
             eos = self.tokenizer.eos_id if self.tokenizer else None
-            return self.t5.generate_ids(prompt_ids, max_tokens, eos_id=eos)
+            return self.t5.generate_ids(self._t5_encoder_ids(prompt_ids),
+                                        max_tokens, eos_id=eos)
         kv = self.runner.init_kv()
         logits, kv, pos = self.runner.prefill(prompt_ids, kv)
         out = []

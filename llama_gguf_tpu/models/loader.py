@@ -380,6 +380,12 @@ class ModelLoader:
         ffn["up"] = self.linear(f"{p}.ffn_up")
         ffn["down"] = self.linear(f"{p}.ffn_down")
         from .config import Activation
+        if cfg.hidden_act == Activation.XIELU and not cfg.xielu_alpha_p:
+            # _act has no XIELU arm — silently computing SiLU instead
+            # would produce garbage logits with no error
+            raise ValueError(
+                "xIELU architecture requires per-layer "
+                f"{cfg.arch}.xielu.alpha_p/alpha_n metadata arrays")
         if cfg.hidden_act == Activation.XIELU and cfg.xielu_alpha_p:
             # Apertus: per-layer learned activation constants (effective
             # post-softplus values from metadata); baked into the graph

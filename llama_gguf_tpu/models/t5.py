@@ -282,6 +282,17 @@ class T5Runner:
         self._step = jax.jit(
             lambda tok, pos, lens, cache, emask: t5_decode_step(
                 params, cfg, tok, pos, lens, cache, emask))
+        # jitted cache init: fuses the 2*layers cross-K/V projections into
+        # one program (each host dispatch costs ms over the device tunnel)
+        self._mkcache = jax.jit(
+            lambda enc_out: t5_init_cache(params, cfg, 1, self.max_seq,
+                                          enc_out))
+
+    def make_cache(self, enc_out: jnp.ndarray) -> dict:
+        if enc_out.shape[0] == 1:
+            return self._mkcache(enc_out)
+        return t5_init_cache(self.params, self.cfg, enc_out.shape[0],
+                             self.max_seq, enc_out)
 
     def encode_ids(self, ids: list[int]) -> tuple[jnp.ndarray, jnp.ndarray]:
         pad = -len(ids) % 16 or 0
@@ -296,8 +307,7 @@ class T5Runner:
         import numpy as np
 
         enc_out, enc_mask = self.encode_ids(ids)
-        cache = t5_init_cache(self.params, self.cfg, 1, self.max_seq,
-                              enc_out)
+        cache = self.make_cache(enc_out)
         tok = self.cfg.decoder_start_token_id
         out: list[int] = []
         for t in range(min(max_tokens, self.max_seq - 1)):

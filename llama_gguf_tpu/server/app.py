@@ -190,13 +190,17 @@ def _max_tokens(body: dict, default: int) -> int:
 
 def _logprobs_arg(body: dict) -> int:
     """-1 = off. Chat style: logprobs: bool + top_logprobs: int.
-    Legacy completions style: logprobs: int = top-N."""
+    Legacy completions style: logprobs: int = top-N. Clamped to 20
+    (the OpenAI chat maximum); invalid values are treated as off."""
     lp = body.get("logprobs")
     if lp is None or lp is False:
         return -1
-    if lp is True:
-        return int(body.get("top_logprobs", 0) or 0)
-    return max(int(lp), 0)
+    try:
+        if lp is True:
+            return min(max(int(body.get("top_logprobs", 0) or 0), 0), 20)
+        return min(max(int(lp), 0), 20)
+    except (TypeError, ValueError):
+        return -1
 
 
 def _chat_logprobs(handle: RequestHandle) -> dict | None:
@@ -216,13 +220,17 @@ def _completion_logprobs(handle: RequestHandle) -> dict | None:
     if not handle.logprobs:
         return None
     has_top = any("top_logprobs" in e for e in handle.logprobs)
+    offsets, pos = [], 0
+    for e in handle.logprobs:  # parallel array: start offset of each token
+        offsets.append(pos)
+        pos += len(e["token"])
     return {
         "tokens": [e["token"] for e in handle.logprobs],
         "token_logprobs": [e["logprob"] for e in handle.logprobs],
         "top_logprobs": [
             {t["token"]: t["logprob"] for t in e.get("top_logprobs", [])}
             for e in handle.logprobs] if has_top else None,
-        "text_offset": [],
+        "text_offset": offsets,
     }
 
 
@@ -403,15 +411,20 @@ def create_app(state: ServerState) -> "web.Application":
         n = max(int(body.get("n", 1) or 1), 1)
         if n > 1 and body.get("stream"):
             return _err(400, "n > 1 is not supported with stream=true")
+        handles = []
         try:
-            handles = [st.batched.submit(
-                prompt,
-                max_tokens=_max_tokens(body, st.config.max_tokens_default),
-                sampler=_sampler_n(body, i),
-                stop=_stop_list(body),
-                logprobs=_logprobs_arg(body),
-            ) for i in range(n)]
+            for i in range(n):
+                handles.append(st.batched.submit(
+                    prompt,
+                    max_tokens=_max_tokens(
+                        body, st.config.max_tokens_default),
+                    sampler=_sampler_n(body, i),
+                    stop=_stop_list(body),
+                    logprobs=_logprobs_arg(body),
+                ))
         except RuntimeError as e:
+            for h in handles:  # reap partially-admitted n>1 batches
+                h.cancel()
             return _err(429, str(e), "rate_limit_exceeded")
         handle = handles[0]
 
@@ -488,8 +501,8 @@ def create_app(state: ServerState) -> "web.Application":
         n = max(int(body.get("n", 1) or 1), 1)
         if n > 1 and body.get("stream"):
             return _err(400, "n > 1 is not supported with stream=true")
+        handles = []
         try:
-            handles = []
             for i in range(n):
                 # grammar machines are stateful: each choice gets its own
                 g = grammar if i == 0 else (
@@ -506,6 +519,8 @@ def create_app(state: ServerState) -> "web.Application":
                     logprobs=_logprobs_arg(body),
                 ))
         except RuntimeError as e:
+            for h in handles:  # reap partially-admitted n>1 batches
+                h.cancel()
             return _err(429, str(e), "rate_limit_exceeded")
         handle = handles[0]
 

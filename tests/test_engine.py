@@ -131,3 +131,31 @@ def test_t5encoder_embed(tmp_path):
     assert abs(float(np.linalg.norm(vec)) - 1.0) < 1e-5
     with pytest.raises(RuntimeError, match="t5encoder"):
         eng.generate("hello", max_tokens=4)
+
+
+def test_t5_sampled_and_stop(tmp_path):
+    """Non-greedy T5 sampling must work (regression: 2-D logits reached
+    the sampler) and stop strings must not leak their prefix."""
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+    from llama_gguf_tpu.sampling.sampler import SamplerConfig
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_t5
+
+    path = str(tmp_path / "t5.gguf")
+    build_synthetic_t5(path)
+    eng = Engine.load(path, EngineConfig(weight_mode="dequant"))
+    out = eng.generate("hi", max_tokens=6,
+                       sampler=SamplerConfig(temperature=1.0, seed=5))
+    assert isinstance(out, str)
+    # same seed -> same sample
+    out2 = eng.generate("hi", max_tokens=6,
+                        sampler=SamplerConfig(temperature=1.0, seed=5))
+    assert out == out2
+    full = eng.generate("hi", max_tokens=8)
+    if len(full) >= 3:
+        stop = full[1:3]  # a substring that starts mid-stream
+        cut = eng.generate("hi", max_tokens=8, stop=[stop])
+        assert stop not in cut
+        assert full.startswith(cut)
+    import pytest
+    with pytest.raises(ValueError, match="grammar"):
+        eng.generate("hi", max_tokens=4, grammar=object())
