@@ -59,6 +59,9 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                    help="tensor-parallel mesh axis (0 = auto-fit HBM)")
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh axis")
+    p.add_argument("--prompt-cache", default=None, metavar="FILE",
+                   help="session file: load cached KV prefixes at start, "
+                        "save back after generation (llama.cpp parity)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -241,6 +244,7 @@ def _engine_config(cfg: Config, args):
         lora=getattr(args, "lora", None) or cfg.model.lora,
         lora_scale=getattr(args, "lora_scale", None),
         seed=getattr(args, "seed", None) or cfg.generation.seed,
+        prompt_cache_file=getattr(args, "prompt_cache", None),
         mesh_model=(getattr(args, "tp", None)
                     if getattr(args, "tp", None) is not None
                     else cfg.parallel.model),
@@ -376,6 +380,9 @@ def cmd_run(args) -> int:
     print(f"[prefill {s.prompt_tokens} tok @ {s.prefill_tps:.1f} tok/s | "
           f"decode {s.generated_tokens} tok @ {s.decode_tps:.1f} tok/s]",
           file=sys.stderr)
+    if engine.save_prompt_cache():
+        print(f"[prompt cache saved to {args.prompt_cache}]",
+              file=sys.stderr)
     return 0
 
 

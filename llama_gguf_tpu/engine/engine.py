@@ -45,6 +45,10 @@ class EngineConfig:
     context_shift: bool = False
     prompt_cache: bool = False  # prefix-sharing KV snapshots (LRU)
     prompt_cache_bytes: int = 2 << 30
+    # session-file persistence (llama.cpp --prompt-cache parity): load the
+    # cache from this .npz at startup (implies prompt_cache=True); call
+    # Engine.save_prompt_cache() to write it back
+    prompt_cache_file: str | None = None
     # GGUF LoRA adapter path applied at load (models/lora.py); None = base
     lora: str | None = None
     lora_scale: float | None = None  # override adapter alpha/rank scaling
@@ -85,10 +89,15 @@ class Engine:
                               else ChatTemplate.detect(tokenizer))
         self.stats = GenerationStats()
         self.prompt_cache = None
-        if config.prompt_cache:
+        if config.prompt_cache or config.prompt_cache_file:
             from .prompt_cache import PromptCache
 
             self.prompt_cache = PromptCache(max_bytes=config.prompt_cache_bytes)
+            if config.prompt_cache_file and \
+                    os.path.exists(config.prompt_cache_file):
+                n = self.prompt_cache.load(config.prompt_cache_file)
+                log.info("prompt cache: loaded %d entries from %s", n,
+                         config.prompt_cache_file)
 
     @staticmethod
     def _enable_compile_cache() -> None:
@@ -241,6 +250,14 @@ class Engine:
             self.generate_streaming(prompt, max_tokens, sampler, stop,
                                     on_token, grammar=grammar)
         )
+
+    def save_prompt_cache(self, path: str | None = None) -> int:
+        """Write the prompt cache to disk (llama.cpp session-file parity);
+        path defaults to config.prompt_cache_file. Returns entries saved."""
+        path = path or self.config.prompt_cache_file
+        if self.prompt_cache is None or not path:
+            return 0
+        return self.prompt_cache.save(path)
 
     def make_grammar_sampler(self, machine) -> "GrammarSampler":
         """Bind a grammar machine (json_grammar()/gbnf_grammar()/...) to this

@@ -154,3 +154,50 @@ class PromptCache:
     @property
     def memory_bytes(self) -> int:
         return self._bytes
+
+
+    # -- disk persistence (llama.cpp --prompt-cache session-file parity) -----
+
+    def save(self, path: str) -> int:
+        """Persist every entry to one .npz; returns the entry count.
+
+        The file holds host numpy snapshots only — it is model- and
+        dtype-specific, like llama.cpp session files; loading it against a
+        different model produces shape/dtype mismatches at restore time."""
+        import json
+
+        blobs: dict[str, np.ndarray] = {}
+        meta = []
+        for idx, (key, e) in enumerate(self._entries.items()):
+            meta.append({"tokens": list(key), "hits": e.hits,
+                         "names": sorted(e.arrays)})
+            for name, arr in e.arrays.items():
+                blobs[f"e{idx}.{name}"] = arr
+        blobs["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), np.uint8).copy()
+        np.savez(path, **blobs)
+        return len(meta)
+
+    def load(self, path: str) -> int:
+        """Merge entries from a save() file (LRU budget still applies);
+        returns how many entries were loaded."""
+        import json
+
+        loaded = 0
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+            for idx, m in enumerate(meta):
+                key = tuple(m["tokens"])
+                if key in self._entries:
+                    continue
+                arrays = {name: z[f"e{idx}.{name}"] for name in m["names"]}
+                nbytes = sum(a.nbytes for a in arrays.values())
+                self._evict_to(self.max_bytes - nbytes)
+                if self._bytes + nbytes > self.max_bytes:
+                    continue
+                self._entries[key] = _Entry(tokens=key, arrays=arrays,
+                                            nbytes=nbytes, hits=m["hits"])
+                self._bytes += nbytes
+                self.stats.stored += 1
+                loaded += 1
+        return loaded

@@ -159,3 +159,36 @@ def test_t5_sampled_and_stop(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="grammar"):
         eng.generate("hi", max_tokens=4, grammar=object())
+
+
+def test_prompt_cache_session_file(tmp_path):
+    """Prompt-cache disk persistence (llama.cpp --prompt-cache parity):
+    a second engine loading the session file restores the prefix and
+    produces identical greedy output."""
+    import numpy as np
+
+    from fixtures import make_tiny_model
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    sess = str(tmp_path / "session.npz")
+
+    from llama_gguf_tpu.sampling.sampler import SamplerConfig
+
+    greedy = SamplerConfig(temperature=0.0)
+    e1 = Engine.load(path, EngineConfig(
+        weight_mode="dequant", prompt_cache_file=sess))
+    out1 = e1.generate("the quick brown fox jumps over", max_tokens=8,
+                       sampler=greedy)
+    assert e1.save_prompt_cache() >= 1
+
+    e2 = Engine.load(path, EngineConfig(
+        weight_mode="dequant", prompt_cache_file=sess))
+    assert e2.prompt_cache.entry_count >= 1
+    out2 = e2.generate("the quick brown fox jumps over", max_tokens=8,
+                       sampler=greedy)
+    assert out2 == out1
+    assert e2.prompt_cache.stats.hits >= 1
