@@ -434,15 +434,21 @@ def cmd_chat(args) -> int:
                       or cfg.chat.system_prompt)
     sampler = _sampler_config(cfg, args)
     max_tokens = args.max_tokens or cfg.generation.max_tokens
+    def bye() -> int:
+        if engine.save_prompt_cache():
+            print(f"[prompt cache saved to {args.prompt_cache}]",
+                  file=sys.stderr)
+        return 0
+
     print("(interactive chat — /exit to quit, /reset to clear)")
     while True:
         try:
             user = input("> ")
         except (EOFError, KeyboardInterrupt):
             print()
-            return 0
+            return bye()
         if user.strip() in ("/exit", "/quit"):
-            return 0
+            return bye()
         if user.strip() == "/reset":
             chat.reset()
             continue
