@@ -31,6 +31,9 @@ class SamplerConfig:
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
     seed: int | None = None
+    # OpenAI logit_bias: token id -> additive bias on the raw logits
+    # (applied before penalties/temperature; -100/+100 ~ ban/force)
+    logit_bias: dict | None = None
 
     @property
     def is_greedy(self) -> bool:
@@ -89,6 +92,11 @@ class Sampler:
     def _apply_penalties(self, logits, history, mask) -> np.ndarray:
         cfg = self.config
         logits = np.asarray(logits, np.float32).copy()
+        if cfg.logit_bias:
+            for tid, bias in cfg.logit_bias.items():
+                tid = int(tid)
+                if 0 <= tid < logits.shape[0]:
+                    logits[tid] += float(bias)
         if mask is not None:  # grammar constraint: True = allowed
             logits[~mask] = -np.inf
         if cfg.repetition_penalty != 1.0 and history:

@@ -164,7 +164,14 @@ class ServerState:
 
 
 def _sampler_from_request(body: dict) -> SamplerConfig:
+    bias = body.get("logit_bias") or None
+    if bias is not None:
+        try:
+            bias = {int(k): float(v) for k, v in bias.items()}
+        except (TypeError, ValueError, AttributeError):
+            bias = None
     return SamplerConfig(
+        logit_bias=bias,
         temperature=float(body.get("temperature", 0.8)),
         top_p=float(body.get("top_p", 0.95)),
         top_k=int(body.get("top_k", 40)),

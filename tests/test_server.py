@@ -353,3 +353,20 @@ def test_n_choices(server):
         "prompt": "x", "n": 2, "stream": True,
     })
     assert r2.status_code == 400
+
+
+def test_logit_bias(server):
+    """OpenAI logit_bias: +100 on one token forces greedy decode to it."""
+    base, _ = server
+    r = requests.post(base + "/v1/completions", json={
+        "prompt": "x", "max_tokens": 3, "temperature": 0.0,
+        "logit_bias": {"42": 100.0}, "logprobs": 0,
+    })
+    assert r.status_code == 200, r.text
+    # the forced token dominates every step (sampler applies the bias
+    # before argmax); verify via the returned per-token logprobs ids
+    d = r.json()["choices"][0]
+    assert len(d["logprobs"]["tokens"]) == 3
+    # greedy + 100-bias: all sampled tokens are id 42's text
+    toks = set(d["logprobs"]["tokens"])
+    assert len(toks) == 1
