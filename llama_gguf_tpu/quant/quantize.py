@@ -355,6 +355,41 @@ def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """IQ4_XS: 256-superblocks of 8 groups x 32 elems on the IQ4_NL
+    nonlinear kvalue grid, with one f16 super-scale and 6-bit per-group
+    scales (ls - 32), packed 4 low bits + 2 high bits.
+
+    Encoder (no imatrix): per-group signed-max scale like iq4_nl, super
+    d = max|d_g|/31, ls = round(d_g/d)+32, then nearest-kvalue per elem."""
+    from .dequant import KVALUES_IQ4NL
+
+    xb = _groups(x, QK_K)  # [nb, 256]
+    nb = xb.shape[0]
+    g = xb.reshape(nb, 8, 32)
+    idx = np.argmax(np.abs(g), axis=2)  # [nb, 8]
+    smax = np.take_along_axis(g, idx[..., None], axis=2)[..., 0]
+    dg = smax / -127.0  # kvalues span ~[-127, 113]
+    d = np.abs(dg).max(axis=1) / 31.0  # [nb]
+    ls = np.clip(np.rint(dg * _inv(d)[:, None]), -31, 31).astype(np.int32)
+    dl = d[:, None] * ls.astype(F32)  # [nb, 8] effective group scales
+    # nearest kvalue on the reconstructed value (robust to dl == 0)
+    err = np.abs(g[..., None] - dl[..., None, None] * KVALUES_IQ4NL)
+    q = err.argmin(axis=3).astype(np.uint8)  # [nb, 8, 32]
+    lsu = (ls + 32).astype(np.uint32)  # [nb, 8] in [1, 63]
+    out = np.empty((nb, 136), dtype=np.uint8)
+    out[:, 0:2] = _to_f16_bytes(d.astype(F32)).reshape(nb, 2)
+    scales_h = np.zeros(nb, np.uint32)
+    for j in range(8):
+        scales_h |= ((lsu[:, j] >> 4) & 3) << (2 * j)
+    out[:, 2:4] = scales_h.astype("<u2").view(np.uint8).reshape(nb, 2)
+    lo = lsu & 0x0F
+    out[:, 4:8] = (lo[:, 0::2] | (lo[:, 1::2] << 4)).astype(np.uint8)
+    # qs layout: byte 16*grp + e%16 holds elems e and e+16 of the group
+    out[:, 8:136] = (q[:, :, :16] | (q[:, :, 16:] << 4)).reshape(nb, 128)
+    return out.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -390,6 +425,7 @@ _QUANT: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {
     GGMLType.Q6_K: quantize_q6_k,
     GGMLType.Q8_K: quantize_q8_k,
     GGMLType.IQ4_NL: quantize_iq4_nl,
+    GGMLType.IQ4_XS: quantize_iq4_xs,
 }
 
 

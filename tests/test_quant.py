@@ -184,6 +184,7 @@ ROUND_TRIP_RTOL = {
     GGMLType.Q2_K: 0.45, GGMLType.Q3_K: 0.30, GGMLType.Q4_K: 0.12,
     GGMLType.Q5_K: 0.07, GGMLType.Q6_K: 0.04, GGMLType.Q8_K: 0.01,
     GGMLType.IQ4_NL: 0.15,
+    GGMLType.IQ4_XS: 0.15,
 }
 
 
@@ -248,3 +249,35 @@ def test_large_tensor_shapes(rng):
     assert y.shape == (64, 256)
     rms = np.sqrt(np.mean((x - y) ** 2))
     assert rms < 0.05
+
+
+def test_quantize_model_to_iq4_xs(tmp_path, rng):
+    """End-to-end requantize to IQ4_XS: the output file loads and its
+    dequantized weights track the f32 source."""
+    import numpy as np
+
+    from llama_gguf_tpu.gguf.requantize import QuantizeOptions, quantize_model
+    from llama_gguf_tpu.models.loader import load_model
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    src = str(tmp_path / "f32.gguf")
+    build_synthetic_gguf(src, preset="tiny", quant=GGMLType.F32)
+    dst = str(tmp_path / "iq4xs.gguf")
+    rep = quantize_model(src, dst, QuantizeOptions(target=GGMLType.IQ4_XS))
+    assert rep.out_bytes < rep.in_bytes
+    from llama_gguf_tpu.gguf.reader import GGUFFile
+
+    g_src, g_dst = GGUFFile.open(src), GGUFFile.open(dst)
+    assert any(t.ggml_type == GGMLType.IQ4_XS for t in g_dst.tensors.values())
+    # ffn_down's row length (256) divides the IQ4_XS superblock; ffn_up's
+    # (128) doesn't and falls back to F16 per the llama.cpp convention
+    name = "blk.0.ffn_down.weight"
+    assert g_dst.tensors[name].ggml_type == GGMLType.IQ4_XS
+    a = DQ.dequantize(g_src.tensor_bytes(name),
+                      g_src.tensors[name].ggml_type)
+    b = DQ.dequantize(g_dst.tensor_bytes(name),
+                      g_dst.tensors[name].ggml_type)
+    rms = np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(a ** 2))
+    assert rms < 0.15
+    # and the requantized model still loads + runs through the loader
+    load_model(dst, mode="dequant")
