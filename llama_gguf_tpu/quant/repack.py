@@ -222,12 +222,31 @@ def _extract(raw: np.ndarray, t: GGMLType, n: int, k: int,
     raise NotImplementedError(f"repack: {t.name} not supported")
 
 
+def _transpose(a: np.ndarray) -> np.ndarray:
+    """Cache-blocked [N, M] -> [M, N] contiguous copy.
+
+    numpy's plain ``ascontiguousarray(a.T)`` byte-transpose is ~15x slower
+    at weight-matrix sizes (measured 1.5 s vs 0.10 s for 4096x7168 uint8);
+    writing contiguous source slabs into strided destination columns
+    vectorizes. This was the dominant cost of the cold quantized load."""
+    n, m = a.shape
+    out = np.empty((m, n), a.dtype)
+    step = 1024
+    for i in range(0, n, step):
+        out[:, i:i + step] = a[i:i + step].T
+    return out
+
+
 def repack(raw: np.ndarray | memoryview | bytes, ggml_type: GGMLType | int,
            shape_nk: tuple[int, int],
            allow_q6: bool = True) -> RepackedWeight:
     """Repack a quantized GGUF tensor (numpy shape [N=out, K=in]) for TPU.
     ``allow_q6=False`` forces Q6_K onto the int8 layout (used by expert
-    stacks, whose gather/MoE kernels take only the q4/q8 layouts)."""
+    stacks, whose gather/MoE kernels take only the q4/q8 layouts).
+
+    Bit-packing happens in the natural [N, K] layout BEFORE the transpose
+    (half/quarter the bytes through the transpose) — the results are
+    identical to pack_q4_group_split/pack_q6_planes on the [K, N] side."""
     t = GGMLType(ggml_type)
     n, k = shape_nk
     arr = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
@@ -237,13 +256,24 @@ def repack(raw: np.ndarray | memoryview | bytes, ggml_type: GGMLType | int,
     mins = np.ascontiguousarray(m.T, dtype=F32) if m is not None else None
     packed2 = None
     if fmt == "q4":
-        qt = np.ascontiguousarray(q.T).astype(np.uint8)  # [K, N], 0..15
-        packed = pack_q4_group_split(qt, group)
+        h = group // 2
+        q3 = q.reshape(n, k // group, group).astype(np.uint8, copy=False)
+        pk = (q3[..., :h] | (q3[..., h:] << 4)).reshape(n, k // 2)
+        packed = _transpose(np.ascontiguousarray(pk))
     elif fmt == "q6":
-        qt = np.ascontiguousarray(q.T).astype(np.uint8)  # [K, N], 0..63
-        packed, packed2 = pack_q6_planes(qt, group)
+        g4 = group // 4
+        perm = np.ascontiguousarray(
+            q.reshape(n, k // group, 4, g4).swapaxes(1, 2).reshape(n, k))
+        lo, hi = perm & 0x0F, perm >> 4
+        k2, qt = k // 2, k // 4
+        packed = _transpose(np.ascontiguousarray(
+            lo[:, :k2] | (lo[:, k2:] << 4)))
+        packed2 = _transpose(np.ascontiguousarray(
+            hi[:, :qt] | (hi[:, qt: 2 * qt] << 2)
+            | (hi[:, 2 * qt: 3 * qt] << 4) | (hi[:, 3 * qt:] << 6)))
     else:
-        packed = np.ascontiguousarray(q.T).astype(np.int8)
+        packed = _transpose(
+            np.ascontiguousarray(q, dtype=np.int8))
     return RepackedWeight(packed, scales, mins, fmt, group, k, n, t,
                           packed2=packed2)
 
