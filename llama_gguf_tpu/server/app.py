@@ -90,16 +90,21 @@ class ServerState:
                            weight_mode=self.config.weight_mode,
                            lora=self.config.lora)
         engine = Engine.load(path, cfg)
-        pcache = None
-        if self.config.prompt_cache_bytes > 0:
-            from ..engine.prompt_cache import PromptCache
+        batched = None
+        if engine.runner is not None:
+            pcache = None
+            if self.config.prompt_cache_bytes > 0:
+                from ..engine.prompt_cache import PromptCache
 
-            pcache = PromptCache(max_bytes=self.config.prompt_cache_bytes)
-        batched = BatchedEngine(engine.runner, engine.tokenizer,
-                                max_queue=self.config.max_queue,
-                                prompt_cache=pcache)
-        if self.config.warmup:
-            self._warmup(engine)
+                pcache = PromptCache(max_bytes=self.config.prompt_cache_bytes)
+            batched = BatchedEngine(engine.runner, engine.tokenizer,
+                                    max_queue=self.config.max_queue,
+                                    prompt_cache=pcache)
+            if self.config.warmup:
+                self._warmup(engine)
+        # encoder-only / encoder-decoder models serve /v1/embeddings only;
+        # generation endpoints return a clear 400 (llama-server has no
+        # encoder-model serving at all)
         with self.lock:
             old = self.batched
             self.engine = engine
@@ -361,17 +366,26 @@ def create_app(state: ServerState) -> "web.Application":
             st: ServerState = request.app["state"]
             if not _check_auth(st, request):
                 return _err(401, "invalid API key", "authentication_error")
-            if st.batched is None:
+            if st.engine is None:
                 return _err(503, "no model loaded", "service_unavailable")
             return await handler(request)
         return wrapped
+
+    def require_generation(handler):
+        async def wrapped(request):
+            st: ServerState = request.app["state"]
+            if st.engine is not None and st.batched is None:
+                return _err(400, "this model does not support text "
+                                 "generation; use /v1/embeddings")
+            return await handler(request)
+        return require_model(wrapped)
 
     # -- info -----------------------------------------------------------------
 
     async def health(request):
         st: ServerState = request.app["state"]
         return web.json_response({
-            "status": "ok" if st.batched is not None else "no_model",
+            "status": "ok" if st.engine is not None else "no_model",
             "model": st.model_name,
         })
 
@@ -402,7 +416,7 @@ def create_app(state: ServerState) -> "web.Application":
 
     # -- completions ------------------------------------------------------------
 
-    @require_model
+    @require_generation
     async def completions(request):
         st: ServerState = request.app["state"]
         try:
@@ -473,7 +487,7 @@ def create_app(state: ServerState) -> "web.Application":
 
     # -- chat ---------------------------------------------------------------------
 
-    @require_model
+    @require_generation
     async def chat_completions(request):
         st: ServerState = request.app["state"]
         try:

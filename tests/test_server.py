@@ -370,3 +370,52 @@ def test_logit_bias(server):
     # greedy + 100-bias: all sampled tokens are id 42's text
     toks = set(d["logprobs"]["tokens"])
     assert len(toks) == 1
+
+
+def test_serve_encoder_only_model(tmp_path):
+    """Embeddings-only serving: an encoder-only model loads, serves
+    /v1/embeddings, and generation endpoints return a clear 400."""
+    import asyncio
+
+    from aiohttp import web
+
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_t5
+
+    path = str(tmp_path / "t5enc.gguf")
+    build_synthetic_t5(path, decoder=False)
+    cfg = ServerConfig(model_path=path, port=_free_port(), max_batch=2,
+                       weight_mode="dequant", warmup=False)
+    state = ServerState(cfg)
+    app = create_app(state)
+    loop = asyncio.new_event_loop()
+    runner = web.AppRunner(app)
+
+    async def start():
+        await runner.setup()
+        site = web.TCPSite(runner, cfg.host, cfg.port)
+        await site.start()
+
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(start(), loop).result(timeout=60)
+    base = f"http://{cfg.host}:{cfg.port}"
+    try:
+        for _ in range(50):
+            try:
+                if requests.get(base + "/health", timeout=2).json()[
+                        "status"] == "ok":
+                    break
+            except requests.ConnectionError:
+                time.sleep(0.1)
+        r = requests.post(base + "/v1/embeddings", json={"input": "hello"})
+        assert r.status_code == 200, r.text
+        assert len(r.json()["data"][0]["embedding"]) == 64
+        r2 = requests.post(base + "/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}]})
+        assert r2.status_code == 400
+        assert "generation" in r2.json()["error"]["message"]
+    finally:
+        asyncio.run_coroutine_threadsafe(runner.cleanup(), loop).result(
+            timeout=10)
+        loop.call_soon_threadsafe(loop.stop)
+        state.shutdown()
