@@ -19,6 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # bfloat16 / float8_* live here
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
 @dataclass
 class _Entry:
     tokens: tuple[int, ...]
@@ -169,13 +178,22 @@ class PromptCache:
         blobs: dict[str, np.ndarray] = {}
         meta = []
         for idx, (key, e) in enumerate(self._entries.items()):
-            meta.append({"tokens": list(key), "hits": e.hits,
-                         "names": sorted(e.arrays)})
+            # store raw bytes + (dtype, shape): npz round-trips ml_dtypes
+            # arrays (bfloat16/float8) as useless void dtypes otherwise
+            meta.append({
+                "tokens": list(key), "hits": e.hits,
+                "arrays": {name: {"dtype": str(arr.dtype),
+                                  "shape": list(arr.shape)}
+                           for name, arr in e.arrays.items()}})
             for name, arr in e.arrays.items():
-                blobs[f"e{idx}.{name}"] = arr
+                blobs[f"e{idx}.{name}"] = np.ascontiguousarray(arr).reshape(
+                    -1).view(np.uint8)
         blobs["__meta__"] = np.frombuffer(
             json.dumps(meta).encode("utf-8"), np.uint8).copy()
-        np.savez(path, **blobs)
+        # write through a file handle: np.savez(str) APPENDS ".npz" to the
+        # filename, which would break round-tripping user-chosen paths
+        with open(path, "wb") as fh:
+            np.savez(fh, **blobs)
         return len(meta)
 
     def load(self, path: str) -> int:
@@ -190,7 +208,11 @@ class PromptCache:
                 key = tuple(m["tokens"])
                 if key in self._entries:
                     continue
-                arrays = {name: z[f"e{idx}.{name}"] for name in m["names"]}
+                arrays = {
+                    name: z[f"e{idx}.{name}"]
+                    .view(_np_dtype(info["dtype"]))
+                    .reshape(info["shape"])
+                    for name, info in m["arrays"].items()}
                 nbytes = sum(a.nbytes for a in arrays.values())
                 self._evict_to(self.max_bytes - nbytes)
                 if self._bytes + nbytes > self.max_bytes:

@@ -169,12 +169,14 @@ class ServerState:
 
 
 def _sampler_from_request(body: dict) -> SamplerConfig:
+    """Raises ValueError on malformed fields (handlers map it to 400)."""
     bias = body.get("logit_bias") or None
     if bias is not None:
         try:
             bias = {int(k): float(v) for k, v in bias.items()}
         except (TypeError, ValueError, AttributeError):
-            bias = None
+            raise ValueError(
+                "logit_bias must map token ids to numeric biases")
     return SamplerConfig(
         logit_bias=bias,
         temperature=float(body.get("temperature", 0.8)),
@@ -443,6 +445,10 @@ def create_app(state: ServerState) -> "web.Application":
                     stop=_stop_list(body),
                     logprobs=_logprobs_arg(body),
                 ))
+        except ValueError as e:  # malformed sampler fields (logit_bias...)
+            for h in handles:
+                h.cancel()
+            return _err(400, str(e))
         except RuntimeError as e:
             for h in handles:  # reap partially-admitted n>1 batches
                 h.cancel()
@@ -539,6 +545,10 @@ def create_app(state: ServerState) -> "web.Application":
                     grammar=g,
                     logprobs=_logprobs_arg(body),
                 ))
+        except ValueError as e:  # malformed sampler fields (logit_bias...)
+            for h in handles:
+                h.cancel()
+            return _err(400, str(e))
         except RuntimeError as e:
             for h in handles:  # reap partially-admitted n>1 batches
                 h.cancel()

@@ -192,3 +192,38 @@ def test_prompt_cache_session_file(tmp_path):
                        sampler=greedy)
     assert out2 == out1
     assert e2.prompt_cache.stats.hits >= 1
+
+
+def test_prompt_cache_session_bf16_and_plain_path(tmp_path):
+    """Session files round-trip non-f32 KV dtypes (bfloat16 used to
+    reload as numpy void and crash restore) and respect the exact path
+    given (np.savez used to append '.npz')."""
+    import os
+
+    import numpy as np
+
+    from fixtures import make_tiny_model
+    from llama_gguf_tpu.engine.engine import Engine, EngineConfig
+    from llama_gguf_tpu.sampling.sampler import SamplerConfig
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    sess = str(tmp_path / "session.bin")  # deliberately not .npz
+    greedy = SamplerConfig(temperature=0.0)
+
+    e1 = Engine.load(path, EngineConfig(
+        weight_mode="dequant", kv_format="bf16", prompt_cache_file=sess))
+    out1 = e1.generate("pack my box with five dozen", max_tokens=6,
+                       sampler=greedy)
+    assert e1.save_prompt_cache() >= 1
+    assert os.path.exists(sess)  # exact path, no .npz appended
+
+    e2 = Engine.load(path, EngineConfig(
+        weight_mode="dequant", kv_format="bf16", prompt_cache_file=sess))
+    assert e2.prompt_cache.entry_count >= 1
+    out2 = e2.generate("pack my box with five dozen", max_tokens=6,
+                       sampler=greedy)
+    assert out2 == out1
+    assert e2.prompt_cache.stats.hits >= 1

@@ -98,3 +98,36 @@ def test_repack_cache_roundtrip(tmp_path):
     params3, _, _ = load_model(path, mode="quant")  # rebuilds
     c2 = RepackCache(path)
     assert c2.valid
+
+
+def test_inline_packing_matches_reference_pack_fns(rng):
+    """repack() packs bit-planes inline in [N, K] orientation for speed;
+    pack_q4_group_split / pack_q6_planes remain the layout REFERENCE —
+    pin that both produce identical bytes so the copies cannot drift."""
+    import numpy as np
+
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.quant import repack as RP
+    from llama_gguf_tpu.quant.quantize import quantize
+
+    n, k = 48, 512
+    x = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+
+    raw4 = quantize(x, GGMLType.Q4_K)
+    rw4 = RP.repack(raw4, GGMLType.Q4_K, (n, k))
+    q, _, _, fmt, group = RP._extract(
+        np.frombuffer(raw4, np.uint8), GGMLType.Q4_K, n, k)
+    assert fmt == "q4"
+    ref = RP.pack_q4_group_split(
+        np.ascontiguousarray(q.T).astype(np.uint8), group)
+    np.testing.assert_array_equal(rw4.packed, ref)
+
+    raw6 = quantize(x, GGMLType.Q6_K)
+    rw6 = RP.repack(raw6, GGMLType.Q6_K, (n, k), allow_q6=True)
+    q6, _, _, fmt6, g6 = RP._extract(
+        np.frombuffer(raw6, np.uint8), GGMLType.Q6_K, n, k, allow_q6=True)
+    assert fmt6 == "q6"
+    p4, p2 = RP.pack_q6_planes(np.ascontiguousarray(q6.T).astype(np.uint8),
+                               g6)
+    np.testing.assert_array_equal(rw6.packed, p4)
+    np.testing.assert_array_equal(rw6.packed2, p2)

@@ -419,3 +419,11 @@ def test_serve_encoder_only_model(tmp_path):
             timeout=10)
         loop.call_soon_threadsafe(loop.stop)
         state.shutdown()
+
+
+def test_logit_bias_invalid_is_400(server):
+    base, _ = server
+    r = requests.post(base + "/v1/completions", json={
+        "prompt": "x", "max_tokens": 2, "logit_bias": {"abc": "high"},
+    })
+    assert r.status_code == 400
