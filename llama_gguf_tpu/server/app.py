@@ -416,6 +416,50 @@ def create_app(state: ServerState) -> "web.Application":
             },
         })
 
+    async def metrics(request):
+        """Prometheus text exposition (llama-server /metrics analogue)."""
+        st: ServerState = request.app["state"]
+        b = st.batched
+        s = b.stats if b else None
+        lines = []
+
+        def gauge(name, help_, value, kind="counter"):
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {value}")
+
+        gauge("llamagguf_requests_submitted_total",
+              "Requests accepted by the scheduler",
+              s.submitted if s else 0)
+        gauge("llamagguf_requests_completed_total",
+              "Requests finished (any reason)", s.completed if s else 0)
+        gauge("llamagguf_requests_rejected_total",
+              "Requests rejected by admission control",
+              s.rejected if s else 0)
+        gauge("llamagguf_tokens_decoded_total",
+              "Tokens sampled across all requests",
+              s.decode_tokens if s else 0)
+        gauge("llamagguf_tokens_prefilled_total",
+              "Prompt tokens written to the KV cache",
+              s.prefill_tokens if s else 0)
+        gauge("llamagguf_decode_steps_total",
+              "Batched decode steps executed", s.decode_steps if s else 0)
+        gauge("llamagguf_mixed_steps_total",
+              "Steps carrying both prefill and decode rows",
+              s.mixed_steps if s else 0)
+        gauge("llamagguf_requests_active", "Requests currently decoding",
+              b.active_count if b else 0, "gauge")
+        gauge("llamagguf_requests_queued", "Requests waiting for a slot",
+              b.queued_count if b else 0, "gauge")
+        gauge("llamagguf_decode_tokens_per_second",
+              "Pure-decode throughput since start",
+              round(s.decode_tps, 3) if s else 0.0, "gauge")
+        gauge("llamagguf_model_loaded",
+              "1 when a model is serving", int(st.engine is not None),
+              "gauge")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain", charset="utf-8")
+
     # -- completions ------------------------------------------------------------
 
     @require_generation
@@ -720,6 +764,7 @@ def create_app(state: ServerState) -> "web.Application":
     app.router.add_post("/v1/rag/search", rag_search)
     app.router.add_post("/v1/rag/query", rag_query)
     app.router.add_get("/health", health)
+    app.router.add_get("/metrics", metrics)
     app.router.add_get("/v1/models", models)
     app.router.add_get("/v1/queue", queue_status)
     app.router.add_post("/v1/completions", completions)

@@ -427,3 +427,15 @@ def test_logit_bias_invalid_is_400(server):
         "prompt": "x", "max_tokens": 2, "logit_bias": {"abc": "high"},
     })
     assert r.status_code == 400
+
+
+def test_metrics_endpoint(server):
+    """Prometheus /metrics (llama-server analogue)."""
+    base, _ = server
+    r = requests.get(base + "/metrics")
+    assert r.status_code == 200
+    assert r.headers["Content-Type"].startswith("text/plain")
+    body = r.text
+    assert "llamagguf_requests_completed_total" in body
+    assert "# TYPE llamagguf_requests_active gauge" in body
+    assert "llamagguf_model_loaded 1" in body
