@@ -416,6 +416,31 @@ def create_app(state: ServerState) -> "web.Application":
             },
         })
 
+    async def props(request):
+        """Model/server properties (llama-server /props analogue)."""
+        st: ServerState = request.app["state"]
+        cfg = None
+        if st.engine is not None:
+            r = st.engine.runner
+            t5 = st.engine.t5
+            cfg = (r.cfg if r is not None
+                   else t5.cfg if t5 is not None
+                   else st.engine.encoder.cfg
+                   if st.engine.encoder is not None else None)
+        return web.json_response({
+            "model": st.model_name,
+            "arch": cfg.arch if cfg else None,
+            "n_ctx": (st.engine.runner.max_seq
+                      if st.engine is not None and st.engine.runner
+                      else (cfg.max_seq_len if cfg else 0)),
+            "n_layers": cfg.num_layers if cfg else 0,
+            "n_embd": cfg.hidden_size if cfg else 0,
+            "n_vocab": cfg.vocab_size if cfg else 0,
+            "max_batch": st.config.max_batch,
+            "supports_generation": st.batched is not None,
+            "loaded_at": st.loaded_at,
+        })
+
     async def metrics(request):
         """Prometheus text exposition (llama-server /metrics analogue)."""
         st: ServerState = request.app["state"]
@@ -505,6 +530,8 @@ def create_app(state: ServerState) -> "web.Application":
             return await _sse(request, _completion_chunks(
                 st, rid, created, handle))
         texts = [await asyncio.to_thread(h.text, 600) for h in handles]
+        if body.get("echo") and isinstance(prompt, str):
+            texts = [prompt + t for t in texts]
         return web.json_response({
             "id": rid, "object": "text_completion", "created": created,
             "model": st.model_name,
@@ -765,6 +792,7 @@ def create_app(state: ServerState) -> "web.Application":
     app.router.add_post("/v1/rag/query", rag_query)
     app.router.add_get("/health", health)
     app.router.add_get("/metrics", metrics)
+    app.router.add_get("/props", props)
     app.router.add_get("/v1/models", models)
     app.router.add_get("/v1/queue", queue_status)
     app.router.add_post("/v1/completions", completions)

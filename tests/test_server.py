@@ -439,3 +439,15 @@ def test_metrics_endpoint(server):
     assert "llamagguf_requests_completed_total" in body
     assert "# TYPE llamagguf_requests_active gauge" in body
     assert "llamagguf_model_loaded 1" in body
+
+
+def test_props_and_echo(server):
+    base, _ = server
+    p = requests.get(base + "/props").json()
+    assert p["arch"] == "qwen2" and p["n_embd"] == 64
+    assert p["supports_generation"] is True
+    body = {"prompt": "Once", "max_tokens": 4, "temperature": 0.0}
+    plain = requests.post(base + "/v1/completions", json=body).json()
+    echoed = requests.post(base + "/v1/completions",
+                           json={**body, "echo": True}).json()
+    assert echoed["choices"][0]["text"] == "Once" + plain["choices"][0]["text"]
