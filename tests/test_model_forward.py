@@ -246,11 +246,12 @@ def test_tied_quant_output_head(tmp_path, rng):
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("preset", ["tiny-moe", "tiny-qwen3next"])
+@pytest.mark.parametrize("preset",
+                         ["tiny-moe", "tiny-qwen3next", "tiny-falconh1"])
 def test_moe_hybrid_quant_close_to_dequant(tmp_path, rng, preset):
-    """Quantized MoE expert stacks / DeltaNet projections (XLA fallback
-    path on CPU) stay close to the f32 oracle for the Mixtral-convention
-    and Qwen3Next-convention synthetic presets."""
+    """Quantized MoE expert stacks / DeltaNet projections / Falcon-H1
+    parallel attn+mamba2 mixers (XLA fallback path on CPU) stay close to
+    the f32 oracle for the synthetic presets."""
     from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
 
     path = str(tmp_path / f"{preset}.gguf")
