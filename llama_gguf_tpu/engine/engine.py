@@ -431,7 +431,7 @@ class Engine:
                 from ..models import kv as KV
 
                 n = max(self.runner.max_seq // 4, 1)
-                kv = KV.shift_left(kv, n, rope_cfg=self.runner.cfg.rope)
+                kv = KV.shift_left(kv, n, model_cfg=self.runner.cfg)
                 pos -= n
             logits, kv = self.runner.decode_one(tok, pos, kv)
             pos += 1

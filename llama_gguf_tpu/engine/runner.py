@@ -84,8 +84,15 @@ class ModelRunner:
         self.swa_layers = tuple(cfg.layer_is_swa(i)
                                 for i in range(cfg.num_layers))
         self.ring_slots = 0
-        if swa_ring and cfg.swa_pattern > 1 and any(self.swa_layers):
+        if swa_ring and cfg.swa_pattern > 1 and any(self.swa_layers) \
+                and KV.ring_format_ok(kv_format):
             want = -(-cfg.sliding_window // 128) * 128 + swa_ring_extra
+            if want - abs(cfg.sliding_window) + 1 < PREFILL_BUCKETS[0]:
+                raise ValueError(
+                    f"SWA ring headroom too small: ring of {want} slots "
+                    f"leaves {want - abs(cfg.sliding_window) + 1} safe "
+                    f"prefill tokens (< {PREFILL_BUCKETS[0]}); raise "
+                    "swa_ring_extra or pass swa_ring=False")
             if want < self.max_seq:
                 self.ring_slots = want
         self._steps: dict[tuple[int, int], Any] = {}

@@ -191,6 +191,30 @@ class ModelConfig:
             return True
         return i % self.swa_pattern != self.swa_pattern - 1
 
+    def layer_rope(self, i: int) -> "RopeConfig | None":
+        """The RoPE actually applied to layer i's keys, or None for a NoPE
+        layer. Single source of truth for the forward pass AND for
+        context-shift re-rotation (kv.shift_left) — per-layer because of
+        periodic NoPE intervals (smollm3/llama4), NoPE global layers
+        (cohere2/exaone4) and dual-base SWA layers (gemma3)."""
+        if self.rope.n_dims <= 0:
+            return None
+        if self.nope_layer_interval > 0 and \
+                (i + 1) % self.nope_layer_interval == 0:
+            return None
+        is_swa = self.layer_is_swa(i)
+        if self.nope_global_layers and self.sliding_window > 0 and \
+                not is_swa:
+            return None
+        if is_swa and self.rope_freq_base_swa > 0:
+            # gemma3: local layers rope at 10k unscaled, globals at 1M+scale
+            import dataclasses
+
+            return dataclasses.replace(
+                self.rope, freq_base=self.rope_freq_base_swa,
+                freq_scale=1.0, scaling_type=RopeScalingType.NONE)
+        return self.rope
+
 
 def _get_int(md: Mapping[str, Any], key: str, default: int | None = None) -> int | None:
     v = md.get(key)

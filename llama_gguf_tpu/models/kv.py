@@ -44,6 +44,12 @@ _STORE_DTYPE = {
 }
 
 
+def ring_format_ok(fmt) -> bool:
+    """KV formats the SWA ring cache supports (single source of truth:
+    quantized/scale-carrying formats keep the plain padded layout)."""
+    return fmt in (None, "f32", "bf16", "f8_e4m3", "f8_e5m2")
+
+
 def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
                head_dim: int, dtype=jnp.float32, v_head_dim: int | None = None,
                fmt: str | None = None, swa_layers: tuple = (),
@@ -65,7 +71,7 @@ def init_cache(num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
     # empty — fall back to the plain cache there
     use_ring = (ring_slots > 0 and any(swa_layers)
                 and not all(swa_layers)
-                and fmt in (None, "f32", "bf16", "f8_e4m3", "f8_e5m2")
+                and ring_format_ok(fmt)
                 and ring_slots < max_seq)
     if use_ring:
         n_full = sum(not s for s in swa_layers)
@@ -316,13 +322,20 @@ def batch_slice(kv: dict[str, Any], idx: jnp.ndarray) -> dict[str, Any]:
 
 
 def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
-               batch_idx: int | None = None) -> dict[str, Any]:
+               batch_idx: int | None = None, model_cfg=None) -> dict[str, Any]:
     """Drop the first ``n`` cache positions and slide the rest left.
 
     Stored keys are post-RoPE; sliding a key from position p to p-n must
-    re-rotate it by -n*theta, which is a linear rotation — applied here when
-    ``rope_cfg`` is given (the reference's memmove skips this and decodes
-    against stale rotations). The caller subtracts n from its lengths.
+    re-rotate it by -n*theta, which is a linear rotation — applied here
+    (the reference's memmove skips this and decodes against stale
+    rotations). The caller subtracts n from its lengths.
+
+    Pass ``model_cfg`` (a ModelConfig) for correct PER-LAYER handling:
+    NoPE layers are not re-rotated, dual-base SWA layers re-rotate at
+    their own frequency base, and MLA latents re-rotate only the trailing
+    rope dims of the cached [c_kv | k_rope] vector. ``rope_cfg`` alone
+    applies one homogeneous rotation to every layer (legacy).
+    ``batch_idx`` shifts (and re-rotates) only that batch row.
     """
     if "k_swa" in kv:
         raise ValueError(
@@ -331,44 +344,67 @@ def shift_left(kv: dict[str, Any], n: int, rope_cfg=None,
             "swa_ring=False to use context shift")
     kv = dict(kv)
     fmt = cache_format(kv)
+
+    def only_row(orig, new):
+        if batch_idx is None:
+            return new
+        return orig.at[batch_idx].set(new[batch_idx])
+
     for key in ("k", "v", "k_scale", "v_scale"):
         if key not in kv:
             continue
-
-        def roll_one(a):
-            rolled = jnp.roll(a, -n, axis=1)
-            if batch_idx is None:
-                return rolled
-            return a.at[batch_idx].set(rolled[batch_idx])
-
-        kv[key] = tuple(roll_one(a) for a in kv[key])
+        kv[key] = tuple(only_row(a, jnp.roll(a, -n, axis=1))
+                        for a in kv[key])
     if fmt == "tq":
         # TurboQuant keys are stored Hadamard-rotated+packed; shift without
         # RoPE re-rotation (the approximation the reference memmove makes)
         return kv
-    if rope_cfg is not None and rope_cfg.n_dims > 0:
-        from ..ops.rope import rerotate_keys
 
-        if fmt == "i8":
-            # rotate in float then requantize with the existing scales
-            new_k, new_s = [], []
-            for k, s in zip(kv["k"], kv["k_scale"]):
-                kf = k.astype(jnp.float32) * s[..., None]
-                kf = rerotate_keys(kf, -n, rope_cfg)
-                amax = jnp.max(jnp.abs(kf), axis=-1)
-                scale = amax / 127.0
-                inv = jnp.where(scale > 0,
-                                1.0 / jnp.maximum(scale, 1e-30), 0.0)
-                new_k.append(jnp.clip(jnp.round(kf * inv[..., None]),
-                                      -127, 127).astype(jnp.int8))
-                new_s.append(scale)
-            kv["k"] = tuple(new_k)
-            kv["k_scale"] = tuple(new_s)
-        else:
-            kv["k"] = tuple(
-                rerotate_keys(k.astype(jnp.float32), -n,
-                              rope_cfg).astype(k.dtype)
-                for k in kv["k"])
+    num_layers = len(kv["k"])
+
+    def layer_rope(i):
+        if model_cfg is not None:
+            return model_cfg.layer_rope(i)
+        return rope_cfg if rope_cfg is not None and rope_cfg.n_dims > 0 \
+            else None
+
+    # MLA caches hold [c_kv | k_rope]: only the trailing rope dims rotate
+    rank = getattr(model_cfg, "kv_lora_rank", 0) if model_cfg else 0
+
+    from ..ops.rope import rerotate_keys
+
+    def rerot(kf, rcfg):
+        if rank > 0:
+            tail = rerotate_keys(kf[..., rank:], -n, rcfg)
+            return jnp.concatenate([kf[..., :rank], tail], axis=-1)
+        return rerotate_keys(kf, -n, rcfg)
+
+    if fmt == "i8":
+        # rotate in float then requantize (same rule as _quantize_i8)
+        new_k, new_s = [], []
+        for i, (k, s) in enumerate(zip(kv["k"], kv["k_scale"])):
+            rcfg = layer_rope(i)
+            if rcfg is None:
+                new_k.append(k)
+                new_s.append(s)
+                continue
+            kf = rerot(k.astype(jnp.float32) * s[..., None], rcfg)
+            q, scale = _quantize_i8(kf)
+            new_k.append(only_row(k, q))
+            new_s.append(only_row(s, scale))
+        kv["k"] = tuple(new_k)
+        kv["k_scale"] = tuple(new_s)
+    else:
+        new_k = []
+        for i, k in enumerate(kv["k"]):
+            rcfg = layer_rope(i)
+            if rcfg is None:
+                new_k.append(k)
+                continue
+            new_k.append(only_row(
+                k, rerot(k.astype(jnp.float32), rcfg).astype(k.dtype)))
+        kv["k"] = tuple(new_k)
+    del num_layers
     return kv
 
 

@@ -177,21 +177,9 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     window = cfg.sliding_window if is_swa else 0
     if window and cfg.swa_chunked:
         window = -window  # chunked-attention encoding (ops/attention)
-    use_rope = cfg.rope.n_dims > 0 and not (
-        cfg.nope_global_layers and cfg.sliding_window > 0 and not is_swa)
-    if cfg.nope_layer_interval > 0 and \
-            (layer_idx + 1) % cfg.nope_layer_interval == 0:
-        use_rope = False  # smollm3/llama4 periodic NoPE layers
+    rope_cfg = cfg.layer_rope(layer_idx)  # None = NoPE layer
+    use_rope = rope_cfg is not None
     if use_rope:
-        rope_cfg = cfg.rope
-        if is_swa and cfg.rope_freq_base_swa > 0:
-            # gemma3: local layers rope at 10k unscaled, globals at 1M+scaling
-            import dataclasses
-
-            from .config import RopeScalingType
-            rope_cfg = dataclasses.replace(
-                cfg.rope, freq_base=cfg.rope_freq_base_swa, freq_scale=1.0,
-                scaling_type=RopeScalingType.NONE)
         cos, sin = rope_cos_sin(positions, rope_cfg)  # [B, T, nd/2]
         q = apply_rope(q, cos, sin, rope_cfg)
         k = apply_rope(k, cos, sin, rope_cfg)
@@ -249,6 +237,10 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
             raise ValueError(
                 "kv_format=qjl cannot represent attention sinks "
                 "(scores are sign-sketch estimates); use another format")
+        if cfg.uses_alibi:
+            raise ValueError(
+                "kv_format=qjl does not support ALiBi position biases "
+                "(bloom/mpt); use another kv format")
         from ..ops.attention import qjl_attention
 
         s_cap = kv["k"][0].shape[1]

@@ -103,16 +103,23 @@ def dense_attention(qg, keys, vals, positions, lengths, *, scale: float,
 
 def chunked_attention(qg, keys, vals, positions, lengths, *, scale: float,
                       softcap: float = 0.0, sliding_window: int = 0,
-                      alibi: bool = False, block: int = DEFAULT_BLOCK):
+                      alibi: bool = False, sinks=None,
+                      block: int = DEFAULT_BLOCK):
     """Flash-style attention over KV blocks with online softmax.
 
-    Same signature/result as dense_attention (no sinks support — callers
-    fall back to dense). Peak intermediate is [B,T,K,R,block] instead of
-    [B,T,K,R,S]."""
+    Same signature/result as dense_attention: sinks join the running
+    denominator at the end (exp(sink - m) per head). Peak intermediate is
+    [B,T,K,R,block] instead of [B,T,K,R,S]."""
     b, t, k, r, d = qg.shape
     s = keys.shape[1]
     if s % block:
-        block = s  # degenerate: single block
+        # pad S up to a block multiple: padded slots carry key position
+        # >= s >= lengths, so _mask_block removes them — keeping the
+        # O(T*block) memory bound for any cache length
+        pad = block - s % block
+        keys = jnp.pad(keys, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        s += pad
     nblk = s // block
     dv = vals.shape[-1]
 
@@ -147,6 +154,16 @@ def chunked_attention(qg, keys, vals, positions, lengths, *, scale: float,
 
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0),
                                   jnp.arange(nblk, dtype=jnp.int32))
+    if sinks is not None:
+        # gpt-oss attention sinks: one extra constant logit per head joins
+        # the softmax denominator (it contributes no value vector); fold it
+        # into the running max so a large sink cannot overflow the exp
+        sk = jnp.broadcast_to(sinks.reshape(1, 1, k, r), m.shape)
+        safe_m = jnp.where(m == NEG_INF, 0.0, m)
+        m2 = jnp.maximum(safe_m, sk)
+        alpha = jnp.exp(safe_m - m2)
+        l = l * alpha + jnp.exp(sk - m2)
+        acc = acc * alpha[..., None]
     return acc / jnp.maximum(l[..., None], 1e-30)
 
 
@@ -181,11 +198,12 @@ def attention_scores(qg, keys, vals, positions, lengths, *, scale: float,
     Ring caches (key_positions given) are window-sized, so always dense."""
     b, t, k, r, _ = qg.shape
     s = keys.shape[1]
-    if key_positions is None and sinks is None and \
+    if key_positions is None and \
             b * t * k * r * s > CHUNK_THRESHOLD and s >= 2 * DEFAULT_BLOCK:
         return chunked_attention(qg, keys, vals, positions, lengths,
                                  scale=scale, softcap=softcap,
-                                 sliding_window=sliding_window, alibi=alibi)
+                                 sliding_window=sliding_window, alibi=alibi,
+                                 sinks=sinks)
     return dense_attention(qg, keys, vals, positions, lengths, scale=scale,
                            softcap=softcap, sliding_window=sliding_window,
                            sinks=sinks, alibi=alibi,

@@ -131,3 +131,38 @@ def test_alibi_dense_chunked_match():
     # slopes: power-of-two head count is the textbook geometric sequence
     np.testing.assert_allclose(np.asarray(alibi_slopes(8)),
                                [2.0 ** (-i) for i in range(1, 9)], rtol=1e-6)
+
+
+def test_chunked_sinks_match_dense(rng):
+    """Chunked online-softmax with attention sinks (gpt-oss) must equal
+    the dense path — sinks used to force the dense fallback, which OOMs
+    at long prefill."""
+    qg, keys, vals, pos, lens = make_inputs(rng)
+    k, r = qg.shape[2], qg.shape[3]
+    sinks = jnp.asarray(rng.normal(size=(k, r)).astype(np.float32) * 3.0)
+    dense = A.dense_attention(qg, keys, vals, pos, lens, scale=0.35,
+                              sinks=sinks)
+    chunk = A.chunked_attention(qg, keys, vals, pos, lens, scale=0.35,
+                                sinks=sinks, block=16)
+    assert np.allclose(np.asarray(dense), np.asarray(chunk), atol=1e-5)
+    # huge sink: must not overflow the running exp
+    big = jnp.full((k, r), 80.0, jnp.float32)
+    chunk2 = A.chunked_attention(qg, keys, vals, pos, lens, scale=0.35,
+                                 sinks=big, block=16)
+    assert np.isfinite(np.asarray(chunk2)).all()
+
+
+def test_chunked_non_multiple_s_keeps_block(rng):
+    """S not divisible by the block must PAD (masked tail), not degrade to
+    a single full-size block."""
+    b, t, k, r, d, dv = 1, 3, 2, 2, 16, 16
+    s = 50  # not a multiple of 16
+    qg = jnp.asarray(rng.normal(size=(b, t, k, r, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, s, k, d)).astype(np.float32))
+    vals = jnp.asarray(rng.normal(size=(b, s, k, dv)).astype(np.float32))
+    pos = jnp.asarray(np.arange(40, 40 + t, dtype=np.int32)[None])
+    lens = jnp.asarray(np.array([40 + t], np.int32))
+    dense = A.dense_attention(qg, keys, vals, pos, lens, scale=0.3)
+    chunk = A.chunked_attention(qg, keys, vals, pos, lens, scale=0.3,
+                                block=16)
+    assert np.allclose(np.asarray(dense), np.asarray(chunk), atol=1e-5)

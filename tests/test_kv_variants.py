@@ -287,3 +287,58 @@ def test_swa_ring_rejects_context_shift(tmp_path):
     kv = r.init_kv()
     with pytest.raises(ValueError, match="context shift"):
         KV.shift_left(kv, 4, cfg.rope)
+
+
+def test_shift_left_per_layer_rope():
+    """Per-layer context shift (model_cfg path): NoPE layers must NOT be
+    re-rotated (roll only), roped layers must; MLA latents rotate only
+    the trailing rope dims. Regression: one homogeneous rope_cfg used to
+    rotate every layer."""
+    from llama_gguf_tpu.models.config import ModelConfig
+    from llama_gguf_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    rope = RopeConfig(freq_base=10000.0, n_dims=16, rope_type=RopeType.NEOX)
+    cfg = ModelConfig(arch="smollm3", vocab_size=8, hidden_size=32,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      intermediate_size=32, max_seq_len=8, rope=rope,
+                      nope_layer_interval=2)  # layer 1 ((1+1)%2==0) is NoPE
+    rng = np.random.default_rng(1)
+    raw_k = rng.normal(size=(1, 6, 2, 16)).astype(np.float32)
+    pos = np.arange(6, dtype=np.int32)[None]
+
+    def roped(k, positions):
+        cos, sin = rope_cos_sin(jnp.asarray(positions), rope)
+        return apply_rope(jnp.asarray(k), cos, sin, rope)
+
+    kv = KV.init_cache(2, 1, 8, 2, 16, fmt="f32")
+    kv = KV.write(kv, 0, roped(raw_k, pos), jnp.asarray(raw_k),
+                  jnp.asarray(pos))
+    kv = KV.write(kv, 1, jnp.asarray(raw_k), jnp.asarray(raw_k),
+                  jnp.asarray(pos))  # NoPE layer stores raw keys
+    shifted = KV.shift_left(kv, 2, model_cfg=cfg)
+
+    k0, _ = KV.read(shifted, 0)
+    expect0 = roped(raw_k[:, 2:6], pos[:, :4])
+    assert np.allclose(np.asarray(k0[0, :4]), np.asarray(expect0[0]),
+                       atol=1e-4)
+    k1, _ = KV.read(shifted, 1)
+    # NoPE layer: keys just slide, bit-identical
+    assert np.allclose(np.asarray(k1[0, :4]), raw_k[0, 2:6], atol=0)
+
+
+def test_shift_left_batch_idx_leaves_other_rows():
+    """batch_idx shift must not roll OR re-rotate the other rows."""
+    rope = RopeConfig(freq_base=10000.0, n_dims=16, rope_type=RopeType.NEOX)
+    rng = np.random.default_rng(2)
+    raw = rng.normal(size=(2, 6, 2, 16)).astype(np.float32)
+    pos = np.tile(np.arange(6, dtype=np.int32), (2, 1))
+    kv = KV.init_cache(1, 2, 8, 2, 16, fmt="f32")
+    kv = KV.write(kv, 0, jnp.asarray(raw), jnp.asarray(raw),
+                  jnp.asarray(pos))
+    before_row1 = np.asarray(kv["k"][0][1]).copy()
+    shifted = KV.shift_left(kv, 2, rope_cfg=rope, batch_idx=0)
+    after_row1 = np.asarray(shifted["k"][0][1])
+    assert np.array_equal(before_row1, after_row1)
+    # row 0 did shift
+    assert not np.array_equal(np.asarray(kv["k"][0][0]),
+                              np.asarray(shifted["k"][0][0]))
