@@ -122,6 +122,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-elements", type=int, default=None)
     _add_common(p)
 
+    p = sub.add_parser("tokenize",
+                       help="tokenize text / detokenize ids (debugging)")
+    p.add_argument("model", help="path to .gguf model")
+    p.add_argument("-p", "--prompt", default=None,
+                   help="text to tokenize (default: stdin)")
+    p.add_argument("--ids", default=None,
+                   help="comma-separated ids to DEtokenize instead")
+    p.add_argument("--no-bos", action="store_true",
+                   help="do not add the BOS token")
+    _add_common(p)
+
     p = sub.add_parser("sysinfo", help="show JAX devices / TPU topology")
     _add_common(p)
 
@@ -761,8 +772,27 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_tokenize(args) -> int:
+    """llama-tokenize analogue: ids + per-token pieces, or detokenize."""
+    from .gguf.reader import GGUFFile
+    from .tokenizer.gguf_tokenizer import Tokenizer
+
+    tok = Tokenizer.from_gguf(GGUFFile.open(args.model).metadata)
+    if args.ids is not None:
+        ids = [int(x) for x in args.ids.replace(",", " ").split()]
+        print(tok.decode(ids))
+        return 0
+    text = args.prompt if args.prompt is not None else sys.stdin.read()
+    ids = tok.encode(text, add_bos=False if args.no_bos else None)
+    for i in ids:
+        print(f"{i:>8} -> {tok.decode([i])!r}")
+    print(f"total: {len(ids)} tokens")
+    return 0
+
+
 COMMANDS = {
     "info": cmd_info, "run": cmd_run, "chat": cmd_chat, "serve": cmd_serve,
+    "tokenize": cmd_tokenize,
     "quantize": cmd_quantize, "sysinfo": cmd_sysinfo, "bench": cmd_bench,
     "perplexity": cmd_perplexity, "embed": cmd_embed, "download": cmd_download, "models": cmd_models,
     "rag": cmd_rag, "init-config": cmd_init_config, "manpages": cmd_manpages,

@@ -267,3 +267,17 @@ def test_parity_runbook_harness(tmp_path, monkeypatch):
     our_ppl = mod.ours_ppl(engine, ppl_file.read_text(), 64)
     their_ppl = b.ppl(str(ppl_file), 64)
     assert abs(our_ppl - their_ppl) / their_ppl < 1e-6
+
+
+def test_cli_tokenize(tmp_path, capsys):
+    from fixtures import make_tiny_model
+    from llama_gguf_tpu.cli import main
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=288, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=96, seed=11,
+                    tokenizer=True)
+    assert main(["tokenize", path, "-p", "hello"]) == 0
+    out = capsys.readouterr().out
+    assert "total:" in out and "->" in out
+    assert main(["tokenize", path, "--ids", "5,9"]) == 0
