@@ -156,9 +156,6 @@ def main():
     # traffic on q4 layouts (~25% of the read); bf16 halves that at ~0.4%
     # relative dequant error — the bench already trades exactness for speed
     # with matmul_precision="default" (llama.cpp-parity runs use f32/highest).
-    # Q6_K stays on the int8 layout: the q6 plane kernel reads less but its
-    # VPU unpack costs more than the bandwidth saves on this chip (8B A/B:
-    # 77.2 vs 56.9 tok/s).
     params, cfg, gguf = load_model(path, mode=mode, scale_dtype="bfloat16")
     qtypes = {}
     for info in gguf.tensors.values():

@@ -333,17 +333,30 @@ def cmd_info(args) -> int:
         for info in g.tensors.values():
             by_type[info.ggml_type.name] = by_type.get(info.ggml_type.name, 0) + 1
             total_bytes += info.nbytes
+        # IQ1_S/IQ1_M decode to zeros here (the iq1s grid codebook is not
+        # obtainable offline) — a loadable-but-garbage file must be flagged
+        iq1_types = sorted(t for t in by_type if t in ("IQ1_S", "IQ1_M"))
         if args.json_out:
             meta = {k: (v.tolist() if hasattr(v, "tolist") else v)
                     for k, v in g.metadata.items()
                     if not k.startswith("tokenizer.")}
-            print(json.dumps({
+            out = {
                 "path": args.model, "version": g.version,
                 "tensor_count": len(g.tensors), "data_bytes": total_bytes,
                 "types": by_type, "metadata": meta,
-            }, default=str))
+            }
+            if iq1_types:
+                out["warnings"] = [
+                    f"{t} tensors decode to ZEROS (iq1 grid unavailable); "
+                    "generation from this file will be garbage"
+                    for t in iq1_types]
+            print(json.dumps(out, default=str))
             return 0
         print(f"GGUF v{g.version}  {args.model}")
+        if iq1_types:
+            print(f"  WARNING      : {'/'.join(iq1_types)} tensors decode "
+                  "to ZEROS (iq1 grid unavailable) — generation from this "
+                  "file will be garbage")
         arch = g.metadata.get("general.architecture", "?")
         print(f"  architecture : {arch}")
         for key in ("general.name", f"{arch}.block_count",

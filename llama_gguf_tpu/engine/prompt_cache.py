@@ -214,6 +214,11 @@ class PromptCache:
                     .reshape(info["shape"])
                     for name, info in m["arrays"].items()}
                 nbytes = sum(a.nbytes for a in arrays.values())
+                if nbytes > self.max_bytes:
+                    # mirror put(): an oversized entry must not pass a
+                    # negative budget to _evict_to (it would evict everything
+                    # and then skip the add anyway)
+                    continue
                 self._evict_to(self.max_bytes - nbytes)
                 if self._bytes + nbytes > self.max_bytes:
                     continue

@@ -66,14 +66,13 @@ class ModelLoader:
                             else jnp.float32)
         self.config = parse_config(gguf.metadata, gguf.tensors)
         self._put = to_device or (lambda arr, name: jnp.asarray(arr))
-        self._q6 = os.environ.get("LLAMA_GGUF_Q6_LAYOUT", "0") == "1"
         self.repack_cache = None
         if mode == "quant" and gguf.path and os.path.exists(gguf.path):
             from ..quant.repack_cache import open_cache
 
             # mmap-able sidecar of the repacked layouts: first quant load
             # writes it, later loads skip the minutes of numpy bit plumbing
-            self.repack_cache = open_cache(gguf.path, q6=self._q6)
+            self.repack_cache = open_cache(gguf.path)
 
     # -- tensor access -------------------------------------------------------
 
@@ -130,15 +129,8 @@ class ModelLoader:
         # tile the shape, so the only requirement is the repack block size
         if self.mode == "quant" and t in _QUANTIZED_KEEP and len(nk) == 2 \
                 and nk[1] % 32 == 0:
-            # q6 plane layout reads ~25% fewer bytes for Q6_K but its 2-bit
-            # unpack is VPU-bound: measured on this chip, Llama-3-8B decode
-            # is 77.2 tok/s with Q6_K as int8 vs 56.9 with q6 planes — the
-            # arithmetic costs more than the bandwidth saves. Off by
-            # default; LLAMA_GGUF_Q6_LAYOUT=1 opts in (may win on hardware
-            # with a healthier VPU:HBM ratio).
             rw = self._repack_cached(
-                wname, lambda: repack(self.gguf.tensor_bytes(wname), t, nk,
-                                      allow_q6=self._q6))
+                wname, lambda: repack(self.gguf.tensor_bytes(wname), t, nk))
             return self._quant_linear(rw, wname, t.name, bias)
         w = self.dense(wname)
         if len(nk) != 2:
@@ -159,8 +151,6 @@ class ModelLoader:
             bias=bias,
             fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n,
             source_type=source_type,
-            packed2=self._put(rw.packed2, name)
-            if rw.packed2 is not None else None,
         )
 
     def _repack_cached(self, key: str, compute):
@@ -423,7 +413,7 @@ class ModelLoader:
                 rw = self._repack_cached(
                     f"{name}#{i}",
                     lambda i=i: repack(raw[i * per: (i + 1) * per], t,
-                                       (n_out, k_in), allow_q6=False))
+                                       (n_out, k_in)))
                 packs.append(rw.packed)
                 scales.append(rw.scales)
                 mins.append(rw.mins)
@@ -529,8 +519,7 @@ class ModelLoader:
                 rw = self._repack_cached(
                     emb_name + "@out",
                     lambda: repack(self.gguf.tensor_bytes(emb_name),
-                                   emb_info.ggml_type, emb_info.np_shape,
-                                   allow_q6=self._q6))
+                                   emb_info.ggml_type, emb_info.np_shape))
                 params["output"] = self._quant_linear(
                     rw, emb_name, emb_info.ggml_type.name)
             else:

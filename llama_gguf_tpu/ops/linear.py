@@ -9,12 +9,12 @@ repacked at load time into two canonical device layouts
           uint8 [K/2, N]: within each scale group, byte j holds elements j
           and j+group/2 — unpacking yields two contiguous panels per group
           (no sublane interleave) and every K-tile is self-contained.
-  * "q6": 6-bit values (Q6_K) split into a 4-bit plane [K/2, N] plus a
-          2-bit plane [K/4, N] in a GLOBAL quarter-major element order (see
-          quant/repack.pack_q6_planes) — keeps Q6_K weights at ~6 bits in
-          HBM instead of inflating to int8 (1.33x less traffic on the
-          lm_head and ffn_down tensors of a Q4_K_M model).
   * "q8": int8 [K, N].
+
+(A third "q6" plane layout — 4-bit + 2-bit planes keeping Q6_K at ~6.6 bits
+in HBM — was built and measured in round 2 and DELETED in round 3: its
+2-bit unpack is VPU-bound on v5e and lost 26% end-to-end at 8B despite
+reading 25% fewer bytes. See docs/PERFORMANCE.md.)
 
 plus per-group scale (and optional min) panels [K/group, N]. The affine "min"
 term is factored out of the kernel entirely:
@@ -44,30 +44,27 @@ import numpy as np
 class QuantLinear:
     """Quantized weight for y = x @ W with W logically [K, N] (in, out)."""
 
-    packed: Any  # uint8 [K/2, N] for q4/q6 (4-bit plane); int8 [K, N] for q8
+    packed: Any  # uint8 [K/2, N] for q4; int8 [K, N] for q8
     scales: Any  # [K/group, N] float32 or bfloat16
     mins: Any | None  # [K/group, N] or None (symmetric)
     bias: Any | None
-    fmt: str = field(metadata=dict(static=True), default="q8")  # q4|q6|q8
+    fmt: str = field(metadata=dict(static=True), default="q8")  # q4|q8
     group: int = field(metadata=dict(static=True), default=32)
     k: int = field(metadata=dict(static=True), default=0)
     n: int = field(metadata=dict(static=True), default=0)
     source_type: str = field(metadata=dict(static=True), default="")
     # output-slice boundaries of a fused projection (static metadata)
     splits: tuple | None = field(metadata=dict(static=True), default=None)
-    packed2: Any | None = None  # q6 only: 2-bit plane uint8 [K/4, N]
 
     def tree_flatten(self):
-        children = (self.packed, self.scales, self.mins, self.bias,
-                    self.packed2)
+        children = (self.packed, self.scales, self.mins, self.bias)
         aux = (self.fmt, self.group, self.k, self.n, self.source_type,
                self.splits)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        packed, scales, mins, bias, packed2 = children
-        return cls(packed, scales, mins, bias, *aux, packed2=packed2)
+        return cls(*children, *aux)
 
     @property
     def shape(self):
@@ -206,8 +203,6 @@ def fuse_linears(lins: list) -> Any | None:
     scales = jnp.concatenate([l.scales for l in lins], axis=1)
     mins = (jnp.concatenate([l.mins for l in lins], axis=1)
             if all(has_mins) else None)
-    packed2 = (jnp.concatenate([l.packed2 for l in lins], axis=1)
-               if first.fmt == "q6" else None)
     biases = [l.bias for l in lins]
     if any(b is not None for b in biases):
         parts = [b if b is not None else jnp.zeros((l.n,), jnp.float32)
@@ -217,8 +212,7 @@ def fuse_linears(lins: list) -> Any | None:
         bias = None
     return QuantLinear(packed, scales, mins, bias, first.fmt, first.group,
                        first.k, sum(l.n for l in lins),
-                       first.source_type, splits=tuple(l.n for l in lins),
-                       packed2=packed2)
+                       first.source_type, splits=tuple(l.n for l in lins))
 
 
 def unfuse_linear(lin, splits: list[int]) -> list:
@@ -235,9 +229,7 @@ def unfuse_linear(lin, splits: list[int]) -> list:
                 lin.packed[:, a:b], lin.scales[:, a:b],
                 lin.mins[:, a:b] if lin.mins is not None else None,
                 lin.bias[a:b] if lin.bias is not None else None,
-                lin.fmt, lin.group, lin.k, int(b - a), lin.source_type,
-                packed2=lin.packed2[:, a:b]
-                if lin.packed2 is not None else None))
+                lin.fmt, lin.group, lin.k, int(b - a), lin.source_type))
     return out
 
 
@@ -309,30 +301,10 @@ def unpack_q4(ql: QuantLinear) -> jnp.ndarray:
     return jnp.concatenate([p3 & 0x0F, p3 >> 4], axis=1).reshape(2 * k2, n)
 
 
-def unpack_q6(ql: QuantLinear) -> jnp.ndarray:
-    """Unpack the q6 plane pair to integer values [K, N] (0..63) in
-    NATURAL element order. See quant/repack.pack_q6_planes: element order
-    inside the planes is quarter-major (all first-quarter elements of every
-    group, then second quarters, ...), inverted here."""
-    k, n = ql.k, ql.packed.shape[1]
-    lo = jnp.concatenate([ql.packed & 0x0F, ql.packed >> 4], axis=0)  # [K]
-    p2 = ql.packed2.astype(jnp.uint8)
-    hi = jnp.concatenate([p2 & 3, (p2 >> 2) & 3, (p2 >> 4) & 3, p2 >> 6],
-                         axis=0)  # [K] quarter-major
-    q_perm = lo.astype(jnp.uint8) | (hi << 4)
-    # invert the quarter-major permutation: perm[i*K/4 + g*g4 + e] =
-    # natural[g*group + i*g4 + e]
-    g4 = ql.group // 4
-    q5 = q_perm.reshape(4, k // ql.group, g4, n)
-    return q5.transpose(1, 0, 2, 3).reshape(k, n)
-
-
 def dequantize_weight(ql: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
     """Materialize the dequantized weight [K, N] (reference path)."""
     if ql.fmt == "q4":
         q = unpack_q4(ql).astype(jnp.float32)
-    elif ql.fmt == "q6":
-        q = unpack_q6(ql).astype(jnp.float32) - 32.0
     else:
         q = ql.packed.astype(jnp.float32)
     s = jnp.repeat(ql.scales.astype(jnp.float32), ql.group, axis=0)

@@ -128,44 +128,6 @@ def _q8_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
         o_ref[:] = acc_ref[:]
 
 
-def _q6_kernel(x_ref, p_ref, p2_ref, s_ref, o_ref, *, group: int, k: int,
-               prec):
-    """One N-tile for the q6 plane layout (single full-K block; see
-    quant/repack.pack_q6_planes). Quarter-major element order makes every
-    bit-plane a contiguous row panel: the 4-bit plane's nibbles give the
-    permuted halves [q0|q1] / [q2|q3], the 2-bit plane's four fields give
-    the quarters, and one sublane CONCAT (not an interleave) aligns them.
-    The constant Q6_K offset (-32) folds into the dequant; no mins panel.
-
-    x_ref: [B, K] quarter-major arranged (_arrange_x_q6); p_ref [K/2, TN]
-    uint8; p2_ref [K/4, TN] uint8; s_ref [K/group, TN]; o_ref [B, TN]."""
-    w32 = p_ref[:].astype(jnp.int32)
-    lo_a = w32 & 0x0F          # permuted elements [0, K/2): [q0 | q1]
-    lo_b = w32 >> 4            # permuted elements [K/2, K): [q2 | q3]
-    h32 = p2_ref[:].astype(jnp.int32)
-    h_a = jnp.concatenate([h32 & 3, (h32 >> 2) & 3], axis=0)   # [K/2, TN]
-    h_b = jnp.concatenate([(h32 >> 4) & 3, (h32 >> 6) & 3], axis=0)
-    q_a = (lo_a + (h_a << 4)).astype(jnp.float32) - 32.0
-    q_b = (lo_b + (h_b << 4)).astype(jnp.float32) - 32.0
-    s4 = _repeat_rows(s_ref[:].astype(jnp.float32), group // 4)  # [K/4, TN]
-    s_half = jnp.concatenate([s4, s4], axis=0)  # [K/2, TN], both halves
-    x = x_ref[:].astype(jnp.float32)
-    acc = jnp.dot(x[:, : k // 2], q_a * s_half,
-                  preferred_element_type=jnp.float32, precision=prec)
-    acc += jnp.dot(x[:, k // 2:], q_b * s_half,
-                   preferred_element_type=jnp.float32, precision=prec)
-    o_ref[:] = acc
-
-
-def _arrange_x_q6(x: jnp.ndarray, group: int) -> jnp.ndarray:
-    """Rearrange x into the global quarter-major element order of the q6
-    planes: [all q0 elements (group-major) | q1 | q2 | q3]."""
-    b, k = x.shape
-    g4 = group // 4
-    x4 = x.reshape(b, k // group, 4, g4)
-    return x4.transpose(0, 2, 1, 3).reshape(b, k)
-
-
 def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
     """Rearrange x so each TK-column block is [lo-plane | hi-plane] for that
     K-tile, matching the group-split packed nibble order."""
@@ -186,7 +148,7 @@ def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
     static_argnames=("fmt", "group", "k", "n", "tk", "tn", "interpret",
                      "precision"),
 )
-def _qmatmul_call(x, packed, scales, mins, packed2=None, *, fmt, group, k, n,
+def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n,
                   tk, tn, interpret, precision=None):
     b = x.shape[0]
     nk = k // tk
@@ -195,40 +157,6 @@ def _qmatmul_call(x, packed, scales, mins, packed2=None, *, fmt, group, k, n,
     prec = _PREC[precision]
     has_mins = mins is not None
 
-    if fmt == "q6":
-        # Full-K blocks per N-tile (the plane layout is global over K).
-        # Large batches (prefill: B*T rows) are row-blocked on the MINOR
-        # grid axis: consecutive row steps keep the same weight block
-        # indices, so Pallas skips their DMA — weights are read once per
-        # N-tile regardless of B, and the x block stays within VMEM.
-        tb = min(b, 64)
-        pad_rows = (-b) % tb
-        if pad_rows:
-            x = jnp.pad(x, ((0, pad_rows), (0, 0)))
-        nb = x.shape[0] // tb
-        kernel = functools.partial(_q6_kernel, group=group, k=k, prec=prec)
-        out = pl.pallas_call(
-            kernel,
-            grid=(nn, nb),
-            in_specs=[
-                pl.BlockSpec((tb, k), lambda ni, bi: (bi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k // 2, tn), lambda ni, bi: (0, ni),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k // 4, tn), lambda ni, bi: (0, ni),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k // group, tn), lambda ni, bi: (0, ni),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tb, tn), lambda ni, bi: (bi, ni),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((x.shape[0], n), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
-            interpret=interpret,
-        )(_arrange_x_q6(x, group), packed, packed2, scales)
-        return out[:b] if pad_rows else out
     scale_spec = pl.BlockSpec((tk // group, tn), lambda ni, ki: (ki, ni),
                               memory_space=pltpu.VMEM)
 
@@ -293,21 +221,12 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     measured ~2.8x slower than the HBM floor. Otherwise pick the largest
     multiple of 8*group dividing K, capped at DEFAULT_TK.
 
-    q6 is full-K only (its plane layout is global over K; repack caps K).
-
     ``b``: batch rows of x — the x block is [B, tk] f32, so full-K blocks
     are only legal while b*tk*4 bytes fit the VMEM budget (prefill steps
     carry B*T rows; the bench's 512-token prefill OOM'd without this)."""
     tn = DEFAULT_TN if n % DEFAULT_TN == 0 else 128
     if n % tn != 0:
         return 0, 0
-    if fmt == "q6":
-        # in-kernel unpack intermediates are [K/2, TN] i32/f32 panels and
-        # scale with K*TN; beyond 8K elements halve TN to stay inside the
-        # 16 MB scoped-VMEM limit (K=14336 at TN=256 measured 23.4 MB)
-        if k > MAX_FULL_TK:
-            tn = 128
-        return (k, tn) if k % (2 * group) == 0 and n % tn == 0 else (0, 0)
     if (k % (2 * group) == 0 and k <= MAX_FULL_TK
             and b * k * 4 <= FULL_TK_X_BUDGET):
         return k, tn
@@ -352,7 +271,7 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
     pad_b = (-b) % 8
     xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
     y = _qmatmul_call(
-        xp, lin.packed, lin.scales, lin.mins, lin.packed2,
+        xp, lin.packed, lin.scales, lin.mins,
         fmt=lin.fmt, group=lin.group, k=k, n=n, tk=tk, tn=tn,
         interpret=interpret, precision=precision,
     )

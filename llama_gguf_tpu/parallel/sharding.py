@@ -62,12 +62,6 @@ def _shard_linear(lin, mesh, kind: str):
     dim = n_ if col else k_
     if dim % n_model != 0:
         kind = "rep"
-    if (kind == "row" and isinstance(lin, QuantLinear)
-            and lin.fmt == "q6"):
-        # q6 planes use a GLOBAL quarter-major element order along K
-        # (repack.pack_q6_planes) — a K shard is not a valid sub-weight;
-        # replicate instead (N/col sharding slices lanes and stays valid)
-        kind = "rep"
     if kind == "rep":
         r = _rep(mesh)
         if isinstance(lin, QuantLinear):
@@ -78,8 +72,6 @@ def _shard_linear(lin, mesh, kind: str):
                 bias=jax.device_put(lin.bias, r) if lin.bias is not None else None,
                 fmt=lin.fmt, group=lin.group, k=lin.k, n=lin.n,
                 source_type=lin.source_type,
-                packed2=jax.device_put(lin.packed2, r)
-                if lin.packed2 is not None else None,
             )
         return DenseLinear(
             jax.device_put(lin.weight, r),
@@ -101,7 +93,6 @@ def _shard_linear(lin, mesh, kind: str):
             bias=put(lin.bias, bias_s),
             fmt=lin.fmt, group=lin.group, k=lin.k, n=lin.n,
             source_type=lin.source_type,
-            packed2=put(lin.packed2, mat),
         )
     assert isinstance(lin, DenseLinear)
     return DenseLinear(put(lin.weight, mat), put(lin.bias, bias_s))

@@ -18,6 +18,7 @@ return float32 [..., n_blocks * block_size].
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache
 from typing import Callable
 
@@ -25,7 +26,11 @@ import numpy as np
 
 from ..gguf.constants import GGMLType, QK_K, type_traits
 
+log = logging.getLogger(__name__)
+
 F32 = np.float32
+
+_IQ1_WARNED = False
 
 
 def _f16(raw: np.ndarray) -> np.ndarray:
@@ -368,6 +373,16 @@ def dequantize(raw: np.ndarray | memoryview | bytes, ggml_type: GGMLType | int,
     t = GGMLType(ggml_type)
     if t not in _DEQUANT:
         raise NotImplementedError(f"dequantize: {t.name} not supported yet")
+    if t in (GGMLType.IQ1_S, GGMLType.IQ1_M):
+        global _IQ1_WARNED
+        if not _IQ1_WARNED:
+            _IQ1_WARNED = True
+            log.warning(
+                "%s tensors decode to ZEROS: the iq1s lattice grid "
+                "(llama.cpp's 2048-entry hand-built codebook) is not "
+                "vendorable offline; generation from this file will be "
+                "garbage. Re-quantize the source model to IQ2/IQ3/Q2_K.",
+                t.name)
     arr = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
     out = None
     if arr.nbytes >= 1 << 16:  # native C++ path for bulk data (load time)

@@ -17,7 +17,13 @@ sign masks:
   IQ3_S  (110B/256): f16 d; qs[64] + qh[8] high bits (512-entry grid);
       signs[32]; scales[4].
   IQ1_S/IQ1_M: dequantized to ZEROS — reference parity
-      (iq_quants.rs:342-350 does the same).
+      (iq_quants.rs:342-350 does the same). Unlike the IQ2/IQ3 lattice
+      grids (derivable E8/E4 lattice data we vendor), llama.cpp's
+      ``iq1s_grid`` is a 2048-entry u64 codebook produced by an offline
+      clustering run — it has no generating algorithm in any source tree
+      and cannot be reconstructed without network access, so it is NOT
+      vendored. Loading an IQ1 file logs a loud warning (quant/dequant.py)
+      and ``llama-gguf info`` flags such files.
 
 The 7-bit sign table is algorithmic (index bits + odd-parity bit 7) and is
 generated here. The lattice grid tables are interop constants from the

@@ -35,23 +35,20 @@ F32 = np.float32
 class RepackedWeight:
     """Numpy-land repacked weight for a [N, K] (out, in) GGUF tensor."""
 
-    packed: np.ndarray  # uint8 [K/2, N] (q4/q6 low plane) or int8 [K, N] (q8)
+    packed: np.ndarray  # uint8 [K/2, N] (q4) or int8 [K, N] (q8)
     scales: np.ndarray  # f32 [K/group, N]
     mins: np.ndarray | None  # f32 [K/group, N] or None
-    fmt: str  # "q4" | "q6" | "q8"
+    fmt: str  # "q4" | "q8"
     group: int
     k: int
     n: int
     source_type: GGMLType
-    packed2: np.ndarray | None = None  # q6 only: 2-bit plane uint8 [K/4, N]
 
     @property
     def bits_per_weight(self) -> float:
         total = self.packed.nbytes + self.scales.nbytes
         if self.mins is not None:
             total += self.mins.nbytes
-        if self.packed2 is not None:
-            total += self.packed2.nbytes
         return total * 8.0 / (self.k * self.n)
 
 
@@ -59,8 +56,7 @@ def _f16(b: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(b).view("<f2").astype(F32)
 
 
-def _extract(raw: np.ndarray, t: GGMLType, n: int, k: int,
-             allow_q6: bool = True):
+def _extract(raw: np.ndarray, t: GGMLType, n: int, k: int):
     """Return (q_int [N, K], scales [N, K/g], mins [N, K/g] | None, fmt, g).
 
     q_int holds the stored integer levels; for q4 formats they are unsigned
@@ -179,14 +175,12 @@ def _extract(raw: np.ndarray, t: GGMLType, n: int, k: int,
         # each natural group of 16 elements shares one scale; sc_idx[::16]
         # gives that scale's index in the stored (interleaved) order
         s = d * sc[:, sc_idx[::16]].astype(F32)
-        if allow_q6 and k % 64 == 0 and k <= 16384:
-            # native q6 plane layout (4-bit + 2-bit, ~6.6 bits in HBM); the
-            # constant -32 offset is applied in the kernel, no mins panel.
-            # The kernel needs a single full-K block (quarter-major GLOBAL
-            # element order), hence the 16K cap (VMEM) — larger K falls
-            # back to int8
-            q6 = (lo.astype(np.uint8) | (hi.astype(np.uint8) << 4))
-            return (q6.reshape(n, k), s.reshape(n, k // 16), None, "q6", 16)
+        # Q6_K rides the int8 layout. A dedicated 4-bit+2-bit "q6 plane"
+        # layout (quarter-major element order, ~6.6 bits in HBM vs 8) was
+        # built and measured in round 2: NET LOSS on this chip (8B A/B:
+        # 77.2 tok/s int8 vs 56.9 q6 planes — the 2-bit unpack is
+        # VPU-bound), so the kernel was deleted in round 3. See
+        # docs/PERFORMANCE.md for the negative result.
         q = ((lo.astype(np.int16) | (hi.astype(np.int16) << 4)) - 32).astype(np.int8)
         return (q.reshape(n, k), s.reshape(n, k // 16), None, "q8", 16)
 
@@ -238,44 +232,28 @@ def _transpose(a: np.ndarray) -> np.ndarray:
 
 
 def repack(raw: np.ndarray | memoryview | bytes, ggml_type: GGMLType | int,
-           shape_nk: tuple[int, int],
-           allow_q6: bool = True) -> RepackedWeight:
+           shape_nk: tuple[int, int]) -> RepackedWeight:
     """Repack a quantized GGUF tensor (numpy shape [N=out, K=in]) for TPU.
-    ``allow_q6=False`` forces Q6_K onto the int8 layout (used by expert
-    stacks, whose gather/MoE kernels take only the q4/q8 layouts).
 
     Bit-packing happens in the natural [N, K] layout BEFORE the transpose
-    (half/quarter the bytes through the transpose) — the results are
-    identical to pack_q4_group_split/pack_q6_planes on the [K, N] side."""
+    (half the bytes through the transpose) — the result is identical to
+    pack_q4_group_split on the [K, N] side."""
     t = GGMLType(ggml_type)
     n, k = shape_nk
     arr = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
-    q, s, m, fmt, group = _extract(arr, t, n, k, allow_q6=allow_q6)
+    q, s, m, fmt, group = _extract(arr, t, n, k)
 
     scales = np.ascontiguousarray(s.T, dtype=F32)  # [K/g, N]
     mins = np.ascontiguousarray(m.T, dtype=F32) if m is not None else None
-    packed2 = None
     if fmt == "q4":
         h = group // 2
         q3 = q.reshape(n, k // group, group).astype(np.uint8, copy=False)
         pk = (q3[..., :h] | (q3[..., h:] << 4)).reshape(n, k // 2)
         packed = _transpose(np.ascontiguousarray(pk))
-    elif fmt == "q6":
-        g4 = group // 4
-        perm = np.ascontiguousarray(
-            q.reshape(n, k // group, 4, g4).swapaxes(1, 2).reshape(n, k))
-        lo, hi = perm & 0x0F, perm >> 4
-        k2, qt = k // 2, k // 4
-        packed = _transpose(np.ascontiguousarray(
-            lo[:, :k2] | (lo[:, k2:] << 4)))
-        packed2 = _transpose(np.ascontiguousarray(
-            hi[:, :qt] | (hi[:, qt: 2 * qt] << 2)
-            | (hi[:, 2 * qt: 3 * qt] << 4) | (hi[:, 3 * qt:] << 6)))
     else:
         packed = _transpose(
             np.ascontiguousarray(q, dtype=np.int8))
-    return RepackedWeight(packed, scales, mins, fmt, group, k, n, t,
-                          packed2=packed2)
+    return RepackedWeight(packed, scales, mins, fmt, group, k, n, t)
 
 
 def pack_q4_group_split(q: np.ndarray, group: int) -> np.ndarray:
@@ -306,7 +284,7 @@ def repack_rows(raw: np.ndarray | memoryview | bytes,
     v, h = shape_vh
     arr = (np.frombuffer(raw, dtype=np.uint8)
            if not isinstance(raw, np.ndarray) else raw)
-    q, s, m, fmt, group = _extract(arr, t, v, h, allow_q6=False)
+    q, s, m, fmt, group = _extract(arr, t, v, h)
     scales = np.ascontiguousarray(s, dtype=F32)  # [V, H/g]
     mins = np.ascontiguousarray(m, dtype=F32) if m is not None else None
     if fmt == "q4":
@@ -317,49 +295,6 @@ def repack_rows(raw: np.ndarray | memoryview | bytes,
     else:
         packed = np.ascontiguousarray(q).astype(np.int8)
     return packed, scales, mins, fmt, group
-
-
-def pack_q6_planes(q: np.ndarray, group: int) -> tuple[np.ndarray, np.ndarray]:
-    """q6 plane packing in GLOBAL quarter-major element order.
-
-    Element permutation: perm[i*K/4 + g*(group/4) + e] =
-    q[g*group + i*(group/4) + e] (quarter i of every scale group,
-    group-major). Then:
-      packed4 [K/2, N]: byte r = lo4(perm[r]) | lo4(perm[r + K/2]) << 4
-      packed2 [K/4, N]: byte r = hi2(perm[r]) | hi2(perm[r+K/4]) << 2
-                               | hi2(perm[r+K/2]) << 4 | hi2(perm[r+3K/4]) << 6
-    The quarter-major order makes every bit-plane a CONTIGUOUS row panel
-    after one mask+shift — the kernel needs no sublane interleaves, only
-    whole-panel slices (the same property the q4 group-split layout has),
-    at the cost of requiring a single full-K grid block.
-    q: uint8 [K, N] (0..63) -> (uint8 [K/2, N], uint8 [K/4, N])."""
-    k, n = q.shape
-    g4 = group // 4
-    perm = np.ascontiguousarray(
-        q.reshape(k // group, 4, g4, n).transpose(1, 0, 2, 3).reshape(k, n))
-    lo = perm & 0x0F
-    hi = perm >> 4  # 2 bits
-    packed4 = np.ascontiguousarray(lo[: k // 2] | (lo[k // 2:] << 4))
-    q_ = k // 4
-    packed2 = np.ascontiguousarray(
-        hi[:q_] | (hi[q_: 2 * q_] << 2) | (hi[2 * q_: 3 * q_] << 4)
-        | (hi[3 * q_:] << 6))
-    return packed4.astype(np.uint8), packed2.astype(np.uint8)
-
-
-def unpack_q6_planes(packed4: np.ndarray, packed2: np.ndarray,
-                     group: int) -> np.ndarray:
-    """Inverse of pack_q6_planes -> uint8 [K, N] in natural order."""
-    k = packed4.shape[0] * 2
-    n = packed4.shape[1]
-    lo = np.concatenate([packed4 & 0x0F, packed4 >> 4], axis=0)
-    hi = np.concatenate([packed2 & 3, (packed2 >> 2) & 3,
-                         (packed2 >> 4) & 3, packed2 >> 6], axis=0)
-    perm = lo | (hi << 4)
-    g4 = group // 4
-    return np.ascontiguousarray(
-        perm.reshape(4, k // group, g4, n).transpose(1, 0, 2, 3)
-        .reshape(k, n))
 
 
 def unpack_q4_group_split(packed: np.ndarray, group: int) -> np.ndarray:
@@ -377,8 +312,6 @@ def dequantize_repacked(rw: RepackedWeight) -> np.ndarray:
     """Reference reconstruction of the repacked weight -> [K, N] float32."""
     if rw.fmt == "q4":
         q = unpack_q4_group_split(rw.packed, rw.group).astype(F32)
-    elif rw.fmt == "q6":
-        q = unpack_q6_planes(rw.packed, rw.packed2, rw.group).astype(F32) - 32.0
     else:
         q = rw.packed.astype(F32)
     s = np.repeat(rw.scales, rw.group, axis=0)

@@ -8,8 +8,8 @@ into jnp.asarray), the same trick llama.cpp plays with mmap-able GGUF.
 
 File format: MAGIC + u32 header length + JSON header + 64-byte-aligned raw
 buffers. The header records the source GGUF's (size, mtime_ns) and a format
-VERSION — any mismatch (model changed, layout code changed, q6 opt-in
-toggled) invalidates the cache and it is silently rebuilt.
+VERSION — any mismatch (model changed, layout code changed) invalidates
+the cache and it is silently rebuilt.
 
 Disable with LLAMA_GGUF_NO_REPACK_CACHE=1 (or an unwritable model dir —
 failures to write are never fatal).
@@ -26,12 +26,13 @@ import numpy as np
 from .repack import RepackedWeight
 
 MAGIC = b"GGTPURPK"
-VERSION = 4  # bump when any repack layout changes or new entry kinds
+VERSION = 5  # bump when any repack layout changes or new entry kinds
 # appear (3: +embedding row layouts; 4: +tied output head '@out' —
 # put() cannot append to a valid sidecar, so new entry kinds need a
-# rebuild or they would be recomputed on every load forever)
+# rebuild or they would be recomputed on every load forever;
+# 5: q6 plane layout deleted)
 
-_FIELDS = ("packed", "scales", "mins", "packed2")
+_FIELDS = ("packed", "scales", "mins")
 
 
 def cache_path(gguf_path: str) -> str:
@@ -46,10 +47,9 @@ def _source_sig(gguf_path: str) -> dict:
 class RepackCache:
     """Read/write access to one model's repack sidecar."""
 
-    def __init__(self, gguf_path: str, q6: bool = False):
+    def __init__(self, gguf_path: str):
         self.gguf_path = gguf_path
         self.path = cache_path(gguf_path)
-        self.q6 = q6
         self._mmap: np.memmap | None = None
         self._index: dict[str, dict] | None = None
         # staged metadata while building; array BYTES stream straight to a
@@ -77,8 +77,6 @@ class RepackCache:
                 hlen = int.from_bytes(f.read(4), "little")
                 header = json.loads(f.read(hlen))
             if header.get("version") != VERSION:
-                return
-            if header.get("q6") != self.q6:
                 return
             if header.get("source") != _source_sig(self.gguf_path):
                 return
@@ -110,8 +108,7 @@ class RepackCache:
         return RepackedWeight(
             packed=arrays["packed"], scales=arrays["scales"],
             mins=arrays["mins"], fmt=rec["fmt"], group=rec["group"],
-            k=rec["k"], n=rec["n"], source_type=rec["source_type"],
-            packed2=arrays["packed2"])
+            k=rec["k"], n=rec["n"], source_type=rec["source_type"])
 
     # -- writing -------------------------------------------------------------
 
@@ -178,7 +175,7 @@ class RepackCache:
                 not self._pending or self._tmp_file is None:
             return
         header = {
-            "version": VERSION, "q6": self.q6,
+            "version": VERSION,
             "source": _source_sig(self.gguf_path),
             "tensors": self._pending,
         }
@@ -222,10 +219,10 @@ class RepackCache:
             pass
 
 
-def open_cache(gguf_path: str, q6: bool = False) -> RepackCache | None:
+def open_cache(gguf_path: str) -> RepackCache | None:
     if os.environ.get("LLAMA_GGUF_NO_REPACK_CACHE", "0") == "1":
         return None
     try:
-        return RepackCache(gguf_path, q6=q6)
+        return RepackCache(gguf_path)
     except OSError:
         return None

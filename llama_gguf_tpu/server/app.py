@@ -230,11 +230,15 @@ def _chat_logprobs(handle: RequestHandle) -> dict | None:
         for e in handle.logprobs]}
 
 
-def _completion_logprobs(handle: RequestHandle) -> dict | None:
+def _completion_logprobs(handle: RequestHandle,
+                         offset_base: int = 0) -> dict | None:
+    """``offset_base``: with echo=true the returned text is prompt +
+    completion, so text_offset must index past the prompt (OpenAI offsets
+    index into the full returned text)."""
     if not handle.logprobs:
         return None
     has_top = any("top_logprobs" in e for e in handle.logprobs)
-    offsets, pos = [], 0
+    offsets, pos = [], offset_base
     for e in handle.logprobs:  # parallel array: start offset of each token
         offsets.append(pos)
         pos += len(e["token"])
@@ -256,6 +260,19 @@ def _sampler_n(body: dict, i: int) -> SamplerConfig:
 
         cfg = dataclasses.replace(cfg, seed=cfg.seed + i)
     return cfg
+
+
+def _timings_sum(handles: list) -> dict:
+    """Aggregate per-request timings for n>1: earliest first token, full
+    window, total decode throughput across choices."""
+    if len(handles) == 1:
+        return handles[0].timings
+    ts = [h.timings for h in handles]
+    return {
+        "time_to_first_token_s": min(t["time_to_first_token_s"] for t in ts),
+        "total_s": max(t["total_s"] for t in ts),
+        "tokens_per_s": round(sum(t["tokens_per_s"] for t in ts), 2),
+    }
 
 
 def _usage_sum(handles: list) -> dict:
@@ -377,6 +394,13 @@ def create_app(state: ServerState) -> "web.Application":
         async def wrapped(request):
             st: ServerState = request.app["state"]
             if st.engine is not None and st.batched is None:
+                if getattr(st.engine, "t5", None) is not None:
+                    # encoder-decoder models DO generate, just not through
+                    # the server's batched scheduler
+                    return _err(400, "generation for encoder-decoder models"
+                                     " is only available via the CLI or the"
+                                     " Engine API; this server exposes"
+                                     " /v1/embeddings only")
                 return _err(400, "this model does not support text "
                                  "generation; use /v1/embeddings")
             return await handler(request)
@@ -530,17 +554,19 @@ def create_app(state: ServerState) -> "web.Application":
             return await _sse(request, _completion_chunks(
                 st, rid, created, handle))
         texts = [await asyncio.to_thread(h.text, 600) for h in handles]
+        echo_len = 0
         if body.get("echo") and isinstance(prompt, str):
             texts = [prompt + t for t in texts]
+            echo_len = len(prompt)
         return web.json_response({
             "id": rid, "object": "text_completion", "created": created,
             "model": st.model_name,
             "choices": [{"index": i, "text": t,
                          "finish_reason": h.finish_reason,
-                         "logprobs": _completion_logprobs(h)}
+                         "logprobs": _completion_logprobs(h, echo_len)}
                         for i, (t, h) in enumerate(zip(texts, handles))],
             "usage": _usage_sum(handles),
-            "timings": handle.timings,
+            "timings": _timings_sum(handles),
         })
 
     async def _completion_chunks(st, rid, created, handle):
@@ -650,7 +676,7 @@ def create_app(state: ServerState) -> "web.Application":
             "model": st.model_name,
             "choices": choices,
             "usage": _usage_sum(handles),
-            "timings": handle.timings,
+            "timings": _timings_sum(handles),
         })
 
     async def _chat_chunks(st, rid, created, handle):

@@ -18,7 +18,7 @@ CASES = [
     (GGMLType.Q2_K, 8, 512, 128),
     (GGMLType.Q8_0, 8, 512, 256),
     (GGMLType.Q6_K, 1, 512, 128),
-    (GGMLType.Q6_K, 2, 5632, 256),  # full-K q6 block, llama down-proj K
+    (GGMLType.Q6_K, 2, 5632, 256),  # int8 layout, full-K, llama down-proj K
     (GGMLType.Q5_K, 16, 1024, 128),
     (GGMLType.Q3_K, 3, 768, 128),
 ]
@@ -34,7 +34,6 @@ def make_lin(t, n, k, rng):
         mins=jnp.asarray(rw.mins) if rw.mins is not None else None,
         bias=None,
         fmt=rw.fmt, group=rw.group, k=rw.k, n=rw.n, source_type=t.name,
-        packed2=jnp.asarray(rw.packed2) if rw.packed2 is not None else None,
     )
 
 
@@ -69,7 +68,6 @@ def test_qmatmul_non_256_k(rng, t):
         jnp.asarray(rw.packed), jnp.asarray(rw.scales),
         jnp.asarray(rw.mins) if rw.mins is not None else None,
         None, rw.fmt, rw.group, rw.k, rw.n, t.name,
-        packed2=jnp.asarray(rw.packed2) if rw.packed2 is not None else None,
     )
     x = jnp.asarray(rng.normal(size=(2, k)).astype(np.float32))
     got = np.asarray(qmatmul(x, lin, interpret=True))
