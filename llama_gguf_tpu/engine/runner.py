@@ -193,24 +193,68 @@ class ModelRunner:
             self._steps[key] = fn
         return fn
 
+    @staticmethod
+    def plan_segments(start: int, steps: int,
+                      max_seq: int) -> list[tuple[int, int]]:
+        """Chunk a ``steps``-token decode starting after position ``start``
+        (= max over the batch of pos0) into (chunk_len, read_bound) segments.
+
+        Segments never cross a read-bucket boundary, so each runs with the
+        SMALLEST bound covering its positions — a 2048-token generation from
+        pos 0 reads the 256-bucket for its first 256 steps instead of paying
+        the final 2048-bucket from step 1. Chunk lengths are powers of two,
+        so every compiled (bound, chunk) pair comes from a ~log^2-sized
+        lattice that repeated calls share regardless of their start position
+        (an arbitrary-length tail segment would compile a fresh scan for
+        every distinct length)."""
+        plan: list[tuple[int, int]] = []
+        done = 0
+        while done < steps:
+            bound = read_bucket(start + done + 1, max_seq)
+            cap = bound - (start + done)
+            if cap <= 0:
+                # past the cache end: positions >= max_seq scatter-drop,
+                # matching the single-scan behaviour at the max_seq bound
+                cap = steps - done
+            room = min(cap, steps - done)
+            chunk = 1 << (room.bit_length() - 1)  # largest pow2 <= room
+            plan.append((chunk, bound))
+            done += chunk
+        return plan
+
     def greedy_decode(self, tokens0, pos0, kv, steps: int):
         """Run ``steps`` greedy decode steps on device. tokens0/pos0: [B]
         arrays (the last sampled token and its position per sequence).
-        Returns (generated [B, steps], kv)."""
+        Returns (generated [B, steps], kv).
+
+        The scan is segmented at KV read-bucket boundaries (plan_segments):
+        per-step cost tracks the LIVE context, and calls that cross a
+        boundary reuse the compiled per-bucket scans instead of recompiling
+        one monolithic scan per (start, steps) combination."""
         tokens0 = jnp.asarray(tokens0, jnp.int32)
         pos0 = jnp.asarray(pos0, jnp.int32)
-        # static KV read bound for the whole scan: the highest position any
-        # step will have written is max(pos0) + steps - 1
-        bound = read_bucket(int(np.max(np.asarray(pos0))) + steps,
-                            self.max_seq)
-        fn = self._get_greedy_scan(tokens0.shape[0], bound)
+        b = tokens0.shape[0]
+        start = int(np.max(np.asarray(pos0)))
         if self.mesh is not None:
             from ..parallel.sharding import replicate_inputs
 
             tokens0, pos0 = replicate_inputs(self.mesh, tokens0, pos0)
-            with self.mesh:
-                return fn(self.params, tokens0, pos0, kv, steps=steps)
-        return fn(self.params, tokens0, pos0, kv, steps=steps)
+        outs = []
+        done = 0
+        for chunk, bound in self.plan_segments(start, steps, self.max_seq):
+            fn = self._get_greedy_scan(b, bound)
+            if self.mesh is not None:
+                with self.mesh:
+                    toks, kv = fn(self.params, tokens0, pos0 + done, kv,
+                                  steps=chunk)
+            else:
+                toks, kv = fn(self.params, tokens0, pos0 + done, kv,
+                              steps=chunk)
+            outs.append(toks)
+            tokens0 = toks[:, -1]
+            done += chunk
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return out, kv
 
     # -- convenience: single-sequence prefill + decode -----------------------
 

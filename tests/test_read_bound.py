@@ -72,6 +72,78 @@ def test_step_bitexact_vs_full_read(model, fmt, rng):
                                       np.asarray(full_kv[key]))
 
 
+def test_plan_segments():
+    """Segments never cross a bucket boundary, chunk lengths are powers of
+    two, and the whole plan covers exactly ``steps`` tokens."""
+    plan = ModelRunner.plan_segments
+    # 2048-token generation from pos 0: early steps use SMALL bounds
+    p = plan(0, 2048, 2048)
+    assert p == [(256, 256), (256, 512), (512, 1024), (1024, 2048)]
+    # tg128 protocol stays a single chunk (no extra compiles)
+    assert plan(33, 128, 2048) == [(128, 256)]
+    # crossing one boundary decomposes the residual into pow2 chunks
+    p = plan(250, 16, 2048)
+    assert sum(c for c, _ in p) == 16
+    assert all(c & (c - 1) == 0 for c, _ in p)
+    assert p[0] == (4, 256) and p[1] == (2, 256) and p[-1][1] == 512
+    # every (chunk, bound) pair respects chunk's positions < bound
+    for start in (0, 100, 255, 256, 1000):
+        done = 0
+        for c, b in plan(start, 500, 2048):
+            assert start + done + c <= b or b == 2048
+            done += c
+        assert done == 500
+    # past the cache end: remaining steps run at the max_seq bound
+    p = plan(2040, 64, 2048)
+    assert p[-1][1] == 2048 and sum(c for c, _ in p) == 64
+
+
+def test_greedy_decode_segmented_matches_stepwise(tmp_path, rng):
+    """greedy_decode crossing bucket boundaries == per-step greedy chain
+    (exact token match), and the compiled scans are shared across calls
+    with different start positions (the lattice property)."""
+    path = str(tmp_path / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=97, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=CTX, seed=7)
+    params, cfg, _ = load_model(path, mode="dequant")
+    runner = ModelRunner(params, cfg, max_batch=1, max_seq=CTX)
+
+    ids = rng.integers(0, 97, size=250).tolist()
+    kv = runner.init_kv()
+    logits, kv, p = runner.prefill(ids, kv)
+    steps = 20  # crosses the 256 boundary at step 6
+
+    # oracle: step-by-step greedy via decode_one
+    kv_ref = runner.init_kv()
+    lg, kv_ref, _ = runner.prefill(ids, kv_ref)
+    cur = int(np.argmax(np.asarray(lg)))
+    want = []
+    for i in range(steps):
+        lg, kv_ref = runner.decode_one(cur, p + i, kv_ref)
+        cur = int(np.argmax(np.asarray(lg)))
+        want.append(cur)
+
+    cur0 = jnp.asarray([int(np.argmax(np.asarray(logits)))], jnp.int32)
+    toks, kv = runner.greedy_decode(cur0, jnp.asarray([p], jnp.int32), kv,
+                                    steps=steps)
+    got = np.asarray(toks)[0].tolist()
+    # note: decode_one feeds token i at position p+i producing logits for
+    # p+i+1 — align: greedy_decode's first output corresponds to feeding
+    # cur0 at p, same as decode_one(cur, p). Exact match required.
+    assert got == want
+
+    scan_keys = {k for k in runner._steps if k[0] == "greedy_scan"}
+    assert ("greedy_scan", 1, 256) in scan_keys
+    assert ("greedy_scan", 1, 512) in scan_keys
+    # a second call from a different position crossing the same boundary
+    # must NOT create new scan entries (chunk variants live inside jit)
+    kv2 = runner.init_kv()
+    _, kv2, p2 = runner.prefill(ids[:200], kv2)
+    toks2, kv2 = runner.greedy_decode(cur0, jnp.asarray([p2], jnp.int32),
+                                      kv2, steps=70)
+    assert {k for k in runner._steps if k[0] == "greedy_scan"} == scan_keys
+
+
 def test_runner_auto_bound_matches_prefill(tmp_path, rng):
     """ModelRunner picks bounds automatically (prefill/decode_one/
     greedy_decode); a long cached decode must still match the one-shot
