@@ -77,7 +77,12 @@ class RepackCache:
                 hlen = int.from_bytes(f.read(4), "little")
                 header = json.loads(f.read(hlen))
             if header.get("version") != VERSION:
-                return
+                # v4 sidecars with the q6 plane layout OFF are byte-identical
+                # to v5 (the deleted layout was opt-in); keep them valid so
+                # existing 8B sidecars don't pay a ~5 min rebuild
+                if not (header.get("version") == 4
+                        and header.get("q6") is False):
+                    return
             if header.get("source") != _source_sig(self.gguf_path):
                 return
             self._data_base = (8 + 4 + hlen + 63) // 64 * 64

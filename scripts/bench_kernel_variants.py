@@ -1,0 +1,302 @@
+#!/usr/bin/env python
+"""Isolate where the fused dequant-matmul kernel's time goes.
+
+The round-3 decomposition (scripts/bench_decode_decompose.py) showed the
+decode weight chain at ~530 GB/s in an ~800 GB/s window: the kernel is
+compute-bound (VPU dequant), not DMA-bound. This script times kernel
+VARIANTS that each change one piece of the in-VMEM dequant, on 8B decode
+shapes, to attribute the gap. Contention defense: all variants are timed
+ROUND-ROBIN-INTERLEAVED for several rounds and each variant takes its MIN
+over rounds — a slow window hits whichever variant is running, never the
+same one systematically (single-pass A/B on this shared chip mis-ordered
+variants by 30%+).
+
+  v0_full    the production kernel (scales + mins in-VMEM, f32 dot)
+  v1_nomin   mins dropped entirely (upper bound for min-term savings)
+  v2_noscale scales dropped too: w = convert(q) only (structural floor of
+             the convert+dot shape)
+  v5_minfold mins via a second MXU dot on group-summed x (EXACT rewrite:
+             y = x@(s*q) - xg_sum@m) — deletes 1-2 VPU passes/element
+  v6_bf16    v5 with bf16 dequant + bf16 dot (x cast in-kernel)
+  floor      pure HBM read of the same bytes
+
+Usage: python scripts/bench_kernel_variants.py [q8|q4] [K N]
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+N1, N2 = 30, 150
+ROUNDS = 3
+GROUP = 32
+
+
+def timeit(fn, *args):
+    out = fn(*args)
+    np.asarray(out)
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(fn(*args))
+        ts.append(time.time() - t0)
+    return sorted(ts)[1]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from llama_gguf_tpu.ops.linear import QuantLinear
+    from llama_gguf_tpu.ops.qmatmul import (
+        _pick_tiles, _repeat_rows, qmatmul,
+    )
+
+    fmt = sys.argv[1] if len(sys.argv) > 1 else "q8"
+    shapes = [(4096, 14336), (14336, 4096)]
+    if len(sys.argv) > 3:
+        shapes = [(int(sys.argv[2]), int(sys.argv[3]))]
+    B = 8
+    rng = np.random.default_rng(0)
+    print(f"platform={jax.devices()[0].platform} fmt={fmt} B={B} "
+          f"rounds={ROUNDS} diff {N1}->{N2}")
+
+    for K, N in shapes:
+        tk, tn = _pick_tiles(fmt, GROUP, K, N, b=B)
+        if fmt == "q8":
+            packed = jnp.asarray(
+                rng.integers(-127, 127, size=(K, N), dtype=np.int8))
+        else:
+            packed = jnp.asarray(
+                rng.integers(0, 255, size=(K // 2, N), dtype=np.uint8))
+        scales = jnp.asarray(
+            (rng.normal(size=(K // GROUP, N)) * 0.01).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        mins = jnp.asarray(
+            np.abs(rng.normal(size=(K // GROUP, N)) * 0.01).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+        nbytes = packed.nbytes + scales.nbytes + mins.nbytes
+        lin_full = QuantLinear(packed, scales, mins, None, fmt=fmt,
+                               group=GROUP, k=K, n=N, source_type="bench")
+        lin_nomin = QuantLinear(packed, scales, None, None, fmt=fmt,
+                                group=GROUP, k=K, n=N, source_type="bench")
+        nk = K // tk
+        grid = (N // tn, nk)
+        print(f"K={K:6d} N={N:6d} tk={tk} tn={tn} ({nbytes/1e6:6.1f} MB)",
+              flush=True)
+
+        x_spec = pl.BlockSpec((B, tk), lambda ni, ki: (0, ki),
+                              memory_space=pltpu.VMEM)
+        w_spec_q8 = pl.BlockSpec((tk, tn), lambda ni, ki: (ki, ni),
+                                 memory_space=pltpu.VMEM)
+        w_spec_q4 = pl.BlockSpec((tk // 2, tn), lambda ni, ki: (ki, ni),
+                                 memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((tk // GROUP, tn), lambda ni, ki: (ki, ni),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((B, tn), lambda ni, ki: (0, ni),
+                              memory_space=pltpu.VMEM)
+
+        def pallas(kernel, in_specs, acc_dtype=jnp.float32):
+            return pl.pallas_call(
+                kernel, grid=grid, in_specs=in_specs, out_specs=o_spec,
+                out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((B, tn), acc_dtype)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+            )
+
+        def acc_wrap(compute):
+            """Standard k-accumulation prologue/epilogue around compute()."""
+            def kern(*refs):
+                o_ref, acc_ref = refs[-2], refs[-1]
+                ki = pl.program_id(1)
+
+                @pl.when(ki == 0)
+                def _():
+                    acc_ref[:] = jnp.zeros_like(acc_ref)
+                compute(refs[:-2], acc_ref)
+
+                @pl.when(ki == pl.num_programs(1) - 1)
+                def _():
+                    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+            return kern
+
+        prec = jax.lax.Precision.DEFAULT
+
+        def unpack_q4(p_ref):
+            w32 = p_ref[:].astype(jnp.int32)
+            return w32 & 0x0F, w32 >> 4
+
+        # -- v5_minfold: y = x@(s*q) - xg_sum@m, both dots on the MXU ------
+        if fmt == "q8":
+            def v5_compute(refs, acc_ref):
+                x_ref, p_ref, s_ref, m_ref = refs
+                w = (p_ref[:].astype(jnp.float32)
+                     * _repeat_rows(s_ref[:].astype(jnp.float32), GROUP))
+                acc_ref[:] += jnp.dot(x_ref[:], w,
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+                xg = x_ref[:].reshape(B, tk // GROUP, GROUP).sum(-1)
+                acc_ref[:] -= jnp.dot(xg, m_ref[:].astype(jnp.float32),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+        else:
+            def v5_compute(refs, acc_ref):
+                x_ref, p_ref, s_ref, m_ref = refs
+                lo, hi = unpack_q4(p_ref)
+                srep = _repeat_rows(s_ref[:].astype(jnp.float32), GROUP // 2)
+                xf = x_ref[:]
+                acc_ref[:] += jnp.dot(xf[:, : tk // 2],
+                                      lo.astype(jnp.float32) * srep,
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+                acc_ref[:] += jnp.dot(xf[:, tk // 2:],
+                                      hi.astype(jnp.float32) * srep,
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+                # x is group-split arranged: group g's elements live at
+                # columns [g*16:(g+1)*16] and [tk/2 + g*16 : ...]
+                xg = (xf[:, : tk // 2].reshape(B, tk // GROUP, GROUP // 2)
+                      .sum(-1)
+                      + xf[:, tk // 2:].reshape(B, tk // GROUP, GROUP // 2)
+                      .sum(-1))
+                acc_ref[:] -= jnp.dot(xg, m_ref[:].astype(jnp.float32),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+
+        # -- v6_bf16: dequant + dot in bf16 (plus min-fold) ----------------
+        if fmt == "q8":
+            def v6_compute(refs, acc_ref):
+                x_ref, p_ref, s_ref, m_ref = refs
+                w = p_ref[:].astype(jnp.bfloat16) * _repeat_rows(s_ref[:],
+                                                                 GROUP)
+                xb = x_ref[:].astype(jnp.bfloat16)
+                acc_ref[:] += jnp.dot(xb, w,
+                                      preferred_element_type=jnp.float32)
+                xg = x_ref[:].reshape(B, tk // GROUP, GROUP).sum(-1)
+                acc_ref[:] -= jnp.dot(xg.astype(jnp.bfloat16), m_ref[:],
+                                      preferred_element_type=jnp.float32)
+        else:
+            def v6_compute(refs, acc_ref):
+                x_ref, p_ref, s_ref, m_ref = refs
+                lo, hi = unpack_q4(p_ref)
+                srep = _repeat_rows(s_ref[:], GROUP // 2)
+                xb = x_ref[:].astype(jnp.bfloat16)
+                acc_ref[:] += jnp.dot(xb[:, : tk // 2],
+                                      lo.astype(jnp.bfloat16) * srep,
+                                      preferred_element_type=jnp.float32)
+                acc_ref[:] += jnp.dot(xb[:, tk // 2:],
+                                      hi.astype(jnp.bfloat16) * srep,
+                                      preferred_element_type=jnp.float32)
+                xg = (x_ref[:, : tk // 2]
+                      .reshape(B, tk // GROUP, GROUP // 2).sum(-1)
+                      + x_ref[:, tk // 2:]
+                      .reshape(B, tk // GROUP, GROUP // 2).sum(-1))
+                acc_ref[:] -= jnp.dot(xg.astype(jnp.bfloat16), m_ref[:],
+                                      preferred_element_type=jnp.float32)
+
+        variants = {}
+
+        def scan_of(fn_one):
+            def mk(iters):
+                seeds = jnp.arange(1, iters + 1, dtype=jnp.float32)
+
+                @jax.jit
+                def run(x):
+                    def body(acc, s):
+                        return acc + fn_one(x * s), None
+                    acc, _ = jax.lax.scan(
+                        body, jnp.zeros((B, N), jnp.float32), seeds)
+                    return acc
+                return run
+            return mk
+
+        variants["v0_full"] = scan_of(
+            lambda xv: qmatmul(xv, lin_full, precision="default"))
+        variants["v1_nomin"] = scan_of(
+            lambda xv: qmatmul(xv, lin_nomin, precision="default"))
+
+        if fmt == "q8":
+            def v2_compute(refs, acc_ref):
+                x_ref, p_ref = refs
+                acc_ref[:] += jnp.dot(x_ref[:], p_ref[:].astype(jnp.float32),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
+            v2 = pallas(acc_wrap(v2_compute), [x_spec, w_spec_q8])
+            variants["v2_noscale"] = scan_of(lambda xv: v2(xv, packed))
+            v5 = pallas(acc_wrap(v5_compute),
+                        [x_spec, w_spec_q8, s_spec, s_spec])
+            variants["v5_minfold"] = scan_of(
+                lambda xv: v5(xv, packed, scales, mins))
+            v6 = pallas(acc_wrap(v6_compute),
+                        [x_spec, w_spec_q8, s_spec, s_spec])
+            variants["v6_bf16"] = scan_of(
+                lambda xv: v6(xv, packed, scales, mins))
+        else:
+            from llama_gguf_tpu.ops.qmatmul import _arrange_x_q4
+            v5 = pallas(acc_wrap(v5_compute),
+                        [x_spec, w_spec_q4, s_spec, s_spec])
+            variants["v5_minfold"] = scan_of(
+                lambda xv: v5(_arrange_x_q4(xv, GROUP, tk), packed, scales,
+                              mins))
+            v6 = pallas(acc_wrap(v6_compute),
+                        [x_spec, w_spec_q4, s_spec, s_spec])
+            variants["v6_bf16"] = scan_of(
+                lambda xv: v6(_arrange_x_q4(xv, GROUP, tk), packed, scales,
+                              mins))
+
+        def mk_floor(iters):
+            seeds = jnp.arange(1, iters + 1, dtype=jnp.uint8)
+
+            @jax.jit
+            def run(p, s, m):
+                def body(acc, sd):
+                    pv = p if p.dtype == jnp.uint8 else \
+                        jax.lax.bitcast_convert_type(p, jnp.uint8)
+                    v = (jnp.sum(pv ^ sd, dtype=jnp.int32)
+                         .astype(jnp.float32)
+                         + jnp.sum(s.astype(jnp.float32))
+                         * sd.astype(jnp.float32)
+                         + jnp.sum(m.astype(jnp.float32))
+                         * sd.astype(jnp.float32))
+                    return acc + v, None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), seeds)
+                return acc
+            return run
+
+        # correctness gate first: v5 (and v6) must match v0
+        want = np.asarray(variants["v0_full"](N1)(x))
+        for tag in ("v5_minfold", "v6_bf16"):
+            if tag in variants:
+                got = np.asarray(variants[tag](N1)(x))
+                err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+                print(f"  {tag} rel-err vs v0: {err:.5f}", flush=True)
+
+        # interleaved rounds, min per variant
+        best = {tag: [1e9, 1e9] for tag in variants}
+        best["floor"] = [1e9, 1e9]
+        for r in range(ROUNDS):
+            for tag, mk in list(variants.items()) + [("floor", None)]:
+                if tag == "floor":
+                    t1 = timeit(mk_floor(N1), packed, scales, mins)
+                    t2 = timeit(mk_floor(N2), packed, scales, mins)
+                else:
+                    t1 = timeit(mk(N1), x)
+                    t2 = timeit(mk(N2), x)
+                best[tag][0] = min(best[tag][0], t1)
+                best[tag][1] = min(best[tag][1], t2)
+        for tag, (t1, t2) in best.items():
+            dt = max(t2 - t1, 1e-9) / (N2 - N1)
+            print(f"  {tag:<11} {dt*1e6:7.1f} us {nbytes/dt/1e9:6.1f} GB/s",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

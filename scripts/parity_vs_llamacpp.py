@@ -116,6 +116,29 @@ class LlamaCppPackage:
         return None  # use the binary for ppl
 
 
+class SelfBackend:
+    """Mirrors our own engine through the backend interface.
+
+    `--backend self` runs the ENTIRE runbook pipeline (tokenize, greedy,
+    logits diff, delta-ppl, verdict JSON) against ourselves on a synthetic
+    GGUF — a CI gate that the harness itself can't rot while no real
+    llama.cpp / real model is available in this environment. A real parity
+    run replaces it the moment one is."""
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    def greedy(self, prompt: str, n: int) -> list[int]:
+        return ours_greedy(self.engine, prompt, n)
+
+    def last_logits(self, prompt: str) -> np.ndarray:
+        return ours_last_logits(self.engine, prompt)
+
+    def ppl(self, text_file: str, chunk: int) -> float:
+        return ours_ppl(self.engine, open(text_file,
+                                          errors="replace").read(), chunk)
+
+
 class LlamaCppBinary:
     """llama.cpp binaries backend (llama-cli / llama-perplexity)."""
 
@@ -180,6 +203,10 @@ def main() -> int:
     ap.add_argument("--ppl-tolerance", type=float, default=0.02,
                     help="relative delta-ppl tolerance (default 2%%)")
     ap.add_argument("--max-ctx", type=int, default=2048)
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "self"),
+                    help="'self' compares the engine against itself "
+                         "(harness CI mode; no llama.cpp needed)")
     args = ap.parse_args()
 
     log = lambda *a: print(*a, file=sys.stderr)
@@ -189,14 +216,18 @@ def main() -> int:
 
     # pick the llama.cpp backend
     backend = None
-    try:
-        backend = LlamaCppPackage(args.model, args.max_ctx)
-        result["llamacpp_backend"] = "llama_cpp (python package)"
-    except ImportError:
-        b = LlamaCppBinary(args.model, args.llama_cpp_bin, args.max_ctx)
-        if b.cli or b.ppl_bin:
-            backend = b
-            result["llamacpp_backend"] = "binaries"
+    if args.backend == "self":
+        backend = SelfBackend(engine)
+        result["llamacpp_backend"] = "self (harness CI mode)"
+    else:
+        try:
+            backend = LlamaCppPackage(args.model, args.max_ctx)
+            result["llamacpp_backend"] = "llama_cpp (python package)"
+        except ImportError:
+            b = LlamaCppBinary(args.model, args.llama_cpp_bin, args.max_ctx)
+            if b.cli or b.ppl_bin:
+                backend = b
+                result["llamacpp_backend"] = "binaries"
     if backend is None:
         log("ERROR: no llama.cpp available — install llama-cpp-python or "
             "pass --llama-cpp-bin pointing at llama-cli/llama-perplexity")

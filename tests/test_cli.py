@@ -269,6 +269,46 @@ def test_parity_runbook_harness(tmp_path, monkeypatch):
     assert abs(our_ppl - their_ppl) / their_ppl < 1e-6
 
 
+def test_parity_runbook_main_end_to_end(tmp_path, capsys, monkeypatch):
+    """The FULL runbook pipeline (main(): load -> greedy -> logits ->
+    delta-ppl -> verdict JSON) runs end-to-end in --backend self mode on a
+    synthetic GGUF and emits verdict PASS — keeps the harness alive until a
+    real llama.cpp + real GGUF can replace the self backend."""
+    import importlib.util
+    import json as _json
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_tiny_model
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_vs_llamacpp_e2e",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "parity_vs_llamacpp.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    model = str(tmp_path / "tiny.gguf")
+    make_tiny_model(model, arch="qwen2", vocab=260, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=128, tokenizer=True)
+    text = tmp_path / "ppl.txt"
+    text.write_text("the quick brown fox jumps over the lazy dog " * 10)
+
+    monkeypatch.setattr(sys, "argv", [
+        "parity_vs_llamacpp.py", model, "--backend", "self",
+        "-n", "8", "--ppl-text", str(text), "--ppl-chunk", "64",
+        "--max-ctx", "128"])
+    rc = mod.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    verdict = _json.loads(out)
+    assert rc == 0
+    assert verdict["verdict"] == "PASS"
+    assert verdict["greedy_match"] is True
+    assert verdict["argmax_match"] is True
+    assert verdict["logits_max_abs_diff"] == 0.0
+    assert verdict["ppl_gate"] is True
+    assert verdict["delta_ppl_rel"] == 0.0
+
+
 def test_cli_tokenize(tmp_path, capsys):
     from fixtures import make_tiny_model
     from llama_gguf_tpu.cli import main
