@@ -72,7 +72,16 @@ class ModelRunner:
             kv_format = "bf16" if kv_dtype == jnp.bfloat16 else "f32"
         import dataclasses
 
-        self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format)
+        # per-row ragged decode attention: single-device TPU runs only
+        # (GSPMD cannot partition the pallas_call over a mesh); interpret
+        # mode is opt-in for tests via ops.flash_decode.set_interpret
+        from ..ops import flash_decode as FD
+        from ..ops.linear import use_pallas_default
+
+        fd = (mesh is None and kv_format in ("f32", "bf16")
+              and (use_pallas_default() or FD.interpret_mode()))
+        self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format,
+                                             flash_decode=fd)
         self.max_batch = max_batch
         self.max_seq = max_seq or cfg.max_seq_len
         self.kv_dtype = kv_dtype

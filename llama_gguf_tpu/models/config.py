@@ -145,6 +145,10 @@ class ModelConfig:
     # runtime KV-cache storage format: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
     # (static — baked into the jitted step; set by the runner, not the GGUF)
     kv_format: str = "f32"
+    # per-row ragged decode attention via the Pallas flash-decode kernel
+    # (ops/flash_decode.py). Static; set by the runner on single-device
+    # TPU runs (GSPMD cannot partition the pallas_call on a mesh).
+    flash_decode: bool = False
     arch_info: ArchInfo | None = None
     # per-layer kind for hybrid models ("attn" | "deltanet" | "mamba");
     # empty tuple = all attention. Static — used to specialize the jitted step.

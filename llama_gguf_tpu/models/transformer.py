@@ -254,16 +254,35 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
             sliding_window=window,
         )
     else:
-        keys, vals = KV.read(kv, cache_idx, head_dim=hd, v_head_dim=vd,
-                             bound=read_bound)
-        from ..ops.attention import attention_scores
+        ctx = None
+        if (cfg.flash_decode and t == 1 and not cfg.uses_alibi
+                and window >= 0 and cfg.kv_format in ("f32", "bf16")
+                and hd % 8 == 0 and vd % 8 == 0):
+            # per-row ragged decode: each batch row's attention reads only
+            # its own live KV blocks (the XLA path reads the batch-global
+            # bucket for every row)
+            from ..ops import flash_decode as FD
 
-        ctx = attention_scores(
-            qg, keys, vals, positions, lengths,
-            scale=cfg.attention_scale or hd**-0.5, softcap=cfg.attn_logit_softcap,
-            sliding_window=window, sinks=sinks,
-            alibi=cfg.uses_alibi,
-        )
+            k_cache = kv["k"][cache_idx]
+            bound = min(read_bound or k_cache.shape[1], k_cache.shape[1])
+            if bound % FD._pick_block(bound) == 0:
+                ctx = FD.flash_decode(
+                    qg, k_cache, kv["v"][cache_idx], positions, lengths,
+                    scale=cfg.attention_scale or hd**-0.5, bound=bound,
+                    softcap=cfg.attn_logit_softcap, sliding_window=window,
+                    sinks=sinks, interpret=FD.interpret_mode())
+        if ctx is None:
+            keys, vals = KV.read(kv, cache_idx, head_dim=hd, v_head_dim=vd,
+                                 bound=read_bound)
+            from ..ops.attention import attention_scores
+
+            ctx = attention_scores(
+                qg, keys, vals, positions, lengths,
+                scale=cfg.attention_scale or hd**-0.5,
+                softcap=cfg.attn_logit_softcap,
+                sliding_window=window, sinks=sinks,
+                alibi=cfg.uses_alibi,
+            )
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
 
     if "sub_norm" in layer:  # BitNet: RMSNorm on attn output BEFORE o_proj

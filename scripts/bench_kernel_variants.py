@@ -49,6 +49,16 @@ def timeit(fn, *args):
 
 def main():
     import jax
+
+    import os as _os
+    cache_dir = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".cache", "jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -135,21 +145,24 @@ def main():
             return w32 & 0x0F, w32 >> 4
 
         # -- v5_minfold: y = x@(s*q) - xg_sum@m, both dots on the MXU ------
+        # xg (per-group sums of x) is computed OUTSIDE the kernel in XLA
+        # ([B, K] -> [B, K/32] is trivial there; in-kernel 3D reshapes are
+        # unsupported by Mosaic) and DMA'd as a tiny extra input.
         if fmt == "q8":
             def v5_compute(refs, acc_ref):
-                x_ref, p_ref, s_ref, m_ref = refs
+                x_ref, xg_ref, p_ref, s_ref, m_ref = refs
                 w = (p_ref[:].astype(jnp.float32)
                      * _repeat_rows(s_ref[:].astype(jnp.float32), GROUP))
                 acc_ref[:] += jnp.dot(x_ref[:], w,
                                       preferred_element_type=jnp.float32,
                                       precision=prec)
-                xg = x_ref[:].reshape(B, tk // GROUP, GROUP).sum(-1)
-                acc_ref[:] -= jnp.dot(xg, m_ref[:].astype(jnp.float32),
+                acc_ref[:] -= jnp.dot(xg_ref[:],
+                                      m_ref[:].astype(jnp.float32),
                                       preferred_element_type=jnp.float32,
                                       precision=prec)
         else:
             def v5_compute(refs, acc_ref):
-                x_ref, p_ref, s_ref, m_ref = refs
+                x_ref, xg_ref, p_ref, s_ref, m_ref = refs
                 lo, hi = unpack_q4(p_ref)
                 srep = _repeat_rows(s_ref[:].astype(jnp.float32), GROUP // 2)
                 xf = x_ref[:]
@@ -161,31 +174,26 @@ def main():
                                       hi.astype(jnp.float32) * srep,
                                       preferred_element_type=jnp.float32,
                                       precision=prec)
-                # x is group-split arranged: group g's elements live at
-                # columns [g*16:(g+1)*16] and [tk/2 + g*16 : ...]
-                xg = (xf[:, : tk // 2].reshape(B, tk // GROUP, GROUP // 2)
-                      .sum(-1)
-                      + xf[:, tk // 2:].reshape(B, tk // GROUP, GROUP // 2)
-                      .sum(-1))
-                acc_ref[:] -= jnp.dot(xg, m_ref[:].astype(jnp.float32),
+                acc_ref[:] -= jnp.dot(xg_ref[:],
+                                      m_ref[:].astype(jnp.float32),
                                       preferred_element_type=jnp.float32,
                                       precision=prec)
 
         # -- v6_bf16: dequant + dot in bf16 (plus min-fold) ----------------
         if fmt == "q8":
             def v6_compute(refs, acc_ref):
-                x_ref, p_ref, s_ref, m_ref = refs
+                x_ref, xg_ref, p_ref, s_ref, m_ref = refs
                 w = p_ref[:].astype(jnp.bfloat16) * _repeat_rows(s_ref[:],
                                                                  GROUP)
                 xb = x_ref[:].astype(jnp.bfloat16)
                 acc_ref[:] += jnp.dot(xb, w,
                                       preferred_element_type=jnp.float32)
-                xg = x_ref[:].reshape(B, tk // GROUP, GROUP).sum(-1)
-                acc_ref[:] -= jnp.dot(xg.astype(jnp.bfloat16), m_ref[:],
+                acc_ref[:] -= jnp.dot(xg_ref[:].astype(jnp.bfloat16),
+                                      m_ref[:],
                                       preferred_element_type=jnp.float32)
         else:
             def v6_compute(refs, acc_ref):
-                x_ref, p_ref, s_ref, m_ref = refs
+                x_ref, xg_ref, p_ref, s_ref, m_ref = refs
                 lo, hi = unpack_q4(p_ref)
                 srep = _repeat_rows(s_ref[:], GROUP // 2)
                 xb = x_ref[:].astype(jnp.bfloat16)
@@ -195,11 +203,8 @@ def main():
                 acc_ref[:] += jnp.dot(xb[:, tk // 2:],
                                       hi.astype(jnp.bfloat16) * srep,
                                       preferred_element_type=jnp.float32)
-                xg = (x_ref[:, : tk // 2]
-                      .reshape(B, tk // GROUP, GROUP // 2).sum(-1)
-                      + x_ref[:, tk // 2:]
-                      .reshape(B, tk // GROUP, GROUP // 2).sum(-1))
-                acc_ref[:] -= jnp.dot(xg.astype(jnp.bfloat16), m_ref[:],
+                acc_ref[:] -= jnp.dot(xg_ref[:].astype(jnp.bfloat16),
+                                      m_ref[:],
                                       preferred_element_type=jnp.float32)
 
         variants = {}
@@ -223,6 +228,12 @@ def main():
         variants["v1_nomin"] = scan_of(
             lambda xv: qmatmul(xv, lin_nomin, precision="default"))
 
+        xg_spec = pl.BlockSpec((B, tk // GROUP), lambda ni, ki: (0, ki),
+                               memory_space=pltpu.VMEM)
+
+        def group_sums(xv):
+            return xv.reshape(B, K // GROUP, GROUP).sum(-1)
+
         if fmt == "q8":
             def v2_compute(refs, acc_ref):
                 x_ref, p_ref = refs
@@ -232,25 +243,25 @@ def main():
             v2 = pallas(acc_wrap(v2_compute), [x_spec, w_spec_q8])
             variants["v2_noscale"] = scan_of(lambda xv: v2(xv, packed))
             v5 = pallas(acc_wrap(v5_compute),
-                        [x_spec, w_spec_q8, s_spec, s_spec])
+                        [x_spec, xg_spec, w_spec_q8, s_spec, s_spec])
             variants["v5_minfold"] = scan_of(
-                lambda xv: v5(xv, packed, scales, mins))
+                lambda xv: v5(xv, group_sums(xv), packed, scales, mins))
             v6 = pallas(acc_wrap(v6_compute),
-                        [x_spec, w_spec_q8, s_spec, s_spec])
+                        [x_spec, xg_spec, w_spec_q8, s_spec, s_spec])
             variants["v6_bf16"] = scan_of(
-                lambda xv: v6(xv, packed, scales, mins))
+                lambda xv: v6(xv, group_sums(xv), packed, scales, mins))
         else:
             from llama_gguf_tpu.ops.qmatmul import _arrange_x_q4
             v5 = pallas(acc_wrap(v5_compute),
-                        [x_spec, w_spec_q4, s_spec, s_spec])
+                        [x_spec, xg_spec, w_spec_q4, s_spec, s_spec])
             variants["v5_minfold"] = scan_of(
-                lambda xv: v5(_arrange_x_q4(xv, GROUP, tk), packed, scales,
-                              mins))
+                lambda xv: v5(_arrange_x_q4(xv, GROUP, tk), group_sums(xv),
+                              packed, scales, mins))
             v6 = pallas(acc_wrap(v6_compute),
-                        [x_spec, w_spec_q4, s_spec, s_spec])
+                        [x_spec, xg_spec, w_spec_q4, s_spec, s_spec])
             variants["v6_bf16"] = scan_of(
-                lambda xv: v6(_arrange_x_q4(xv, GROUP, tk), packed, scales,
-                              mins))
+                lambda xv: v6(_arrange_x_q4(xv, GROUP, tk), group_sums(xv),
+                              packed, scales, mins))
 
         def mk_floor(iters):
             seeds = jnp.arange(1, iters + 1, dtype=jnp.uint8)
@@ -279,17 +290,20 @@ def main():
                 err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
                 print(f"  {tag} rel-err vs v0: {err:.5f}", flush=True)
 
-        # interleaved rounds, min per variant
-        best = {tag: [1e9, 1e9] for tag in variants}
-        best["floor"] = [1e9, 1e9]
+        # interleaved rounds, min per variant; jitted fns built ONCE
+        # (a fresh jit per round would recompile the 150-call scan)
+        built = {}
+        for tag, mk in list(variants.items()) + [("floor", mk_floor)]:
+            built[tag] = (mk(N1), mk(N2))
+        best = {tag: [1e9, 1e9] for tag in built}
         for r in range(ROUNDS):
-            for tag, mk in list(variants.items()) + [("floor", None)]:
+            for tag, (f1, f2) in built.items():
                 if tag == "floor":
-                    t1 = timeit(mk_floor(N1), packed, scales, mins)
-                    t2 = timeit(mk_floor(N2), packed, scales, mins)
+                    t1 = timeit(f1, packed, scales, mins)
+                    t2 = timeit(f2, packed, scales, mins)
                 else:
-                    t1 = timeit(mk(N1), x)
-                    t2 = timeit(mk(N2), x)
+                    t1 = timeit(f1, x)
+                    t2 = timeit(f2, x)
                 best[tag][0] = min(best[tag][0], t1)
                 best[tag][1] = min(best[tag][1], t2)
         for tag, (t1, t2) in best.items():
