@@ -74,12 +74,17 @@ class ModelRunner:
 
         # per-row ragged decode attention: single-device TPU runs only
         # (GSPMD cannot partition the pallas_call over a mesh); interpret
-        # mode is opt-in for tests via ops.flash_decode.set_interpret
+        # mode is opt-in for tests via ops.flash_decode.set_interpret.
+        # Check the REAL platform, not use_pallas_default() — tests force
+        # the latter on CPU meshes where only interpret-mode pallas runs.
         from ..ops import flash_decode as FD
-        from ..ops.linear import use_pallas_default
 
+        try:
+            plat = jax.devices()[0].platform
+        except Exception:
+            plat = "cpu"
         fd = (mesh is None and kv_format in ("f32", "bf16")
-              and (use_pallas_default() or FD.interpret_mode()))
+              and (plat in ("tpu", "axon") or FD.interpret_mode()))
         self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format,
                                              flash_decode=fd)
         self.max_batch = max_batch

@@ -256,9 +256,18 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     return 0, 0
 
 
+_INTERPRET = False  # tests force interpret-mode kernels on the CPU mesh
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = value
+
+
 def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
             precision: str | None = None) -> jnp.ndarray:
     """x [B, K] @ quantized W [K, N] -> [B, N] float32 (bias NOT applied)."""
+    interpret = interpret or _INTERPRET
     b, k = x.shape
     assert k == lin.k, (k, lin.k)
     n = lin.n

@@ -156,10 +156,10 @@ def main():
                 acc_ref[:] += jnp.dot(x_ref[:], w,
                                       preferred_element_type=jnp.float32,
                                       precision=prec)
-                acc_ref[:] -= jnp.dot(xg_ref[:],
-                                      m_ref[:].astype(jnp.float32),
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)
+                acc_ref[:] -= jax.lax.dot_general(
+                    xg_ref[:], m_ref[:].astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
         else:
             def v5_compute(refs, acc_ref):
                 x_ref, xg_ref, p_ref, s_ref, m_ref = refs
@@ -174,10 +174,10 @@ def main():
                                       hi.astype(jnp.float32) * srep,
                                       preferred_element_type=jnp.float32,
                                       precision=prec)
-                acc_ref[:] -= jnp.dot(xg_ref[:],
-                                      m_ref[:].astype(jnp.float32),
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)
+                acc_ref[:] -= jax.lax.dot_general(
+                    xg_ref[:], m_ref[:].astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
 
         # -- v6_bf16: dequant + dot in bf16 (plus min-fold) ----------------
         if fmt == "q8":
@@ -188,9 +188,10 @@ def main():
                 xb = x_ref[:].astype(jnp.bfloat16)
                 acc_ref[:] += jnp.dot(xb, w,
                                       preferred_element_type=jnp.float32)
-                acc_ref[:] -= jnp.dot(xg_ref[:].astype(jnp.bfloat16),
-                                      m_ref[:],
-                                      preferred_element_type=jnp.float32)
+                acc_ref[:] -= jax.lax.dot_general(
+                    xg_ref[:].astype(jnp.bfloat16), m_ref[:],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         else:
             def v6_compute(refs, acc_ref):
                 x_ref, xg_ref, p_ref, s_ref, m_ref = refs
@@ -203,9 +204,10 @@ def main():
                 acc_ref[:] += jnp.dot(xb[:, tk // 2:],
                                       hi.astype(jnp.bfloat16) * srep,
                                       preferred_element_type=jnp.float32)
-                acc_ref[:] -= jnp.dot(xg_ref[:].astype(jnp.bfloat16),
-                                      m_ref[:],
-                                      preferred_element_type=jnp.float32)
+                acc_ref[:] -= jax.lax.dot_general(
+                    xg_ref[:].astype(jnp.bfloat16), m_ref[:],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
         variants = {}
 
@@ -228,11 +230,14 @@ def main():
         variants["v1_nomin"] = scan_of(
             lambda xv: qmatmul(xv, lin_nomin, precision="default"))
 
-        xg_spec = pl.BlockSpec((B, tk // GROUP), lambda ni, ki: (0, ki),
+        # xg rides TRANSPOSED [K/G, B]: its last dim (B=8) equals the
+        # full array dim, satisfying Mosaic's lane-divisibility rule for
+        # any tk (a [B, tk/G] block has 64 lanes on K-tiled shapes)
+        xg_spec = pl.BlockSpec((tk // GROUP, B), lambda ni, ki: (ki, 0),
                                memory_space=pltpu.VMEM)
 
         def group_sums(xv):
-            return xv.reshape(B, K // GROUP, GROUP).sum(-1)
+            return xv.reshape(B, K // GROUP, GROUP).sum(-1).T
 
         if fmt == "q8":
             def v2_compute(refs, acc_ref):
@@ -290,24 +295,23 @@ def main():
                 err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
                 print(f"  {tag} rel-err vs v0: {err:.5f}", flush=True)
 
-        # interleaved rounds, min per variant; jitted fns built ONCE
-        # (a fresh jit per round would recompile the 150-call scan)
+        # interleaved rounds; jitted fns built ONCE (a fresh jit per round
+        # would recompile the 150-call scan). The differential (t2 - t1) is
+        # computed WITHIN each round — t1/t2 measured back-to-back share a
+        # contention window; min-ing t1 and t2 independently across rounds
+        # produced impossible >1.4 TB/s artifacts. Best (min) dt wins.
         built = {}
         for tag, mk in list(variants.items()) + [("floor", mk_floor)]:
             built[tag] = (mk(N1), mk(N2))
-        best = {tag: [1e9, 1e9] for tag in built}
+        best = {tag: 1e9 for tag in built}
         for r in range(ROUNDS):
             for tag, (f1, f2) in built.items():
-                if tag == "floor":
-                    t1 = timeit(f1, packed, scales, mins)
-                    t2 = timeit(f2, packed, scales, mins)
-                else:
-                    t1 = timeit(f1, x)
-                    t2 = timeit(f2, x)
-                best[tag][0] = min(best[tag][0], t1)
-                best[tag][1] = min(best[tag][1], t2)
-        for tag, (t1, t2) in best.items():
-            dt = max(t2 - t1, 1e-9) / (N2 - N1)
+                args = (packed, scales, mins) if tag == "floor" else (x,)
+                t1 = timeit(f1, *args)
+                t2 = timeit(f2, *args)
+                dt = max(t2 - t1, 1e-9) / (N2 - N1)
+                best[tag] = min(best[tag], dt)
+        for tag, dt in best.items():
             print(f"  {tag:<11} {dt*1e6:7.1f} us {nbytes/dt/1e9:6.1f} GB/s",
                   flush=True)
 

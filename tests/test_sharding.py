@@ -173,6 +173,54 @@ def test_qwen3next_hybrid_mesh_matches_single_device(hybrid_model, rng):
     _mesh_parity(hybrid_model, make_mesh(n_model=4, n_data=2), rng)
 
 
+def test_quantized_tp_fused_kernel_matches_single_device(tmp_path, rng):
+    """QUANTIZED weights sharded over the model axis, through the FUSED
+    Pallas kernel path (interpret mode on the CPU mesh): a GSPMD
+    partitioning bug in the packed/scale panel layouts fails here, not on
+    a user (round-2 verdict: quantized + multi-chip never met in tests).
+
+    Oracle chain: sharded-quant(fused) == single-quant(fused) == the
+    in-graph XLA dequant path."""
+    from fixtures import make_tiny_model
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.ops import linear as L
+    from llama_gguf_tpu.ops import qmatmul as QM
+
+    path = str(tmp_path / "q.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=97, hidden=256, layers=2,
+                    heads=4, kv_heads=2, ffn=256, ctx=64, seed=13,
+                    quant=GGMLType.Q4_K)
+    model = load_model(path, mode="quant")
+    params, cfg, _ = model
+
+    # XLA dequant oracle (no pallas)
+    b, t = 2, 8
+    tokens = rng.integers(0, 97, size=(b, t)).astype(np.int32)
+    positions = np.tile(np.arange(t, dtype=np.int32), (b, 1))
+    lengths = np.full((b,), t, np.int32)
+    runner = ModelRunner(params, cfg, max_batch=b, max_seq=64)
+    kv = runner.init_kv()
+    oracle, _ = runner.step(jnp.asarray(tokens), jnp.asarray(positions),
+                            jnp.asarray(lengths), kv)
+    oracle = np.asarray(oracle)
+
+    QM.set_interpret(True)
+    L.set_use_pallas(True)
+    try:
+        # single-device fused path
+        runner_f = ModelRunner(params, cfg, max_batch=b, max_seq=64)
+        kv_f = runner_f.init_kv()
+        single, _ = runner_f.step(jnp.asarray(tokens), jnp.asarray(positions),
+                                  jnp.asarray(lengths), kv_f)
+        np.testing.assert_allclose(np.asarray(single), oracle,
+                                   rtol=2e-4, atol=2e-4)
+        # sharded fused path
+        _mesh_parity(model, make_mesh(n_model=4, n_data=1), rng)
+    finally:
+        QM.set_interpret(False)
+        L.set_use_pallas(None)
+
+
 def test_engine_mesh_matches_single_device(tmp_path):
     """Engine with a (2,4) TP/DP mesh on the virtual CPU devices produces
     the same greedy tokens as the single-device engine."""
