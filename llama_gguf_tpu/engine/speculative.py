@@ -62,10 +62,12 @@ def make_self_draft(runner: ModelRunner, exit_layer: int) -> ModelRunner:
                        kv_format=runner.kv_format)
 
 
-def _window(runner: ModelRunner, tokens: list[int], start_pos: int,
-            kv: dict) -> tuple[np.ndarray, dict]:
+def _window_dev(runner: ModelRunner, tokens: list[int], start_pos: int,
+                kv: dict) -> tuple[jnp.ndarray, dict]:
     """One jitted step consuming ``tokens`` at positions start_pos...;
-    returns (logits [len(tokens), V] np, kv)."""
+    returns (DEVICE logits [len(tokens), V], kv) — callers that only need
+    token ids argmax on device and fetch k ints instead of a [t, V] logits
+    slab (4 MB/round at 8B over the 2-6 ms/call tunnel)."""
     t = len(tokens)
     b = runner.max_batch
     bt = bucket_len(t)
@@ -81,7 +83,34 @@ def _window(runner: ModelRunner, tokens: list[int], start_pos: int,
                              jnp.asarray(lengths), kv,
                              read_bound=read_bucket(start_pos + t,
                                                     runner.max_seq))
-    return np.asarray(logits[0, :t]), kv
+    return logits[0, :t], kv
+
+
+def _window(runner: ModelRunner, tokens: list[int], start_pos: int,
+            kv: dict) -> tuple[np.ndarray, dict]:
+    """_window_dev with a host fetch (sampled paths need full rows)."""
+    logits, kv = _window_dev(runner, tokens, start_pos, kv)
+    return np.asarray(logits), kv
+
+
+def _draft_greedy_on_device(draft: ModelRunner, tail: list[int], nd: int,
+                            dkv: dict, k: int) -> tuple[list[int], dict]:
+    """Draft k greedy tokens with ONE window step + ONE on-device greedy
+    scan + ONE k-int fetch. The round-2 host loop paid a decode_one
+    dispatch plus a full-logits fetch per draft token (2-6 ms each over
+    the tunnel) — at 8B that cost more wall time than speculation saved."""
+    dlog, dkv = _window_dev(draft, tail, nd, dkv)
+    nd_new = nd + len(tail)
+    b = draft.max_batch
+    t0 = jnp.zeros((b,), jnp.int32).at[0].set(
+        jnp.argmax(dlog[-1]).astype(jnp.int32))
+    if k > 1:
+        pos0 = jnp.full((b,), nd_new, jnp.int32)
+        rest, dkv = draft.greedy_decode(t0, pos0, dkv, steps=k - 1)
+        drafts_dev = jnp.concatenate([t0[:1], rest[0]])
+    else:
+        drafts_dev = t0[:1]
+    return [int(x) for x in np.asarray(drafts_dev)], dkv
 
 
 class SpeculativeDecoder:
@@ -129,26 +158,26 @@ class SpeculativeDecoder:
         while len(out) < max_tokens and len(hist) + self.k + 1 < max_seq:
             k = min(self.k, max_tokens - len(out))
 
-            # -- draft: consume the unconsumed tail, then draft k tokens
-            dlog, dkv = _window(self.draft, hist[nd:], nd, dkv)
+            # -- draft: consume the unconsumed tail, then draft k tokens —
+            # one window step + one on-device greedy scan + one k-int fetch
+            # (the draft cache consumes drafts[:k-1] at positions
+            # nd..nd+k-2; those entries stay valid exactly for the
+            # accepted prefix)
+            drafts, dkv = _draft_greedy_on_device(
+                self.draft, hist[nd:], nd, dkv, k)
             nd = len(hist)
-            drafts = [int(np.argmax(dlog[-1]))]
-            for i in range(k - 1):
-                dlog1, dkv = self.draft.decode_one(drafts[-1], nd + i, dkv)
-                drafts.append(int(np.argmax(np.asarray(dlog1))))
-            # draft consumed drafts[:k-1] at positions nd..nd+k-2; these
-            # cache entries stay valid exactly for the accepted prefix
             nd_base = nd
             nd = nd + k - 1
             self.stats.drafted += k
 
-            # -- verify: one target pass over [tail..., drafts[:-1]]
+            # -- verify: one target pass over [tail..., drafts[:-1]];
+            # argmax on device, fetch k ints (not a [k, V] logits slab)
             window = hist[nt:] + drafts[:-1]
             start = nt
-            vlogits, tkv = _window(self.target, window, start, tkv)
+            vlogits, tkv = _window_dev(self.target, window, start, tkv)
             nt = start + len(window)
             # logits rows for the last k window tokens verify drafts[0..k-1]
-            greedy = np.argmax(vlogits[-k:], axis=-1)
+            greedy = np.asarray(jnp.argmax(vlogits[-k:], axis=-1))
 
             accepted = 0
             for i in range(k):
@@ -369,16 +398,17 @@ class PromptLookupDecoder:
             drafts = self._propose(hist, min(self.k, max_tokens - len(out)))
             k = len(drafts)
             window = hist[nt:] + (drafts[:-1] if k else [])
-            vlogits, tkv = _window(self.target, window, nt, tkv)
+            vlogits, tkv = _window_dev(self.target, window, nt, tkv)
             nt += len(window)
             self.stats.rounds += 1
             self.stats.drafted += k
 
             if k == 0:  # no n-gram match: plain single-token step
-                new_tokens = [int(np.argmax(vlogits[-1]))]
+                new_tokens = [int(jnp.argmax(vlogits[-1]))]
                 self.stats.bonus += 1
             else:
-                greedy = np.argmax(vlogits[-k:], axis=-1)
+                # argmax on device; fetch k ints, not a [k, V] logits slab
+                greedy = np.asarray(jnp.argmax(vlogits[-k:], axis=-1))
                 accepted = 0
                 for i in range(k):
                     if drafts[i] == int(greedy[i]):
