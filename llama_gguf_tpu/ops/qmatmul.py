@@ -15,10 +15,17 @@ Two canonical layouts (see quant/repack.py):
       does two column-sliced dots — pure lane slicing, no sublane shuffles.
   q8: int8 [K, N], tiled directly.
 
-Per-group scales s [K/g, N] multiply in VMEM; for affine formats the
-per-group mins are folded into the in-VMEM dequant (w = s*q - m) — a
-factored-out XLA min path was 50x slower because the per-group sum of x is a
-strided lane reduction that lowers terribly on TPU.
+Per-group scales s [K/g, N] multiply in VMEM. For affine formats the
+per-group min term is factored OUT of the per-element dequant and onto the
+MXU:   y = x @ (s ∘ q)  −  xg @ m,   where xg [K/g, B] holds the per-group
+sums of x (computed in XLA outside the kernel — trivially fused there; a
+round-1 attempt to do the whole factored min path in XLA was 50x slower
+because the strided lane reduction + the full dequant lived outside the
+kernel). This removes two VPU passes per element — the round-3
+decomposition measured the decode kernel chain VPU-dequant-bound at ~530
+GB/s in an ~800 GB/s window, so every deleted per-element pass is HBM
+bandwidth recovered. xg rides transposed ([K/g, B], lanes = B) because a
+[B, tk/g] block violates Mosaic's 128-lane divisibility at tiled K.
 
 The K axis is tiled on the grid with an f32 VMEM accumulator so arbitrarily
 large K fits in VMEM. Measured on v5e at B=8, 4096x4096: ~16-17us for both
@@ -65,15 +72,25 @@ def _repeat_rows(s: jnp.ndarray, rep: int) -> jnp.ndarray:
     return jnp.broadcast_to(s[:, None, :], (g, rep, n)).reshape(g * rep, n)
 
 
-def _q4_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
-               tk: int, prec, has_mins: bool, k_axis: int = 1):
+def _min_dot(acc_ref, xg_ref, m_ref, prec):
+    """acc -= xg^T @ m: the factored-out affine min term on the MXU.
+    xg_ref [TK/g, B] (transposed; lanes = B); m_ref [TK/g, TN]."""
+    acc_ref[:] -= jax.lax.dot_general(
+        xg_ref[:].astype(jnp.float32), m_ref[:].astype(jnp.float32),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _q4_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
+               group: int, tk: int, prec, has_mins: bool, k_axis: int = 1):
     """One (n, k) grid step for the group-split q4 layout.
 
     x_ref: [B, TK] — tile-arranged so columns [0, TK/2) hold the lo-plane
     elements (j < group/2 of each scale group) and [TK/2, TK) the hi-plane;
-    p_ref: [TK//2, TN] uint8; s_ref: [TK//group, TN] f32; o_ref: [B, TN].
-    Packed row r belongs to scale group r // (group/2). ``k_axis`` is the
-    grid axis that tiles K (last axis for the MoE batched-expert variant).
+    p_ref: [TK//2, TN] uint8; s_ref: [TK//group, TN]; m_ref/xg_ref: min
+    panel + transposed per-group x sums (affine formats only); o_ref:
+    [B, TN]. Packed row r belongs to scale group r // (group/2). ``k_axis``
+    is the grid axis that tiles K (last for the MoE batched-expert variant).
     """
     ki = pl.program_id(k_axis)
     nk = pl.num_programs(k_axis)
@@ -90,23 +107,21 @@ def _q4_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
     srep = _repeat_rows(s_ref[:].astype(jnp.float32), group // 2)  # [TK/2, TN]
     w_lo = lo * srep
     w_hi = hi * srep
-    if has_mins:
-        mrep = _repeat_rows(m_ref[:].astype(jnp.float32), group // 2)
-        w_lo = w_lo - mrep
-        w_hi = w_hi - mrep
     x = x_ref[:].astype(jnp.float32)
     acc_ref[:] += jnp.dot(x[:, : tk // 2], w_lo,
                           preferred_element_type=jnp.float32, precision=prec)
     acc_ref[:] += jnp.dot(x[:, tk // 2 :], w_hi,
                           preferred_element_type=jnp.float32, precision=prec)
+    if has_mins:
+        _min_dot(acc_ref, xg_ref, m_ref, prec)
 
     @pl.when(ki == nk - 1)
     def _():
         o_ref[:] = acc_ref[:]
 
 
-def _q8_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
-               tk: int, prec, has_mins: bool, k_axis: int = 1):
+def _q8_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
+               group: int, tk: int, prec, has_mins: bool, k_axis: int = 1):
     k_idx = pl.program_id(k_axis)
     nk = pl.num_programs(k_axis)
 
@@ -117,11 +132,11 @@ def _q8_kernel(x_ref, p_ref, s_ref, m_ref, o_ref, acc_ref, *, group: int,
     q = p_ref[:].astype(jnp.float32)
     s = s_ref[:].astype(jnp.float32)
     w = q * _repeat_rows(s, group)
-    if has_mins:
-        w = w - _repeat_rows(m_ref[:].astype(jnp.float32), group)
     x = x_ref[:].astype(jnp.float32)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32,
                           precision=prec)
+    if has_mins:
+        _min_dot(acc_ref, xg_ref, m_ref, prec)
 
     @pl.when(k_idx == nk - 1)
     def _():
@@ -182,13 +197,20 @@ def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n,
         ]
         inputs = [x, packed, scales]
     if has_mins:
+        # min panel + TRANSPOSED per-group x sums ([K/g, B]: lanes = B,
+        # legal at any tk; a [B, tk/g] block would need 128-divisible lanes)
         in_specs.append(scale_spec)
         inputs.append(mins)
+        in_specs.append(pl.BlockSpec((tk // group, b),
+                                     lambda ni, ki: (ki, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(
+            x.reshape(b, k // group, group).sum(-1).T.astype(jnp.float32))
     else:
-        # dummy scalar placeholder so kernel arity stays fixed
+        # dummy placeholders so kernel arity stays fixed
         def _wrap(kern):
             def inner(x_ref, p_ref, s_ref, o_ref, acc_ref):
-                return kern(x_ref, p_ref, s_ref, None, o_ref, acc_ref)
+                return kern(x_ref, p_ref, s_ref, None, None, o_ref, acc_ref)
             return inner
         kernel = _wrap(kernel)
 
@@ -346,10 +368,19 @@ def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
     if has_mins:
         in_specs.append(scale_spec)
         inputs.append(mins)
+        # transposed per-slot group sums [E, K/g, 8] (rows 1-7 of the padded
+        # x are zero, so only column 0 of xg is nonzero — the min dot's
+        # extra columns cost nothing)
+        in_specs.append(pl.BlockSpec((None, tk // group, 8),
+                                     lambda ei, ni, ki: (ei, ki, 0),
+                                     memory_space=pltpu.VMEM))
+        xg = x.reshape(e, k // group, group).sum(-1)  # [E, K/g]
+        inputs.append(jnp.pad(xg[:, :, None], ((0, 0), (0, 0), (0, 7)))
+                      .astype(jnp.float32))
     else:
         def _wrap(kern):
             def inner(x_ref, p_ref, s_ref, o_ref, acc_ref):
-                return kern(x_ref, p_ref, s_ref, None, o_ref, acc_ref)
+                return kern(x_ref, p_ref, s_ref, None, None, o_ref, acc_ref)
             return inner
         kernel = _wrap(kernel)
 

@@ -31,8 +31,8 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-N1, N2 = 30, 150
-ROUNDS = 3
+N1, N2 = 50, 450
+ROUNDS = 5
 GROUP = 32
 
 
@@ -296,24 +296,27 @@ def main():
                 print(f"  {tag} rel-err vs v0: {err:.5f}", flush=True)
 
         # interleaved rounds; jitted fns built ONCE (a fresh jit per round
-        # would recompile the 150-call scan). The differential (t2 - t1) is
-        # computed WITHIN each round — t1/t2 measured back-to-back share a
-        # contention window; min-ing t1 and t2 independently across rounds
-        # produced impossible >1.4 TB/s artifacts. Best (min) dt wins.
+        # would recompile the scan). The differential (t2 - t1) is computed
+        # WITHIN each round — t1/t2 measured back-to-back share a contention
+        # window (min-ing t1/t2 independently across rounds produced
+        # impossible >1.4 TB/s artifacts), and the MEDIAN of per-round dts
+        # is reported (the min of a noisy difference biases low).
         built = {}
         for tag, mk in list(variants.items()) + [("floor", mk_floor)]:
             built[tag] = (mk(N1), mk(N2))
-        best = {tag: 1e9 for tag in built}
+        dts = {tag: [] for tag in built}
         for r in range(ROUNDS):
             for tag, (f1, f2) in built.items():
                 args = (packed, scales, mins) if tag == "floor" else (x,)
                 t1 = timeit(f1, *args)
                 t2 = timeit(f2, *args)
-                dt = max(t2 - t1, 1e-9) / (N2 - N1)
-                best[tag] = min(best[tag], dt)
-        for tag, dt in best.items():
-            print(f"  {tag:<11} {dt*1e6:7.1f} us {nbytes/dt/1e9:6.1f} GB/s",
-                  flush=True)
+                dts[tag].append(max(t2 - t1, 1e-9) / (N2 - N1))
+        for tag, ds in dts.items():
+            ds.sort()
+            dt = ds[len(ds) // 2]
+            spread = (ds[-1] - ds[0]) / dt if dt else 0
+            print(f"  {tag:<11} {dt*1e6:7.1f} us {nbytes/dt/1e9:6.1f} GB/s"
+                  f"  (spread {spread:.0%})", flush=True)
 
 
 if __name__ == "__main__":
