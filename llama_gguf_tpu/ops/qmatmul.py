@@ -47,8 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .linear import QuantLinear
 
-DEFAULT_TK = 2048  # logical K elements per grid step (when K is tiled)
-MAX_FULL_TK = 8192  # up to this K, take the whole axis in one block
+DEFAULT_TK = 2048  # minimum preferred K elements per grid step (tiled)
+MAX_FULL_TK = 8192  # below this K, full-K needs no budget check
+# Per-weight-tile budget (tk*tn*4, the f32 dequant plane): the round-3
+# tile sweep measured q8 K=14336 at (tk=14336, tn=256) = 693 GB/s vs the
+# old (2048, 256) = 623 — Mosaic streams the dequant, so tiles far above
+# the old 2048 cap compile and win; (14336, 512) = 29 MB failed compile,
+# (14336, 256) = 14.7 MB passed. q4 kernels materialize ~2x more
+# intermediate per logical element (i32 widen + two planes), so their
+# budget is halved.
+DEQ_TILE_BUDGET_Q8 = 15 << 20
+DEQ_TILE_BUDGET_Q4 = 8650752  # 8.25 MB — the historical 8192x256 point
 FULL_TK_X_BUDGET = 4 << 20  # max bytes of the [B, K] x block for full-K
 # max bytes of the [B, TK] x block (tiled path). Pallas double-buffers
 # every input block, so the real VMEM need is ~2x this plus the weight
@@ -237,11 +246,13 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     rows must be divisible by 8, i.e. tk % 8*group == 0 — OR the block must
     equal the full array).
 
-    Prefer tk == K whenever it fits VMEM (<= MAX_FULL_TK): one grid K-step,
-    no accumulator revisits. This matters for shapes like K=5632 (llama FFN
-    down), whose only legal PARTIAL tile <= 2048 is 512 — 11 small K-steps
-    measured ~2.8x slower than the HBM floor. Otherwise pick the largest
-    multiple of 8*group dividing K, capped at DEFAULT_TK.
+    Prefer tk == K whenever it fits VMEM: one grid K-step, no accumulator
+    revisits. This matters for shapes like K=5632 (llama FFN down), whose
+    only legal PARTIAL tile <= 2048 is 512 — 11 small K-steps measured
+    ~2.8x slower than the HBM floor; the round-3 tile sweep extended the
+    finding to K=14336 (full-K 693 GB/s vs tk=2048 623). When full-K is
+    over budget, pick the LARGEST multiple of 8*group dividing K that fits
+    the per-tile dequant budget (not the old 2048 cap).
 
     ``b``: batch rows of x — the x block is [B, tk] f32, so full-K blocks
     are only legal while b*tk*4 bytes fit the VMEM budget (prefill steps
@@ -249,8 +260,9 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     tn = DEFAULT_TN if n % DEFAULT_TN == 0 else 128
     if n % tn != 0:
         return 0, 0
-    if (k % (2 * group) == 0 and k <= MAX_FULL_TK
-            and b * k * 4 <= FULL_TK_X_BUDGET):
+    deq_budget = DEQ_TILE_BUDGET_Q8 if fmt == "q8" else DEQ_TILE_BUDGET_Q4
+    if (k % (2 * group) == 0 and b * k * 4 <= FULL_TK_X_BUDGET
+            and (k <= MAX_FULL_TK or k * tn * 4 <= deq_budget)):
         return k, tn
 
     def fit_rows(tk: int) -> int:
@@ -271,7 +283,8 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
         return tk if b * tk * 4 <= TILED_X_BUDGET else 0
 
     step = 8 * group
-    for tk in range(min(DEFAULT_TK, k) // step * step, step - 1, -step):
+    cap = max(min(k, deq_budget // (tn * 4)), DEFAULT_TK)
+    for tk in range(cap // step * step, step - 1, -step):
         if k % tk == 0:
             tk = fit_rows(tk)
             return (tk, tn) if tk else (0, 0)

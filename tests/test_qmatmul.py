@@ -14,7 +14,7 @@ from llama_gguf_tpu.quant.repack import repack
 
 CASES = [
     (GGMLType.Q4_K, 4, 512, 256),
-    (GGMLType.Q4_K, 2, 10240, 128),  # K-TILED affine: min-fold across tiles
+    (GGMLType.Q4_K, 2, 10240, 256),  # K-TILED affine: min-fold across tiles
     (GGMLType.Q4_0, 8, 512, 128),
     (GGMLType.Q2_K, 8, 512, 128),
     (GGMLType.Q8_0, 8, 512, 256),
