@@ -389,22 +389,25 @@ class BatchedEngine:
             pos[s.slot, 0] = s.pos
             lengths[s.slot] = s.pos + 1
 
+        # the LM head runs on ONE column per row (decode rows column 0,
+        # prefill rows their chunk end) — mid-prefill chunk steps skip the
+        # whole [bt, V] vocab matmul, and the fetch below never touches a
+        # [B, bt, V] tensor (half a GB per chunk step over the tunnel)
+        lp = np.zeros((b,), np.int32)
+        for s in pre:
+            lp[s.slot] = len(chunks[s.slot]) - 1
         t0 = time.time()
         logits, self._kv = self.runner.step(
             np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv,
-            read_bound=read_bucket(int(lengths.max()), self.runner.max_seq))
-        # fetch ONLY the rows that need sampling this step (decode rows at
-        # column 0, prompt-completing rows at their last chunk column) in
-        # one device gather — the full [B, bt, V] logits can be half a GB
-        # per chunk step over the tunnel
+            read_bound=read_bucket(int(lengths.max()), self.runner.max_seq),
+            logit_positions=lp)
         need: list[tuple[Any, int]] = [(s, 0) for s in dec]
         done_pre = [s for s in pre
                     if s.prefilled + len(chunks[s.slot]) >= s.prompt_len]
-        need += [(s, len(chunks[s.slot]) - 1) for s in done_pre]
+        need += [(s, 0) for s in done_pre]
         if need:
             rows = jnp.asarray([s.slot for s, _ in need], jnp.int32)
-            cols = jnp.asarray([c for _, c in need], jnp.int32)
-            picked = np.asarray(logits[rows, cols])  # [len(need), V]
+            picked = np.asarray(logits[rows, 0])  # [len(need), V]
         dt = time.time() - t0
 
         if dec:

@@ -138,43 +138,63 @@ class ModelRunner:
 
     # -- compiled steps ------------------------------------------------------
 
-    def _get_step(self, b: int, t: int, read_bound: int | None = None):
-        key = (b, t, read_bound)
+    def _get_step(self, b: int, t: int, read_bound: int | None = None,
+                  gather_logits: bool = False):
+        key = (b, t, read_bound, gather_logits)
         fn = self._steps.get(key)
         if fn is None:
             cfg = self.cfg
             prec = self.matmul_precision
 
-            def _step(params, tokens, positions, lengths, kv):
-                with jax.default_matmul_precision(prec):
-                    return forward(params, cfg, tokens, positions, kv,
-                                   lengths, read_bound=read_bound)
-
-            fn = jax.jit(_step, donate_argnums=(4,))
+            if gather_logits:
+                def _step(params, tokens, positions, lengths, kv, lp):
+                    with jax.default_matmul_precision(prec):
+                        return forward(params, cfg, tokens, positions, kv,
+                                       lengths, read_bound=read_bound,
+                                       logit_positions=lp)
+                fn = jax.jit(_step, donate_argnums=(4,))
+            else:
+                def _step(params, tokens, positions, lengths, kv):
+                    with jax.default_matmul_precision(prec):
+                        return forward(params, cfg, tokens, positions, kv,
+                                       lengths, read_bound=read_bound)
+                fn = jax.jit(_step, donate_argnums=(4,))
             self._steps[key] = fn
         return fn
 
     def step(self, tokens: jnp.ndarray, positions: jnp.ndarray,
              lengths: jnp.ndarray, kv: dict,
-             read_bound: int | None = None) -> tuple[jnp.ndarray, dict]:
+             read_bound: int | None = None,
+             logit_positions: jnp.ndarray | None = None
+             ) -> tuple[jnp.ndarray, dict]:
         """Run one step. tokens/positions [B, T], lengths [B].
 
         ``read_bound``: static cap on KV positions attention reads (all
         valid positions must be < read_bound); use read_bucket() to pick.
-        None = whole padded cache."""
+        None = whole padded cache.
+
+        ``logit_positions``: optional [B] per-row T-index — the LM head
+        runs on that single position per row and logits come back
+        [B, 1, V] (prefill/mixed steps only sample one column per row;
+        at 512-token chunks this skips ~99.8% of the vocab matmul)."""
         b, t = tokens.shape
         if read_bound is not None:
             read_bound = min(read_bound, self.max_seq)
-        fn = self._get_step(b, t, read_bound)
+        gather = logit_positions is not None and t > 1
+        fn = self._get_step(b, t, read_bound, gather_logits=gather)
+        extra = (jnp.asarray(logit_positions, jnp.int32),) if gather else ()
         if self.mesh is not None:
             from ..parallel.sharding import replicate_inputs
 
             tokens, positions, lengths = replicate_inputs(
                 self.mesh, jnp.asarray(tokens), jnp.asarray(positions),
                 jnp.asarray(lengths))
+            if gather:
+                extra = replicate_inputs(self.mesh, *extra)
             with self.mesh:
-                return fn(self.params, tokens, positions, lengths, kv)
-        return fn(self.params, tokens, positions, lengths, kv)
+                return fn(self.params, tokens, positions, lengths, kv,
+                          *extra)
+        return fn(self.params, tokens, positions, lengths, kv, *extra)
 
     def _get_greedy_scan(self, b: int, read_bound: int | None = None):
         """Jitted N-step greedy decode entirely on device via lax.scan:
@@ -304,8 +324,9 @@ class ModelRunner:
         logits, kv = self.step(
             jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(lengths), kv,
             read_bound=read_bucket(start_pos + t, self.max_seq),
+            logit_positions=np.full((b,), t - 1, np.int32),
         )
-        return logits[batch_idx, t - 1], kv, start_pos + t
+        return logits[batch_idx, logits.shape[1] - 1], kv, start_pos + t
 
     def decode_one(self, token_id: int, pos: int, kv: dict,
                    batch_idx: int = 0) -> tuple[jnp.ndarray, dict]:

@@ -265,7 +265,8 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 
             k_cache = kv["k"][cache_idx]
             bound = min(read_bound or k_cache.shape[1], k_cache.shape[1])
-            if bound % FD._pick_block(bound) == 0:
+            if (bound % FD._pick_block(bound) == 0
+                    and k_cache.shape[2] <= FD.MAX_KV_HEADS):
                 ctx = FD.flash_decode(
                     qg, k_cache, kv["v"][cache_idx], positions, lengths,
                     scale=cfg.attention_scale or hd**-0.5, bound=bound,
@@ -593,11 +594,20 @@ def parallel_hybrid_layer(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
 def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             positions: jnp.ndarray, kv: dict,
             lengths: jnp.ndarray,
-            read_bound: int | None = None) -> tuple[jnp.ndarray, dict]:
+            read_bound: int | None = None,
+            logit_positions: jnp.ndarray | None = None
+            ) -> tuple[jnp.ndarray, dict]:
     """Full forward. tokens/positions: [B, T]; lengths: [B] valid KV length
     after writing this step. ``read_bound``: STATIC cap on KV positions
     attention reads (caller guarantees all valid positions < read_bound);
-    None reads the whole padded cache. Returns (logits [B, T, V], kv')."""
+    None reads the whole padded cache. Returns (logits [B, T, V], kv').
+
+    ``logit_positions``: optional [B] per-row T-index; when given, the
+    LM head runs on just that one hidden state per row and the return is
+    [B, 1, V]. Prefill only needs the last position's logits — at 512
+    tokens this skips 511/512 of the vocab matmul (the single largest
+    matmul in the step: V=128k at 8B) plus the [B, T, V] f32
+    materialization (262 MB at 8B/512)."""
     from ..utils.debug import trace_activation
 
     x = embed(params, cfg, tokens, positions)
@@ -623,5 +633,8 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
             x, kv = transformer_layer(layer, cfg, x, positions, kv, i,
                                       lengths, read_bound)
         trace_activation("out", i, x)
+    if logit_positions is not None and x.shape[1] > 1:
+        x = jnp.take_along_axis(
+            x, logit_positions.astype(jnp.int32)[:, None, None], axis=1)
     logits = compute_logits(params, cfg, x)
     return logits, kv

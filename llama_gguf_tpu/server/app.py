@@ -139,7 +139,9 @@ class ServerState:
 
             logits, kv = runner.step(toks, pos, lengths, kv,
                                      read_bound=read_bucket(
-                                         2, runner.max_seq))
+                                         2, runner.max_seq),
+                                     logit_positions=np.full(
+                                         (b,), 1, np.int32))
             np.asarray(logits)
             toks1 = np.zeros((b, 1), np.int32)
             pos1 = np.full((b, 1), runner.max_seq, np.int32)
