@@ -255,9 +255,14 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         )
     else:
         ctx = None
-        if (cfg.flash_decode and t == 1 and not cfg.uses_alibi
+        if (cfg.flash_decode and t == 1 and b > 1 and not cfg.uses_alibi
                 and window >= 0 and cfg.kv_format in ("f32", "bf16")
                 and hd % 8 == 0 and vd % 8 == 0):
+            # b > 1: at B=1 the kernel's interaction with the fused-qmatmul
+            # stream measured a 42% whole-step LOSS at 8B (18.4 vs 10.7 ms,
+            # scripts/bench_decode_decompose.py r3) while the XLA bucket
+            # read it replaces costs ~76 us — per-row ragged reads only pay
+            # off when multiple rows share a bucket (see docs/ROOFLINE.md)
             # per-row ragged decode: each batch row's attention reads only
             # its own live KV blocks (the XLA path reads the batch-global
             # bucket for every row)

