@@ -72,18 +72,27 @@ class ModelRunner:
             kv_format = "bf16" if kv_dtype == jnp.bfloat16 else "f32"
         import dataclasses
 
-        # per-row ragged decode attention: single-device TPU runs only
-        # (GSPMD cannot partition the pallas_call over a mesh); interpret
-        # mode is opt-in for tests via ops.flash_decode.set_interpret.
-        # Check the REAL platform, not use_pallas_default() — tests force
-        # the latter on CPU meshes where only interpret-mode pallas runs.
+        # per-row ragged decode attention: OPT-IN (LLAMA_GGUF_FLASH_DECODE=1).
+        # The kernel is correct and fast in isolation (~4 us/layer), but in
+        # real models it carries a ~240 us/layer interaction cost with the
+        # fused weight stream that no micro-bench reproduces — measured on
+        # both 8B B=1 (54 vs 94 tok/s) and TinyLlama B=32 ragged batches,
+        # where even its best case (mixed 10.3 ms/step) loses to the XLA
+        # bucket path paying the full long bucket (9.3 ms). See
+        # docs/ROOFLINE.md. Single-device only (GSPMD cannot partition the
+        # pallas_call); interpret mode is opt-in for tests via
+        # ops.flash_decode.set_interpret.
+        import os as _os
+
         from ..ops import flash_decode as FD
 
         try:
             plat = jax.devices()[0].platform
         except Exception:
             plat = "cpu"
-        fd = (mesh is None and kv_format in ("f32", "bf16")
+        opt_in = (_os.environ.get("LLAMA_GGUF_FLASH_DECODE") == "1"
+                  or FD.interpret_mode())
+        fd = (opt_in and mesh is None and kv_format in ("f32", "bf16")
               and (plat in ("tpu", "axon") or FD.interpret_mode()))
         self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format,
                                              flash_decode=fd)

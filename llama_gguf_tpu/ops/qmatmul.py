@@ -169,49 +169,58 @@ def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fmt", "group", "k", "n", "tk", "tn", "interpret",
+    static_argnames=("fmt", "group", "k", "n", "tk", "tn", "rb", "interpret",
                      "precision"),
 )
 def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n,
-                  tk, tn, interpret, precision=None):
+                  tk, tn, rb, interpret, precision=None):
+    """``rb``: row-block size. Decode-sized batches run as one row block
+    (rb == B, grid row axis of 1 — identical to the historical 2-D grid);
+    big prefill/mixed steps (B*T in the thousands) tile rows so the
+    [rb, tn] output block + f32 accumulator stay inside scoped VMEM — a
+    32-stream x 256-token mixed step (B = 8192 rows) OOM'd the 16 MB
+    scoped limit through the un-tiled [B, tn] output before this."""
     b = x.shape[0]
     nk = k // tk
     nn = n // tn
-    grid = (nn, nk)
+    nb = b // rb
+    grid = (nb, nn, nk)
     prec = _PREC[precision]
     has_mins = mins is not None
 
-    scale_spec = pl.BlockSpec((tk // group, tn), lambda ni, ki: (ki, ni),
+    scale_spec = pl.BlockSpec((tk // group, tn), lambda bi, ni, ki: (ki, ni),
                               memory_space=pltpu.VMEM)
 
     if fmt == "q4":
         kernel = functools.partial(_q4_kernel, group=group, tk=tk, prec=prec,
-                                   has_mins=has_mins)
+                                   has_mins=has_mins, k_axis=2)
         in_specs = [
-            pl.BlockSpec((b, tk), lambda ni, ki: (0, ki),
+            pl.BlockSpec((rb, tk), lambda bi, ni, ki: (bi, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 2, tn), lambda ni, ki: (ki, ni),
+            pl.BlockSpec((tk // 2, tn), lambda bi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
             scale_spec,
         ]
         inputs = [_arrange_x_q4(x, group, tk), packed, scales]
     else:
         kernel = functools.partial(_q8_kernel, group=group, tk=tk, prec=prec,
-                                   has_mins=has_mins)
+                                   has_mins=has_mins, k_axis=2)
         in_specs = [
-            pl.BlockSpec((b, tk), lambda ni, ki: (0, ki), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, tn), lambda ni, ki: (ki, ni),
+            pl.BlockSpec((rb, tk), lambda bi, ni, ki: (bi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda bi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
             scale_spec,
         ]
         inputs = [x, packed, scales]
     if has_mins:
         # min panel + TRANSPOSED per-group x sums ([K/g, B]: lanes = B,
-        # legal at any tk; a [B, tk/g] block would need 128-divisible lanes)
+        # legal at any tk when the row axis is un-tiled (block == full
+        # lanes); tiled rows need rb % 128 == 0 (lane-sliced block)
         in_specs.append(scale_spec)
         inputs.append(mins)
-        in_specs.append(pl.BlockSpec((tk // group, b),
-                                     lambda ni, ki: (ki, 0),
+        in_specs.append(pl.BlockSpec((tk // group, rb),
+                                     lambda bi, ni, ki: (ki, bi),
                                      memory_space=pltpu.VMEM))
         inputs.append(
             x.reshape(b, k // group, group).sum(-1).T.astype(jnp.float32))
@@ -228,23 +237,27 @@ def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (b, tn), lambda ni, ki: (0, ni), memory_space=pltpu.VMEM
+            (rb, tn), lambda bi, ni, ki: (bi, ni), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rb, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
     return out
 
 
+RB_MAX = 512  # rows per row-block when B*T exceeds it (must be % 128 == 0:
+# the transposed xg block lane-slices [K/g, B] at rb boundaries)
+
+
 def _pick_tiles(fmt: str, group: int, k: int, n: int,
-                b: int = 8) -> tuple[int, int]:
-    """K-tile choice under Mosaic's block constraints (the scale panel's
-    rows must be divisible by 8, i.e. tk % 8*group == 0 — OR the block must
-    equal the full array).
+                b: int = 8) -> tuple[int, int, int]:
+    """(K-tile, N-tile, row-block) choice under Mosaic's block constraints
+    (the scale panel's rows must be divisible by 8, i.e. tk % 8*group == 0
+    — OR the block must equal the full array).
 
     Prefer tk == K whenever it fits VMEM: one grid K-step, no accumulator
     revisits. This matters for shapes like K=5632 (llama FFN down), whose
@@ -254,41 +267,44 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     over budget, pick the LARGEST multiple of 8*group dividing K that fits
     the per-tile dequant budget (not the old 2048 cap).
 
-    ``b``: batch rows of x — the x block is [B, tk] f32, so full-K blocks
-    are only legal while b*tk*4 bytes fit the VMEM budget (prefill steps
-    carry B*T rows; the bench's 512-token prefill OOM'd without this)."""
+    ``b``: batch rows of x (caller pads to a multiple of the returned rb).
+    Rows beyond RB_MAX are GRID-TILED: the x block is [rb, tk] f32 and the
+    output block + f32 accumulator are [rb, tn] — un-tiled rows made a
+    32-stream x 256-token mixed step (B = 8192) allocate a 16 MB out+acc
+    pair and OOM the 16 MB scoped-VMEM limit on the real chip."""
     tn = DEFAULT_TN if n % DEFAULT_TN == 0 else 128
     if n % tn != 0:
-        return 0, 0
+        return 0, 0, 0
+    rb = b if b <= RB_MAX else RB_MAX
+    if b % rb != 0:
+        return 0, 0, 0
     deq_budget = DEQ_TILE_BUDGET_Q8 if fmt == "q8" else DEQ_TILE_BUDGET_Q4
-    if (k % (2 * group) == 0 and b * k * 4 <= FULL_TK_X_BUDGET
+    if (k % (2 * group) == 0 and rb * k * 4 <= FULL_TK_X_BUDGET
             and (k <= MAX_FULL_TK or k * tn * 4 <= deq_budget)):
-        return k, tn
+        return k, tn, rb
 
     def fit_rows(tk: int) -> int:
-        # the x block is [B, tk] f32 (no row blocking in the tiled path);
-        # shrink tk while it blows the VMEM budget (observed: B*T=1024
-        # prefill rows at tk=2048 = 19.6 MB scoped > the 16 MB limit).
+        # shrink tk while the [rb, tk] f32 x block blows the VMEM budget.
         # Shrunk tiles must keep the Mosaic constraint tk % (8*group) == 0
         # (scale-panel rows divisible by 8) since they no longer equal the
         # full K axis.
         astep = 8 * group
-        while tk >= astep and b * tk * 4 > TILED_X_BUDGET:
+        while tk >= astep and rb * tk * 4 > TILED_X_BUDGET:
             nt = tk // 2 // astep * astep
             while nt >= astep and k % nt:
                 nt -= astep
             if nt < astep or nt == tk:
                 return 0
             tk = nt
-        return tk if b * tk * 4 <= TILED_X_BUDGET else 0
+        return tk if rb * tk * 4 <= TILED_X_BUDGET else 0
 
     step = 8 * group
     cap = max(min(k, deq_budget // (tn * 4)), DEFAULT_TK)
     for tk in range(cap // step * step, step - 1, -step):
         if k % tk == 0:
             tk = fit_rows(tk)
-            return (tk, tn) if tk else (0, 0)
-    return 0, 0
+            return (tk, tn, rb) if tk else (0, 0, 0)
+    return 0, 0, 0
 
 
 _INTERPRET = False  # tests force interpret-mode kernels on the CPU mesh
@@ -306,20 +322,22 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
     b, k = x.shape
     assert k == lin.k, (k, lin.k)
     n = lin.n
-    tk, tn = _pick_tiles(lin.fmt, lin.group, k, n, b=max(b, 8))
+    # pad batch to the f32 sublane tile; big batches pad to a row-block
+    # multiple so the grid can tile rows
+    unit = 8 if b <= RB_MAX else RB_MAX
+    b_pad = -(-max(b, 8) // unit) * unit
+    tk, tn, rb = _pick_tiles(lin.fmt, lin.group, k, n, b=b_pad)
     if tk == 0 or n % tn != 0 or n % 128 != 0:
         from .linear import _apply_quant_xla
         return _apply_quant_xla(x, lin)
 
-    # pad batch to the f32 sublane tile
-    pad_b = (-b) % 8
-    xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
+    xp = jnp.pad(x, ((0, b_pad - b), (0, 0))) if b_pad != b else x
     y = _qmatmul_call(
         xp, lin.packed, lin.scales, lin.mins,
-        fmt=lin.fmt, group=lin.group, k=k, n=n, tk=tk, tn=tn,
+        fmt=lin.fmt, group=lin.group, k=k, n=n, tk=tk, tn=tn, rb=rb,
         interpret=interpret, precision=precision,
     )
-    if pad_b:
+    if b_pad != b:
         y = y[:b]
     return y
 
@@ -427,7 +445,7 @@ def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
     e, k = x_rows.shape
     assert k == stack.k, (k, stack.k)
     n = stack.n
-    tk, tn = _pick_tiles(stack.fmt, stack.group, k, n)
+    tk, tn, _ = _pick_tiles(stack.fmt, stack.group, k, n)
     if tk == 0 or n % tn != 0 or n % 128 != 0:
         return None
     packed = jnp.take(stack.packed, idx_flat, axis=0)

@@ -78,7 +78,7 @@ def main():
           f"rounds={ROUNDS} diff {N1}->{N2}")
 
     for K, N in shapes:
-        tk, tn = _pick_tiles(fmt, GROUP, K, N, b=B)
+        tk, tn, _rb = _pick_tiles(fmt, GROUP, K, N, b=B)
         if fmt == "q8":
             packed = jnp.asarray(
                 rng.integers(-127, 127, size=(K, N), dtype=np.int8))

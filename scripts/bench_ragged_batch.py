@@ -64,11 +64,16 @@ def main():
 
     def fill_rows(lengths):
         kv = runner.init_kv()
-        # scatter a full-batch prefill per bucket chunk: cheap synthetic
-        # fill (values don't matter for timing, positions/lengths do)
+        # chunked per-row prefill (prefill pads the FULL batch to the
+        # bucket, so a 2000-token row at B=32 would shape a 65k-row
+        # forward and OOM HBM; 256-token chunks mirror the batched
+        # engine's chunked-prefill and cap the step at 8k rows)
+        chunk = 256
         for b_idx, n in enumerate(lengths):
             ids = rng.integers(0, cfg.vocab_size, size=n).tolist()
-            _, kv, _ = runner.prefill(ids, kv, batch_idx=b_idx)
+            for off in range(0, n, chunk):
+                _, kv, _ = runner.prefill(ids[off: off + chunk], kv,
+                                          batch_idx=b_idx, start_pos=off)
         return kv
 
     def decode_time(lengths):

@@ -84,7 +84,7 @@ def main():
             def body(acc, s):
                 y = _qmatmul_call(x * s, packed, scales, None, fmt=fmt,
                                   group=GROUP, k=K, n=N, tk=tk, tn=tn,
-                                  interpret=False, precision="default")
+                                  rb=B, interpret=False, precision="default")
                 return acc + y[:, :8], None
             acc, _ = jax.lax.scan(body, jnp.zeros((B, 8), jnp.float32),
                                   seeds)

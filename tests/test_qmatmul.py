@@ -47,6 +47,21 @@ def test_qmatmul_matches_xla(t, b, k, n, rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("b", [600, 1088])
+def test_qmatmul_row_tiled_big_batch(b, rng):
+    """B > RB_MAX runs a row-tiled grid (nb > 1) with padding to a
+    row-block multiple — the 32-stream mixed-step shape that OOM'd
+    scoped VMEM when rows were un-tiled. Affine (mins) format so the
+    lane-sliced transposed-xg block is exercised too."""
+    t = GGMLType.Q4_K
+    lin = make_lin(t, 256, 512, rng)
+    x = jnp.asarray(rng.standard_normal((b, 512)).astype(np.float32))
+    want = np.asarray(_apply_quant_xla(x, lin))
+    got = np.asarray(qmatmul(x, lin, interpret=True))
+    assert got.shape == (b, 256)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_qmatmul_fallback_on_odd_shapes(rng):
     # N not multiple of 128 -> falls back to XLA path, still correct
     t = GGMLType.Q8_0
@@ -147,26 +162,33 @@ def test_moe_qmatmul_matches_gather_dequant():
 
 def test_pick_tiles_vmem_budgets():
     """Tile selection must respect the VMEM budgets: the x block is
-    [B, TK] f32 — at B*T=1024 prefill rows, tk=2048 measured 19.6 MB
-    scoped VMEM (over the 16 MB limit) on the real chip."""
+    [rb, TK] f32 and the out block + accumulator are [rb, tn] f32 — a
+    32-stream x 256-token mixed step (B = 8192 rows) OOM'd the 16 MB
+    scoped-VMEM limit through the un-tiled output before rows were
+    grid-tiled at RB_MAX."""
     from llama_gguf_tpu.ops.qmatmul import (
-        FULL_TK_X_BUDGET, TILED_X_BUDGET, _pick_tiles,
+        FULL_TK_X_BUDGET, RB_MAX, TILED_X_BUDGET, _pick_tiles,
     )
 
-    # decode-ish batches take the whole K axis in one block
-    tk, tn = _pick_tiles("q4", 32, 5632, 2048, b=8)
-    assert tk == 5632
-    # large prefill batches must shrink the K tile to fit the x block
-    tk, tn = _pick_tiles("q4", 32, 4096, 6144, b=1024)
-    assert 0 < tk < 2048 and 1024 * tk * 4 <= TILED_X_BUDGET
-    # shrunk (non-full) tiles must satisfy Mosaic's scale-panel constraint
-    assert 4096 % tk == 0 and tk % (8 * 32) == 0
+    # decode-ish batches take the whole K axis in one block, one row block
+    tk, tn, rb = _pick_tiles("q4", 32, 5632, 2048, b=8)
+    assert tk == 5632 and rb == 8
+    # large prefill batches tile rows at RB_MAX; the K tile fits the
+    # [rb, tk] x block, not the whole batch
+    tk, tn, rb = _pick_tiles("q4", 32, 4096, 6144, b=1024)
+    assert rb == RB_MAX and 0 < tk and rb * tk * 4 <= TILED_X_BUDGET
+    assert 4096 % tk == 0 and (tk == 4096 or tk % (8 * 32) == 0)
+    # the 32-stream x 256-token mixed step that OOM'd on-device
+    tk, tn, rb = _pick_tiles("q8", 16, 5632, 2048, b=8192)
+    assert rb == RB_MAX and 0 < tk and rb * tk * 4 <= TILED_X_BUDGET
     # group=16 formats shrink on 128-aligned steps too
-    tk, tn = _pick_tiles("q4", 16, 4096, 256, b=2048)
-    assert tk == 0 or (4096 % tk == 0 and tk % (8 * 16) == 0)
+    tk, tn, rb = _pick_tiles("q4", 16, 4096, 256, b=2048)
+    assert tk == 0 or (4096 % tk == 0
+                       and (tk == 4096 or tk % (8 * 16) == 0))
     # the standard bench prefill (512 rows) keeps the full 2048 tile
-    tk, tn = _pick_tiles("q4", 32, 2048, 11264, b=512)
-    assert tk == 2048 and 512 * tk * 4 <= TILED_X_BUDGET
-    # absurd batches fall back to the XLA path (0 = no tiling)
-    tk, tn = _pick_tiles("q4", 32, 128, 256, b=1 << 20)
+    tk, tn, rb = _pick_tiles("q4", 32, 2048, 11264, b=512)
+    assert tk == 2048 and rb == 512 and 512 * tk * 4 <= TILED_X_BUDGET
+    # un-padded big batches (not a row-block multiple) refuse tiling;
+    # qmatmul() pads b to a RB_MAX multiple before calling
+    tk, tn, rb = _pick_tiles("q4", 32, 128, 256, b=RB_MAX * 3 + 8)
     assert tk == 0
