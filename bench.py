@@ -130,6 +130,52 @@ def measure_kernel_gbps(jax, jnp, iters: int = 40) -> float:
     return nbytes / dt / 1e9
 
 
+def measure_prefill_device(jax, jnp, runner, cfg, prompt, n1=4, n2=12):
+    """Device-true prefill throughput: the 512-token step chained N times
+    inside one jitted lax.scan, differential-timed — no host dispatch, no
+    logits fetch. The host-protocol number (prefill_tps_512) pays ~54 ms
+    of tunnel dispatch + [V]-logits fetch per 10-73 ms of actual compute
+    on this box, understating real prefill 5-8x (docs/ROOFLINE.md r3)."""
+    from llama_gguf_tpu.models.transformer import forward
+
+    T = len(prompt)
+    toks = jnp.asarray(np.asarray(prompt, np.int32)[None, :])
+    pos = jnp.asarray(np.arange(T, dtype=np.int32)[None, :])
+    lengths = jnp.asarray([T], jnp.int32)
+    lp = jnp.asarray([T - 1], jnp.int32)
+
+    def mk(iters):
+        seeds = jnp.arange(1, iters + 1, dtype=jnp.int32)
+
+        @jax.jit
+        def run(params, toks, pos, kv):
+            def body(acc, sd):
+                with jax.default_matmul_precision("default"):
+                    logits, _ = forward(params, runner.cfg,
+                                        (toks + sd) % cfg.vocab_size, pos,
+                                        kv, lengths, read_bound=512,
+                                        logit_positions=lp)
+                return acc + logits[0, -1, :8], None
+            acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), seeds)
+            return acc
+        return run
+
+    kv = runner.init_kv()
+
+    def t(m):
+        fn = mk(m)
+        _sync_fetch(fn(runner.params, toks, pos, kv))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            _sync_fetch(fn(runner.params, toks, pos, kv))
+            ts.append(time.time() - t0)
+        return sorted(ts)[1]
+
+    dt = max(t(n2) - t(n1), 1e-9) / (n2 - n1)
+    return T / dt
+
+
 def run_decode_reps(runner, cur0, kv, pos, jnp, reps):
     """Timed greedy-decode rounds of STEPS tokens, every rep from the SAME
     start position (llama.cpp tg128 protocol) so the KV read-bound — and
@@ -238,6 +284,8 @@ def bench_single(preset: str) -> None:
     pf_times.sort()
     prefill_tps = 512 / pf_times[len(pf_times) // 2]
     del kv2, lg
+    prefill_tps_device = measure_prefill_device(jax, jnp, runner, cfg,
+                                                long_prompt)
 
     cur0 = jnp.argmax(logits)[None].astype(jnp.int32)
     rounds = []
@@ -296,6 +344,7 @@ def bench_single(preset: str) -> None:
                 "prefill_tokens": len(prompt),
                 "prefill_s_incl_compile": round(prefill_s, 3),
                 "prefill_tps_512": round(prefill_tps, 1),
+                "prefill_tps_512_device": round(prefill_tps_device, 1),
                 "build_s": round(build_s, 1),
                 "load_s": round(load_s, 1),
                 "total_s": round(time.time() - t_start, 1),

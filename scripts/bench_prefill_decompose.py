@@ -259,12 +259,15 @@ def main():
         seeds = jnp.arange(1, iters + 1, dtype=jnp.float32)
 
         @jax.jit
-        def run(hs):
+        def run(hs, emb_arg):
+            # emb rides as an ARGUMENT: closing over the [H, V] table bakes
+            # it into the HLO as a constant (525 MB at 8B) and the tunnel's
+            # compile request rejects it with HTTP 413
             def body(acc, s):
-                if emb is not None:
-                    y = qmatmul(hs * s, emb, precision="default") \
-                        if isinstance(emb, QuantLinear) else \
-                        (hs * s) @ emb
+                if emb_arg is not None:
+                    y = qmatmul(hs * s, emb_arg, precision="default") \
+                        if isinstance(emb_arg, QuantLinear) else \
+                        (hs * s) @ emb_arg
                 else:
                     e = params["embed"]
                     y = jnp.einsum("bh,vh->bv", hs * s, e.astype(hs.dtype),
@@ -274,7 +277,7 @@ def main():
             return acc
         return run
 
-    dt = timeit_diff(mk_head, lambda: (hs,), n1, n2)
+    dt = timeit_diff(mk_head, lambda: (hs, emb), n1, n2)
     results["lm_head_allpos"] = {"ms": dt * 1e3}
     print(f"lm_head   {dt*1e3:8.2f} ms (all {T} positions)", file=sys.stderr,
           flush=True)
