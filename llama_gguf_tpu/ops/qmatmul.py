@@ -90,6 +90,34 @@ def _min_dot(acc_ref, xg_ref, m_ref, prec):
         preferred_element_type=jnp.float32, precision=prec)
 
 
+def _acc_q4(acc_ref, x, p_ref, s_ref, m_ref, xg_ref, *, group, tk, prec,
+            has_mins):
+    """Accumulate one group-split q4 tile into acc_ref. ``x``: the
+    already-loaded f32 [B, TK] block, tile-arranged [lo-plane | hi-plane].
+    Mosaic can't shift at 8-bit vector width; widen to i32 first.
+    u8 zero-extends, so the high nibble needs no mask after the shift."""
+    w32 = p_ref[:].astype(jnp.int32)
+    lo = (w32 & 0x0F).astype(jnp.float32)
+    hi = (w32 >> 4).astype(jnp.float32)
+    srep = _repeat_rows(s_ref[:].astype(jnp.float32), group // 2)  # [TK/2, TN]
+    acc_ref[:] += jnp.dot(x[:, : tk // 2], lo * srep,
+                          preferred_element_type=jnp.float32, precision=prec)
+    acc_ref[:] += jnp.dot(x[:, tk // 2 :], hi * srep,
+                          preferred_element_type=jnp.float32, precision=prec)
+    if has_mins:
+        _min_dot(acc_ref, xg_ref, m_ref, prec)
+
+
+def _acc_q8(acc_ref, x, p_ref, s_ref, m_ref, xg_ref, *, group, tk, prec,
+            has_mins):
+    q = p_ref[:].astype(jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    acc_ref[:] += jnp.dot(x, q * _repeat_rows(s, group),
+                          preferred_element_type=jnp.float32, precision=prec)
+    if has_mins:
+        _min_dot(acc_ref, xg_ref, m_ref, prec)
+
+
 def _q4_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
                group: int, tk: int, prec, has_mins: bool, k_axis: int = 1):
     """One (n, k) grid step for the group-split q4 layout.
@@ -108,21 +136,8 @@ def _q4_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Mosaic can't shift at 8-bit vector width; widen to i32 first.
-    # u8 zero-extends, so the high nibble needs no mask after the shift.
-    w32 = p_ref[:].astype(jnp.int32)
-    lo = (w32 & 0x0F).astype(jnp.float32)
-    hi = (w32 >> 4).astype(jnp.float32)
-    srep = _repeat_rows(s_ref[:].astype(jnp.float32), group // 2)  # [TK/2, TN]
-    w_lo = lo * srep
-    w_hi = hi * srep
-    x = x_ref[:].astype(jnp.float32)
-    acc_ref[:] += jnp.dot(x[:, : tk // 2], w_lo,
-                          preferred_element_type=jnp.float32, precision=prec)
-    acc_ref[:] += jnp.dot(x[:, tk // 2 :], w_hi,
-                          preferred_element_type=jnp.float32, precision=prec)
-    if has_mins:
-        _min_dot(acc_ref, xg_ref, m_ref, prec)
+    _acc_q4(acc_ref, x_ref[:].astype(jnp.float32), p_ref, s_ref, m_ref,
+            xg_ref, group=group, tk=tk, prec=prec, has_mins=has_mins)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -138,18 +153,58 @@ def _q8_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = p_ref[:].astype(jnp.float32)
-    s = s_ref[:].astype(jnp.float32)
-    w = q * _repeat_rows(s, group)
-    x = x_ref[:].astype(jnp.float32)
-    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32,
-                          precision=prec)
-    if has_mins:
-        _min_dot(acc_ref, xg_ref, m_ref, prec)
+    _acc_q8(acc_ref, x_ref[:].astype(jnp.float32), p_ref, s_ref, m_ref,
+            xg_ref, group=group, tk=tk, prec=prec, has_mins=has_mins)
 
     @pl.when(k_idx == nk - 1)
     def _():
         o_ref[:] = acc_ref[:]
+
+
+def _glu_combine(g: jnp.ndarray, u: jnp.ndarray, act: str) -> jnp.ndarray:
+    """The gated-activation epilogue, f32 in/out (mirrors
+    models/transformer._glu — keep the two in sync)."""
+    if act == "swiglu_oai":  # gpt-oss clamped SwiGLU
+        g = jnp.minimum(g, 7.0)
+        u = jnp.clip(u, -7.0, 7.0)
+        return (g * jax.lax.logistic(1.702 * g)) * (u + 1.0)
+    if act == "gelu":  # tanh approximation (ggml_gelu)
+        c = 0.7978845608028654  # sqrt(2/pi)
+        return 0.5 * g * (1.0 + jnp.tanh(c * (g + 0.044715 * g * g * g))) * u
+    if act == "relu":
+        return jnp.maximum(g, 0.0) * u
+    if act == "relu2":
+        return jnp.square(jnp.maximum(g, 0.0)) * u
+    return g * jax.lax.logistic(g) * u  # silu
+
+
+def _glu_kernel(x_ref, pg_ref, pu_ref, sg_ref, su_ref, m_refs, xg_ref,
+                o_ref, accg_ref, accu_ref, *, fmt: str, group: int, tk: int,
+                prec, has_mins: bool, act: str):
+    """Fused gate/up projection + gated activation: one (b, n, k) grid step
+    computes BOTH halves' dequant-dots and, on the last K step, writes
+    act(gate) * up — the [rb, 2F] intermediate never touches HBM. At
+    8B/512-token prefill the two f32 round-trips of that intermediate are
+    ~90 MB/layer of pure activation traffic (docs/ROOFLINE.md)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    acc = _acc_q4 if fmt == "q4" else _acc_q8
+    x = x_ref[:].astype(jnp.float32)
+    mg, mu = m_refs if has_mins else (None, None)
+    acc(accg_ref, x, pg_ref, sg_ref, mg, xg_ref,
+        group=group, tk=tk, prec=prec, has_mins=has_mins)
+    acc(accu_ref, x, pu_ref, su_ref, mu, xg_ref,
+        group=group, tk=tk, prec=prec, has_mins=has_mins)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[:] = _glu_combine(accg_ref[:], accu_ref[:], act)
 
 
 def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
@@ -254,7 +309,7 @@ RB_MAX = 512  # rows per row-block when B*T exceeds it (must be % 128 == 0:
 
 
 def _pick_tiles(fmt: str, group: int, k: int, n: int,
-                b: int = 8) -> tuple[int, int, int]:
+                b: int = 8, deq_scale: int = 1) -> tuple[int, int, int]:
     """(K-tile, N-tile, row-block) choice under Mosaic's block constraints
     (the scale panel's rows must be divisible by 8, i.e. tk % 8*group == 0
     — OR the block must equal the full array).
@@ -278,7 +333,8 @@ def _pick_tiles(fmt: str, group: int, k: int, n: int,
     rb = b if b <= RB_MAX else RB_MAX
     if b % rb != 0:
         return 0, 0, 0
-    deq_budget = DEQ_TILE_BUDGET_Q8 if fmt == "q8" else DEQ_TILE_BUDGET_Q4
+    deq_budget = (DEQ_TILE_BUDGET_Q8 if fmt == "q8"
+                  else DEQ_TILE_BUDGET_Q4) // deq_scale
     if (k % (2 * group) == 0 and rb * k * 4 <= FULL_TK_X_BUDGET
             and (k <= MAX_FULL_TK or k * tn * 4 <= deq_budget)):
         return k, tn, rb
@@ -336,6 +392,125 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
         xp, lin.packed, lin.scales, lin.mins,
         fmt=lin.fmt, group=lin.group, k=k, n=n, tk=tk, tn=tn, rb=rb,
         interpret=interpret, precision=precision,
+    )
+    if b_pad != b:
+        y = y[:b]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Fused gate/up + gated activation (GLU epilogue)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "group", "k", "f", "tk", "tn", "rb", "act",
+                     "interpret", "precision"),
+)
+def _qmatmul_glu_call(x, packed, scales, mins, *, fmt, group, k, f,
+                      tk, tn, rb, act, interpret, precision=None):
+    """packed/scales/mins hold the FUSED [gate | up] halves along N
+    (ops.linear.fuse_linears order); grid covers F = one half. The packed
+    array rides twice with index maps offset by F//tn — XLA dedups the
+    buffer, the kernel sees two disjoint weight blocks per step."""
+    b = x.shape[0]
+    nk = k // tk
+    nf = f // tn
+    grid = (b // rb, nf, nk)
+    prec = _PREC[precision]
+    has_mins = mins is not None
+
+    def wblocks(rows):
+        return [
+            pl.BlockSpec((rows, tn), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tn), lambda bi, ni, ki: (ki, ni + nf),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    in_specs = [pl.BlockSpec((rb, tk), lambda bi, ni, ki: (bi, ki),
+                             memory_space=pltpu.VMEM)]
+    if fmt == "q4":
+        inputs = [_arrange_x_q4(x, group, tk), packed, packed,
+                  scales, scales]
+        in_specs += wblocks(tk // 2)
+    else:
+        inputs = [x, packed, packed, scales, scales]
+        in_specs += wblocks(tk)
+    in_specs += wblocks(tk // group)
+
+    kernel = functools.partial(_glu_kernel, fmt=fmt, group=group, tk=tk,
+                               prec=prec, has_mins=has_mins, act=act)
+    if has_mins:
+        inputs += [mins, mins,
+                   x.reshape(b, k // group, group).sum(-1).T
+                   .astype(jnp.float32)]
+        in_specs += wblocks(tk // group)
+        in_specs.append(pl.BlockSpec((tk // group, rb),
+                                     lambda bi, ni, ki: (ki, bi),
+                                     memory_space=pltpu.VMEM))
+
+        def _wrap(kern):
+            def inner(x_ref, pg, pu, sg, su, mg, mu, xg, o_ref, ag, au):
+                return kern(x_ref, pg, pu, sg, su, (mg, mu), xg, o_ref,
+                            ag, au)
+            return inner
+    else:
+        def _wrap(kern):
+            def inner(x_ref, pg, pu, sg, su, o_ref, ag, au):
+                return kern(x_ref, pg, pu, sg, su, None, None, o_ref,
+                            ag, au)
+            return inner
+    kernel = _wrap(kernel)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (rb, tn), lambda bi, ni, ki: (bi, ni), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rb, tn), jnp.float32),
+                        pltpu.VMEM((rb, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
+GLU_ACTS = ("silu", "gelu", "relu", "relu2", "swiglu_oai")
+
+
+def qmatmul_glu(x: jnp.ndarray, lin, act: str,
+                interpret: bool = False,
+                precision: str | None = None) -> jnp.ndarray | None:
+    """act(x @ W_gate) * (x @ W_up) for a FUSED gate/up QuantLinear
+    (equal splits) — the [B, 2F] intermediate stays in VMEM. Returns None
+    when the shapes don't tile or the fusion doesn't apply (caller falls
+    back to the two-step path)."""
+    interpret = interpret or _INTERPRET
+    if act not in GLU_ACTS or lin.bias is not None:
+        return None
+    splits = getattr(lin, "splits", None)
+    if not splits or len(splits) != 2 or splits[0] != splits[1]:
+        return None
+    b, k = x.shape
+    assert k == lin.k, (k, lin.k)
+    f = splits[0]
+    unit = 8 if b <= RB_MAX else RB_MAX
+    b_pad = -(-max(b, 8) // unit) * unit
+    tk, tn, rb = _pick_tiles(lin.fmt, lin.group, k, f, b=b_pad, deq_scale=2)
+    if tk == 0 or f % tn != 0 or f % 128 != 0:
+        return None
+    xp = jnp.pad(x, ((0, b_pad - b), (0, 0))) if b_pad != b else x
+    y = _qmatmul_glu_call(
+        xp, lin.packed, lin.scales, lin.mins,
+        fmt=lin.fmt, group=lin.group, k=k, f=f, tk=tk, tn=tn, rb=rb,
+        act=act, interpret=interpret, precision=precision,
     )
     if b_pad != b:
         y = y[:b]

@@ -160,6 +160,45 @@ def test_moe_qmatmul_matches_gather_dequant():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("t,act", [
+    (GGMLType.Q4_K, "silu"),        # affine: min panels ride both halves
+    (GGMLType.Q8_0, "silu"),
+    (GGMLType.Q4_K, "gelu"),
+    (GGMLType.Q8_0, "swiglu_oai"),
+    (GGMLType.Q6_K, "relu2"),
+], ids=lambda v: str(v))
+def test_qmatmul_glu_matches_two_step(t, act, rng):
+    """The GLU-epilogue kernel (act(x@Wg) * (x@Wu) fused) must match the
+    two-step qmatmul + elementwise path bit-for-bit-ish."""
+    from llama_gguf_tpu.models.config import Activation
+    from llama_gguf_tpu.models.transformer import _glu
+    from llama_gguf_tpu.ops.linear import fuse_linears
+    from llama_gguf_tpu.ops.qmatmul import qmatmul_glu
+
+    k, f = 512, 256
+    g_lin = make_lin(t, f, k, rng)
+    u_lin = make_lin(t, f, k, rng)
+    fused = fuse_linears([g_lin, u_lin])
+    assert fused is not None and fused.splits == (f, f)
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    got = qmatmul_glu(x, fused, act, interpret=True)
+    assert got is not None and got.shape == (4, f)
+    gg = qmatmul(x, g_lin, interpret=True)
+    uu = qmatmul(x, u_lin, interpret=True)
+    want = np.asarray(_glu(gg.astype(jnp.float32),
+                           uu.astype(jnp.float32), Activation(act)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_qmatmul_glu_refuses_unfusable(rng):
+    from llama_gguf_tpu.ops.qmatmul import qmatmul_glu
+
+    lin = make_lin(GGMLType.Q8_0, 256, 512, rng)  # no splits
+    x = jnp.asarray(rng.standard_normal((2, 512)).astype(np.float32))
+    assert qmatmul_glu(x, lin, "silu", interpret=True) is None
+    assert qmatmul_glu(x, lin, "xielu", interpret=True) is None
+
+
 def test_pick_tiles_vmem_budgets():
     """Tile selection must respect the VMEM budgets: the x block is
     [rb, TK] f32 and the out block + accumulator are [rb, tn] f32 — a
