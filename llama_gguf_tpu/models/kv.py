@@ -262,7 +262,8 @@ def read_swa(kv: dict[str, Any], swa_idx: int, compute_dtype=jnp.float32
 def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
          head_dim: int | None = None,
          v_head_dim: int | None = None,
-         bound: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+         bound: int | None = None,
+         rows: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dequantized K/V for one layer: ([B,S,H,Dk], [B,S,H,Dv]) in
     ``compute_dtype``. For i8 the dequant multiply fuses into the attention
     matmuls under XLA; tq formats unpack+de-rotate (head_dim required).
@@ -272,22 +273,29 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
     whole padded max_seq (the ragged-decode analogue of the reference's
     cached flash attention, /root/reference/src/backend/cuda/kernels.rs:1395
     — but done with static shapes so XLA tiles it like any dense read).
-    The caller guarantees every valid position < bound."""
+    The caller guarantees every valid position < bound.
+
+    ``rows``: optional [C] int32 batch-row gather (two-tier ragged decode:
+    only the long rows' cache bytes leave HBM for the high bucket).
+    Out-of-range indices clamp — callers drop those rows at the scatter."""
     fmt = cache_format(kv, head_dim=head_dim)
-    k = kv["k"][layer]
-    v = kv["v"][layer]
-    if bound is not None and bound < k.shape[1]:
-        k = k[:, :bound]
-        v = v[:, :bound]
+
+    def pick(a):
+        if rows is not None:
+            a = a[rows]  # jnp OOB gather clamps under jit
+        if bound is not None and bound < a.shape[1]:
+            a = a[:, :bound]
+        return a
+
+    k = pick(kv["k"][layer])
+    v = pick(kv["v"][layer])
     if fmt.startswith("tq") and len(fmt) > 2:
         from .turboquant import decompress
 
         bits = int(fmt[2])
         vd = v_head_dim or head_dim
-        ks = kv["k_scale"][layer]
-        vs = kv["v_scale"][layer]
-        if bound is not None and bound < ks.shape[1]:
-            ks, vs = ks[:, :bound], vs[:, :bound]
+        ks = pick(kv["k_scale"][layer])
+        vs = pick(kv["v_scale"][layer])
         kf = decompress(k, ks, bits, head_dim)
         vf = decompress(v, vs, bits, vd)
         return kf.astype(compute_dtype), vf.astype(compute_dtype)
@@ -299,10 +307,8 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
             " attention runs on the compressed keys via ops.attention."
             "qjl_attention")
     if fmt == "i8":
-        ks = kv["k_scale"][layer]
-        vs = kv["v_scale"][layer]
-        if bound is not None and bound < ks.shape[1]:
-            ks, vs = ks[:, :bound], vs[:, :bound]
+        ks = pick(kv["k_scale"][layer])
+        vs = pick(kv["v_scale"][layer])
         k = k.astype(compute_dtype) * ks[..., None].astype(compute_dtype)
         v = v.astype(compute_dtype) * vs[..., None].astype(compute_dtype)
         return k, v

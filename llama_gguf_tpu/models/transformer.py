@@ -107,17 +107,24 @@ def mla_attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
     k_eff = jnp.concatenate([c_kv[:, :, None, :],
                              k_rope.astype(jnp.float32)], axis=-1)
     kv = KV.write(kv, layer_idx, k_eff, c_kv[:, :, None, :], positions)
-    keys, vals = KV.read(kv, layer_idx, head_dim=rank + rope_dim,
-                         v_head_dim=rank, bound=read_bound)
 
-    from ..ops.attention import attention_scores
+    from ..ops.attention import attention_scores, tiered_attention
+
+    def read_fn(bound, rows):
+        return KV.read(kv, layer_idx, head_dim=rank + rope_dim,
+                       v_head_dim=rank, bound=bound, rows=rows)
 
     qg = q_eff.reshape(b, t, 1, nh, rank + rope_dim)  # K=1 kv head, R=nh
-    ctx = attention_scores(
-        qg, keys, vals, positions, lengths,
-        scale=cfg.attention_scale or cfg.head_dim**-0.5,
-        softcap=cfg.attn_logit_softcap,
-    )  # [B,T,1,nh,rank]
+    akw = dict(scale=cfg.attention_scale or cfg.head_dim**-0.5,
+               softcap=cfg.attn_logit_softcap)
+    if isinstance(read_bound, tuple):  # two-tier ragged decode
+        lo, hi, tier_idx = read_bound
+        ctx = tiered_attention(read_fn, qg, positions, lengths, lo, hi,
+                               tier_idx, **akw)
+    else:
+        keys, vals = read_fn(read_bound, None)
+        ctx = attention_scores(qg, keys, vals, positions, lengths, **akw)
+    # [B,T,1,nh,rank]
     out_v = jnp.einsum("bthr,hvr->bthv", ctx[:, :, 0],
                        layer["w_uv"].astype(jnp.float32))
     vd = cfg.value_length or cfg.head_dim
@@ -244,6 +251,8 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         from ..ops.attention import qjl_attention
 
         s_cap = kv["k"][0].shape[1]
+        if isinstance(read_bound, tuple):  # qjl scores are cheap: use hi
+            read_bound = read_bound[1]
         rb = min(read_bound, s_cap) if read_bound is not None else s_cap
         ctx = qjl_attention(
             qg, kv["k"][cache_idx][:, :rb], kv["k_scale"][cache_idx][:, :rb],
@@ -255,6 +264,9 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         )
     else:
         ctx = None
+        tier = read_bound if isinstance(read_bound, tuple) else None
+        if tier is not None:
+            read_bound = tier[1]  # hi bound: what single-tier would read
         if (cfg.flash_decode and t == 1 and b > 1 and not cfg.uses_alibi
                 and window >= 0 and cfg.kv_format in ("f32", "bf16")
                 and hd % 8 == 0 and vd % 8 == 0):
@@ -278,17 +290,24 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
                     softcap=cfg.attn_logit_softcap, sliding_window=window,
                     sinks=sinks, interpret=FD.interpret_mode())
         if ctx is None:
-            keys, vals = KV.read(kv, cache_idx, head_dim=hd, v_head_dim=vd,
-                                 bound=read_bound)
-            from ..ops.attention import attention_scores
+            from ..ops.attention import attention_scores, tiered_attention
 
-            ctx = attention_scores(
-                qg, keys, vals, positions, lengths,
-                scale=cfg.attention_scale or hd**-0.5,
-                softcap=cfg.attn_logit_softcap,
-                sliding_window=window, sinks=sinks,
-                alibi=cfg.uses_alibi,
-            )
+            def read_fn(bound, rows):
+                return KV.read(kv, cache_idx, head_dim=hd, v_head_dim=vd,
+                               bound=bound, rows=rows)
+
+            akw = dict(scale=cfg.attention_scale or hd**-0.5,
+                       softcap=cfg.attn_logit_softcap,
+                       sliding_window=window, sinks=sinks,
+                       alibi=cfg.uses_alibi)
+            if tier is not None:  # two-tier ragged decode
+                lo, hi, tier_idx = tier
+                ctx = tiered_attention(read_fn, qg, positions, lengths,
+                                       lo, hi, tier_idx, **akw)
+            else:
+                keys, vals = read_fn(read_bound, None)
+                ctx = attention_scores(qg, keys, vals, positions, lengths,
+                                       **akw)
     ctx = ctx.reshape(b, t, nh * vd).astype(x.dtype)
 
     if "sub_norm" in layer:  # BitNet: RMSNorm on attn output BEFORE o_proj
@@ -624,8 +643,25 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray,
     [B, 1, V]. Prefill only needs the last position's logits — at 512
     tokens this skips 511/512 of the vocab matmul (the single largest
     matmul in the step: V=128k at 8B) plus the [B, T, V] f32
-    materialization (262 MB at 8B/512)."""
+    materialization (262 MB at 8B/512).
+
+    ``read_bound`` may also be a STATIC tuple ``(lo, hi, cap)`` — two-tier
+    ragged decode (ops/attention.tiered_attention): every row reads the
+    ``lo`` KV bucket and the <= ``cap`` rows whose live length exceeds
+    ``lo`` re-run against ``hi``. The caller guarantees at most ``cap``
+    rows have length > lo; the tier indices are selected ON DEVICE here
+    (one top_k for the whole stack), so batch composition can change
+    without recompiling."""
     from ..utils.debug import trace_activation
+
+    if isinstance(read_bound, tuple):
+        lo, hi, cap = read_bound
+        b = tokens.shape[0]
+        _, tier_idx = jax.lax.top_k(lengths, min(cap, b))
+        # rows already covered by lo keep idx == B -> dropped at the scatter
+        tier_idx = jnp.where(jnp.take(lengths, tier_idx) > lo,
+                             tier_idx, b).astype(jnp.int32)
+        read_bound = (lo, hi, tier_idx)
 
     x = embed(params, cfg, tokens, positions)
     trace_activation("embed", -1, x)

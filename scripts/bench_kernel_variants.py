@@ -20,6 +20,14 @@ variants by 30%+).
   v6_bf16    v5 with bf16 dequant + bf16 dot (x cast in-kernel)
   floor      pure HBM read of the same bytes
 
+Measured (q4, K=4096 N=14336, 2026-08-19 window): v0 487 / v1 497 /
+v5 488 / v6_bf16 389 / floor 781 GB/s. Two conclusions: (a) the min-fold
+(v5, now production) fully closed the affine-min gap (v0 == v5 == v1);
+(b) bf16 dequant arithmetic is a NET LOSS on this VPU (-20%) — the
+widen/mask/convert chain does not get 2x packed bf16 throughput, and the
+in-kernel x bf16 cast adds a pass. Do not revisit bf16 dequant without a
+chip where Mosaic emits packed bf16 VPU ops.
+
 Usage: python scripts/bench_kernel_variants.py [q8|q4] [K N]
 """
 

@@ -173,3 +173,104 @@ def test_runner_auto_bound_matches_prefill(tmp_path, rng):
         logits, kv = runner.decode_one(ids[i], i, kv)
         np.testing.assert_allclose(np.asarray(logits), want[i],
                                    rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# two-tier ragged decode (pick_read_bound + tiered_attention)
+# ---------------------------------------------------------------------------
+
+from llama_gguf_tpu.engine.runner import pick_read_bound  # noqa: E402
+
+
+def test_pick_read_bound():
+    # one 2k straggler in a 32-stream batch: all rows read 256, 1 reads 2048
+    lens = [200] * 31 + [2000]
+    assert pick_read_bound(lens, 2048) == (256, 2048, 1)
+    # uniform batch: single bucket
+    assert pick_read_bound([200] * 32, 2048) == 256
+    assert pick_read_bound([2000] * 32, 2048) == 2048
+    # B=1 can never win from tiering
+    assert pick_read_bound([2000], 2048) == 2048
+    # too many long rows for the tier cap: fall back past them
+    assert pick_read_bound([300] * 31 + [2000], 2048) == (512, 2048, 1)
+    # more than TIER_CAP_MAX rows beyond every lo candidate: single bucket
+    assert pick_read_bound([1500] * 20 + [2000] * 12, 2048) == 2048
+    # 3 long rows -> capacity rounds up to 4
+    assert pick_read_bound([100] * 29 + [1000] * 3, 2048) == (256, 1024, 4)
+    # empty slots (length 0) are fine
+    assert pick_read_bound([0] * 16 + [100] * 15 + [2000], 2048) == \
+        (256, 2048, 1)
+
+
+@pytest.mark.parametrize("fmt", ["f32", "i8"])
+def test_tiered_step_bitexact(model, fmt, rng):
+    """A two-tier decode step must be bit-identical to the single-bucket
+    step at the hi bound: the lo pass is exact for short rows (read-bound
+    invariance) and long rows are scatter-overwritten by the hi pass."""
+    params, cfg = model
+    b = 8
+    lens = [30, 40, 50, 60, 70, 80, 90, 700]  # one straggler
+    kv = KV.init_cache(cfg.num_layers, b, CTX, cfg.num_kv_heads,
+                       cfg.head_dim, fmt=fmt)
+    # per-row ragged prefill in one batched forward (OOB positions drop)
+    n = max(lens)
+    toks = np.zeros((b, n), np.int32)
+    pos = np.full((b, n), CTX, np.int32)
+    for i, ln in enumerate(lens):
+        toks[i, :ln] = rng.integers(0, 97, size=ln)
+        pos[i, :ln] = np.arange(ln)
+    _, kv = forward(params, cfg, jnp.asarray(toks), jnp.asarray(pos), kv,
+                    jnp.asarray(lens, jnp.int32))
+
+    # one decode step for every row
+    dt = jnp.asarray(rng.integers(0, 97, size=(b, 1)), jnp.int32)
+    dp = jnp.asarray(lens, jnp.int32)[:, None]
+    dl = jnp.asarray(lens, jnp.int32) + 1
+
+    def step(read_bound):
+        lg, kv2 = forward(params, cfg, dt, dp, jax.tree_util.tree_map(
+            lambda a: a, kv), dl, read_bound=read_bound)
+        return np.asarray(lg), kv2
+
+    want, kv_full = step(1024)
+    # capacity larger than the actual straggler count: padding rows drop
+    for cap in (1, 4):
+        got, kv_tier = step((256, 1024, cap))
+        np.testing.assert_array_equal(got, want)
+        for key in kv_full:
+            np.testing.assert_array_equal(np.asarray(kv_tier[key]),
+                                          np.asarray(kv_full[key]))
+
+
+def test_greedy_decode_tiered_matches_sequential(tmp_path, rng):
+    """Ragged-batch greedy_decode (which picks a tiered bound internally)
+    must produce exactly the tokens each row would produce decoded alone."""
+    path = str(tmp_path / "tiny.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=97, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=CTX, seed=11)
+    params, cfg, _ = load_model(path, mode="dequant")
+    steps = 8
+    lens = [20, 35, 50, 600]
+    prompts = [rng.integers(0, 97, size=n).tolist() for n in lens]
+
+    runner = ModelRunner(params, cfg, max_batch=4, max_seq=CTX)
+    kv = runner.init_kv()
+    first = []
+    for i, ids in enumerate(prompts):
+        lg, kv, _ = runner.prefill(ids, kv, batch_idx=i)
+        first.append(int(np.argmax(np.asarray(lg))))
+    # the segment bound must tier: assert the plan actually used a tuple
+    assert isinstance(pick_read_bound([n + steps for n in lens], CTX), tuple)
+    toks, kv = runner.greedy_decode(
+        jnp.asarray(first, jnp.int32), jnp.asarray(lens, jnp.int32), kv,
+        steps=steps)
+    got = np.asarray(toks)
+
+    for i, ids in enumerate(prompts):
+        solo = ModelRunner(params, cfg, max_batch=1, max_seq=CTX)
+        kv1 = solo.init_kv()
+        lg, kv1, p = solo.prefill(ids, kv1)
+        t1, kv1 = solo.greedy_decode(
+            jnp.asarray([first[i]], jnp.int32), jnp.asarray([p], jnp.int32),
+            kv1, steps=steps)
+        np.testing.assert_array_equal(got[i], np.asarray(t1)[0])
