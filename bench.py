@@ -176,6 +176,49 @@ def measure_prefill_device(jax, jnp, runner, cfg, prompt, n1=4, n2=12):
     return T / dt
 
 
+def measure_mixed_batch(jax, jnp, params, cfg, max_ctx, b=32, steps=64):
+    """32-stream ragged serving cost (the BASELINE '@ 32 concurrent
+    streams' config): ms/step for an all-short batch vs the same batch
+    with ONE ~2k-context straggler. The two-tier ragged read
+    (engine/runner.pick_read_bound) keeps mixed ~= short; a batch-global
+    bucket would pay the straggler's bucket on all 32 rows
+    (docs/ROOFLINE.md)."""
+    from llama_gguf_tpu.engine.runner import ModelRunner
+
+    rng = np.random.default_rng(1)
+    runner = ModelRunner(params, cfg, max_batch=b, max_seq=max_ctx,
+                         matmul_precision="default", kv_dtype=jnp.bfloat16)
+
+    def run(lengths):
+        kv = runner.init_kv()
+        chunk = 256  # batched prefill pads all B rows to the bucket: chunk
+        for i, n in enumerate(lengths):
+            ids = rng.integers(0, cfg.vocab_size, size=n).tolist()
+            for off in range(0, n, chunk):
+                _, kv, _ = runner.prefill(ids[off: off + chunk], kv,
+                                          batch_idx=i, start_pos=off)
+        toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, size=b),
+                            jnp.int32)
+        pos0 = jnp.asarray(lengths, jnp.int32)
+        toks, kv = runner.greedy_decode(toks0, pos0, kv, steps=steps)
+        _sync_fetch(toks)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            toks, kv = runner.greedy_decode(toks0, pos0, kv, steps=steps)
+            _sync_fetch(toks)
+            ts.append(time.time() - t0)
+        return sorted(ts)[1] / steps
+
+    long_ctx = min(2000, max_ctx - steps - 8)
+    short = run([200] * b)
+    mixed = run([200] * (b - 1) + [long_ctx])
+    return {"batch": b, "long_ctx": long_ctx,
+            "short_ms_per_step": round(short * 1e3, 3),
+            "mixed_ms_per_step": round(mixed * 1e3, 3),
+            "mixed_over_short": round(mixed / short, 3)}
+
+
 def run_decode_reps(runner, cur0, kv, pos, jnp, reps):
     """Timed greedy-decode rounds of STEPS tokens, every rep from the SAME
     start position (llama.cpp tg128 protocol) so the KV read-bound — and
@@ -313,6 +356,10 @@ def bench_single(preset: str) -> None:
     long_times.sort()
     decode_tps_long = STEPS / long_times[0]
 
+    mixed_batch = None
+    if preset == "tinyllama-1.1b":
+        mixed_batch = measure_mixed_batch(jax, jnp, params, cfg, max_ctx)
+
     times = best_times
     median = times[len(times) // 2]
     tps = STEPS / median
@@ -340,6 +387,7 @@ def bench_single(preset: str) -> None:
                 "degraded_window_suspected": ratio < PLAUSIBLE_RATIO,
                 "decode_rounds": rounds,
                 "decode_tps_long_ctx": round(decode_tps_long, 1),
+                "mixed_batch_32": mixed_batch,
                 "rep_seconds": [round(t, 3) for t in times],
                 "prefill_tokens": len(prompt),
                 "prefill_s_incl_compile": round(prefill_s, 3),

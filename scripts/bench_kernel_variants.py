@@ -217,6 +217,38 @@ def main():
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
+        # -- v7_int8: structural ceiling of a w4a8 path ---------------------
+        # Unpack to i8 and run an INT8 MXU dot (i32 accumulate); scales are
+        # ignored (like v2_noscale) and x rides pre-quantized int8. This
+        # measures whether deleting the f32 convert+scale-mult VPU passes
+        # (replacing them with an i8 narrow) can beat the f32 dequant chain
+        # AT ALL on this chip. If it can't, the w4a8 direction is dead here
+        # regardless of how per-group scales would be handled.
+        xi8 = jnp.asarray(rng.integers(-127, 127, size=(B, K),
+                                       dtype=np.int8))
+
+        if fmt == "q8":
+            def v7_compute(refs, acc_ref):
+                x_ref, p_ref = refs
+                acc_ref[:] += jax.lax.dot_general(
+                    x_ref[:], p_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+        else:
+            def v7_compute(refs, acc_ref):
+                x_ref, p_ref = refs
+                w32 = p_ref[:].astype(jnp.int32)
+                lo = (w32 & 0x0F).astype(jnp.int8)
+                hi = (w32 >> 4).astype(jnp.int8)
+                acc_ref[:] += jax.lax.dot_general(
+                    x_ref[:, : tk // 2], lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc_ref[:] += jax.lax.dot_general(
+                    x_ref[:, tk // 2:], hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+
+        xi_spec = pl.BlockSpec((B, tk), lambda ni, ki: (0, ki),
+                               memory_space=pltpu.VMEM)
+
         variants = {}
 
         def scan_of(fn_one):
@@ -276,6 +308,24 @@ def main():
                 lambda xv: v6(_arrange_x_q4(xv, GROUP, tk), group_sums(xv),
                               packed, scales, mins))
 
+        v7 = pallas(acc_wrap(v7_compute),
+                    [xi_spec, w_spec_q8 if fmt == "q8" else w_spec_q4],
+                    acc_dtype=jnp.int32)
+
+        def mk_v7(iters):
+            seeds = jnp.arange(1, iters + 1, dtype=jnp.int8)
+
+            @jax.jit
+            def run(xq):
+                def body(acc, s):
+                    return acc + v7(xq ^ s, packed), None
+                acc, _ = jax.lax.scan(
+                    body, jnp.zeros((B, N), jnp.float32), seeds)
+                return acc
+            return run
+
+        variants["v7_int8"] = mk_v7
+
         def mk_floor(iters):
             seeds = jnp.arange(1, iters + 1, dtype=jnp.uint8)
 
@@ -294,6 +344,14 @@ def main():
                 acc, _ = jax.lax.scan(body, jnp.float32(0), seeds)
                 return acc
             return run
+
+        # int8-dot feasibility pre-flight: drop v7 if Mosaic rejects it
+        try:
+            np.asarray(variants["v7_int8"](2)(xi8))
+        except Exception as e:  # lowering/compile failure = answer "no"
+            print(f"  v7_int8 UNSUPPORTED: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            del variants["v7_int8"]
 
         # correctness gate first: v5 (and v6) must match v0
         want = np.asarray(variants["v0_full"](N1)(x))
@@ -315,7 +373,8 @@ def main():
         dts = {tag: [] for tag in built}
         for r in range(ROUNDS):
             for tag, (f1, f2) in built.items():
-                args = (packed, scales, mins) if tag == "floor" else (x,)
+                args = ((packed, scales, mins) if tag == "floor"
+                        else (xi8,) if tag == "v7_int8" else (x,))
                 t1 = timeit(f1, *args)
                 t2 = timeit(f2, *args)
                 dts[tag].append(max(t2 - t1, 1e-9) / (N2 - N1))

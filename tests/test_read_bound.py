@@ -274,3 +274,50 @@ def test_greedy_decode_tiered_matches_sequential(tmp_path, rng):
             jnp.asarray([first[i]], jnp.int32), jnp.asarray([p], jnp.int32),
             kv1, steps=steps)
         np.testing.assert_array_equal(got[i], np.asarray(t1)[0])
+
+
+def test_tiered_mixed_step_bitexact(model, rng):
+    """Tiering must also be exact for T>1 mixed steps (prefill-chunk rows
+    riding with decode rows, engine/batched._mixed_step shapes): the long
+    row here is a PREFILL row whose chunk lands past lo."""
+    params, cfg = model
+    b, t = 4, 8
+    # rows 0-2 decode at short contexts; row 3 prefills a chunk at ~600
+    kv = KV.init_cache(cfg.num_layers, b, CTX, cfg.num_kv_heads,
+                       cfg.head_dim)
+    base = [40, 50, 60, 600]
+    n = max(base)
+    toks = np.zeros((b, n), np.int32)
+    pos = np.full((b, n), CTX, np.int32)
+    for i, ln in enumerate(base):
+        toks[i, :ln] = rng.integers(0, 97, size=ln)
+        pos[i, :ln] = np.arange(ln)
+    _, kv = forward(params, cfg, jnp.asarray(toks), jnp.asarray(pos), kv,
+                    jnp.asarray(base, jnp.int32))
+
+    # mixed step: decode rows carry 1 token (cols 1+ OOB-dropped), the
+    # prefill row carries t tokens
+    mt = np.zeros((b, t), np.int32)
+    mp = np.full((b, t), CTX, np.int32)
+    for i in range(3):
+        mt[i, 0] = rng.integers(0, 97)
+        mp[i, 0] = base[i]
+    mt[3] = rng.integers(0, 97, size=t)
+    mp[3] = base[3] + np.arange(t)
+    lens = np.asarray([base[0] + 1, base[1] + 1, base[2] + 1, base[3] + t],
+                      np.int32)
+    lp = np.asarray([0, 0, 0, t - 1], np.int32)
+
+    def step(read_bound):
+        lg, kv2 = forward(params, cfg, jnp.asarray(mt), jnp.asarray(mp),
+                          jax.tree_util.tree_map(lambda a: a, kv),
+                          jnp.asarray(lens), read_bound=read_bound,
+                          logit_positions=jnp.asarray(lp))
+        return np.asarray(lg), kv2
+
+    want, kv_full = step(1024)
+    got, kv_tier = step((256, 1024, 1))
+    np.testing.assert_array_equal(got, want)
+    for key in kv_full:
+        np.testing.assert_array_equal(np.asarray(kv_tier[key]),
+                                      np.asarray(kv_full[key]))
