@@ -364,7 +364,7 @@ class BatchedEngine:
         step (the attention masks already handle per-row valid counts).
         The reference has no batched compute at all; vLLM-style engines
         call this chunked-prefill + decode piggybacking."""
-        from .runner import bucket_len, pick_read_bound, read_bucket
+        from .runner import bucket_len, pick_read_bound
 
         pre = [s for s in self._slots if s is not None and not s.decoding]
         dec = [s for s in self._slots if s is not None and s.decoding]
@@ -397,12 +397,11 @@ class BatchedEngine:
         for s in pre:
             lp[s.slot] = len(chunks[s.slot]) - 1
         t0 = time.time()
-        # two-tier ragged read: a few long rows stop taxing the whole batch
-        # (single-device only: under GSPMD the tier gather/scatter would
-        # cross batch shards)
-        rb = (pick_read_bound(lengths, self.runner.max_seq)
-              if self.runner.mesh is None
-              else read_bucket(int(lengths.max()), self.runner.max_seq))
+        # two-tier ragged read: a few long rows stop taxing the whole batch.
+        # Under GSPMD the tier is grouped per data shard (cap per shard,
+        # shard-local gather/scatter — runner.pick_read_bound shards=)
+        rb = pick_read_bound(lengths, self.runner.max_seq,
+                             shards=self.runner.tier_shards)
         logits, self._kv = self.runner.step(
             np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv,
             read_bound=rb, logit_positions=lp)

@@ -149,6 +149,11 @@ class ModelConfig:
     # (ops/flash_decode.py). Static; set by the runner on single-device
     # TPU runs (GSPMD cannot partition the pallas_call on a mesh).
     flash_decode: bool = False
+    # data-parallel batch shards for two-tier ragged decode: the tier
+    # top_k/gather/scatter runs GROUPED per contiguous batch shard so each
+    # operation stays shard-local under GSPMD (no cross-shard collectives).
+    # Static; set by the runner from the mesh's "data" axis (1 = unsharded).
+    tier_shards: int = 1
     arch_info: ArchInfo | None = None
     # per-layer kind for hybrid models ("attn" | "deltanet" | "mamba");
     # empty tuple = all attention. Static — used to specialize the jitted step.

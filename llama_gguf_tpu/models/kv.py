@@ -275,14 +275,24 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
     — but done with static shapes so XLA tiles it like any dense read).
     The caller guarantees every valid position < bound.
 
-    ``rows``: optional [C] int32 batch-row gather (two-tier ragged decode:
-    only the long rows' cache bytes leave HBM for the high bucket).
+    ``rows``: optional int32 batch-row gather (two-tier ragged decode:
+    only the long rows' cache bytes leave HBM for the high bucket). Either
+    [C] global indices or [G, C] GROUP-LOCAL indices (G contiguous batch
+    groups, matching ModelConfig.tier_shards — each group's gather stays
+    inside its own batch shard under GSPMD); result is [C or G*C, ...].
     Out-of-range indices clamp — callers drop those rows at the scatter."""
     fmt = cache_format(kv, head_dim=head_dim)
 
     def pick(a):
         if rows is not None:
-            a = a[rows]  # jnp OOB gather clamps under jit
+            if rows.ndim == 2:  # grouped shard-local gather
+                g, c = rows.shape
+                ag = a.reshape(g, a.shape[0] // g, *a.shape[1:])
+                a = jnp.take_along_axis(
+                    ag, rows.reshape(g, c, *([1] * (a.ndim - 1))),
+                    axis=1, mode="clip").reshape(g * c, *a.shape[1:])
+            else:
+                a = a[rows]  # jnp OOB gather clamps under jit
         if bound is not None and bound < a.shape[1]:
             a = a[:, :bound]
         return a

@@ -191,35 +191,58 @@ def qjl_attention(qg, k_packed, k_norms, v_packed, v_scale, positions,
     return jnp.einsum("btkrs,bskd->btkrd", probs, vals)
 
 
+def group_take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather batch rows by GROUP-LOCAL indices: ``x`` [B, ...] viewed as
+    G contiguous groups of B/G rows, ``idx`` [G, C] row indices within each
+    group (entries == B/G are padding: clamped here, dropped at the
+    scatter). Returns [G*C, ...]. Because every gather stays inside its own
+    group, GSPMD keeps the op shard-local when the batch axis is sharded
+    into G pieces — no cross-shard collectives."""
+    g, c = idx.shape
+    xg = x.reshape(g, x.shape[0] // g, *x.shape[1:])
+    out = jnp.take_along_axis(
+        xg, idx.reshape(g, c, *([1] * (x.ndim - 1))), axis=1, mode="clip")
+    return out.reshape(g * c, *x.shape[1:])
+
+
 def tiered_attention(read_fn, qg, positions, lengths, lo: int, hi: int,
                      tier_idx: jnp.ndarray, **kw):
     """Two-tier ragged decode attention (pure XLA, static shapes).
 
     Every row runs attention against the ``lo`` KV bucket; the (few) rows
-    whose live context exceeds ``lo`` — pre-selected into ``tier_idx`` [C]
-    (entries == B are padding and dropped) — are gathered, run against the
-    ``hi`` bucket, and scatter-overwrite their lo-bucket results. HBM
-    attention reads drop from B*hi to B*lo + C*hi: one 2k-context straggler
-    in a 32-stream batch no longer makes all 32 rows read the 2k bucket
+    whose live context exceeds ``lo`` — pre-selected into ``tier_idx``
+    [G, C] (G contiguous batch groups of C group-local indices; entries
+    == B/G are padding and dropped) — are gathered, run against the ``hi``
+    bucket, and scatter-overwrite their lo-bucket results. HBM attention
+    reads drop from B*hi to B*lo + G*C*hi: one 2k-context straggler in a
+    32-stream batch no longer makes all 32 rows read the 2k bucket
     (the VERDICT r2 "batch-global bucket tax"; the reference never pays it
     because each sequence owns a length-sized cache,
     /root/reference/src/engine_batched.rs:373 — this is the static-shape
     TPU equivalent, chosen over the Pallas flash-decode kernel whose
     real-model interaction cost measured ~240 us/layer, docs/ROOFLINE.md).
 
+    G matches the mesh's data-axis shard count (ModelConfig.tier_shards),
+    so under GSPMD every take/scatter is shard-local by construction
+    (group_take); G=1 is the single-device case.
+
     ``read_fn(bound, rows)`` -> (keys, vals): reads the KV cache sliced to
-    ``bound`` positions, optionally gathering batch rows first.
+    ``bound`` positions, optionally gathering batch rows first (rows in
+    the same grouped [G, C] form, handled by models/kv.read).
     """
+    g, c = tier_idx.shape
+    b = qg.shape[0]
     keys, vals = read_fn(lo, None)
     ctx = attention_scores(qg, keys, vals, positions, lengths, **kw)
     k_hi, v_hi = read_fn(hi, tier_idx)
     ctx_hi = attention_scores(
-        jnp.take(qg, tier_idx, axis=0, mode="clip"),
-        k_hi, v_hi,
-        jnp.take(positions, tier_idx, axis=0, mode="clip"),
-        jnp.take(lengths, tier_idx, axis=0, mode="clip"),
+        group_take(qg, tier_idx), k_hi, v_hi,
+        group_take(positions, tier_idx), group_take(lengths, tier_idx),
         **kw)
-    return ctx.at[tier_idx].set(ctx_hi, mode="drop")
+    ctxg = ctx.reshape(g, b // g, *ctx.shape[1:])
+    ctxg = ctxg.at[jnp.arange(g)[:, None], tier_idx].set(
+        ctx_hi.reshape(g, c, *ctx.shape[1:]), mode="drop")
+    return ctxg.reshape(b, *ctx.shape[1:])
 
 
 def attention_scores(qg, keys, vals, positions, lengths, *, scale: float,

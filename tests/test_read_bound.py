@@ -202,6 +202,27 @@ def test_pick_read_bound():
         (256, 2048, 1)
 
 
+def test_pick_read_bound_sharded():
+    """Grouped (data-parallel) tier picking: cap covers the WORST shard's
+    straggler count, and the modeled hi-tier cost scales with shards*cap."""
+    # one straggler in shard 0 of 2: cap stays 1 (cap is per shard)
+    lens = [200] * 15 + [2000] + [200] * 16
+    assert pick_read_bound(lens, 2048, shards=2) == (256, 2048, 1)
+    # one straggler in EACH shard: still cap=1 per shard
+    lens = [200] * 15 + [2000] + [200] * 15 + [2000]
+    assert pick_read_bound(lens, 2048, shards=2) == (256, 2048, 1)
+    # 3 stragglers all in one shard: per-shard cap rounds up to 4
+    lens = [100] * 13 + [1000] * 3 + [100] * 16
+    assert pick_read_bound(lens, 2048, shards=2) == (256, 1024, 4)
+    # shards that don't divide the batch fall back to ungrouped
+    assert pick_read_bound([200] * 30 + [2000], 2048, shards=2) == \
+        pick_read_bound([200] * 30 + [2000], 2048)
+    # shards=1 is exactly the ungrouped behaviour
+    lens = [200] * 31 + [2000]
+    assert pick_read_bound(lens, 2048, shards=1) == \
+        pick_read_bound(lens, 2048)
+
+
 @pytest.mark.parametrize("fmt", ["f32", "i8"])
 def test_tiered_step_bitexact(model, fmt, rng):
     """A two-tier decode step must be bit-identical to the single-bucket
