@@ -74,6 +74,23 @@ _PREC = {
 }
 
 
+def _out_dtype(precision: str | None):
+    """Kernel OUTPUT dtype: bf16 in default-precision mode, f32 otherwise.
+
+    The [rows, N] f32 outputs of the fused kernels are pure activation
+    traffic across the Pallas custom-call boundary — ~160 MB/layer at
+    8B/512-token prefill, 16.9 ms of the 73.2 ms step (docs/ROOFLINE.md
+    r3). In "default" mode the MXU dot is a single bf16 pass anyway
+    (~2e-3 rel err), so rounding the f32 accumulator to bf16 on the way
+    out adds no meaningful error while halving the boundary bytes;
+    "highest" (llama.cpp-parity) keeps exact f32 outputs. The explicit
+    ``precision`` argument wins; None resolves the ambient
+    jax.default_matmul_precision at trace time (the runner sets it)."""
+    eff = precision if precision is not None \
+        else jax.config.jax_default_matmul_precision
+    return jnp.bfloat16 if eff == "default" else jnp.float32
+
+
 def _repeat_rows(s: jnp.ndarray, rep: int) -> jnp.ndarray:
     """np.repeat along axis 0 ([G, N] -> [G*rep, N]) via broadcast+reshape
     (pltpu.repeat is tile-style and unsuitable for per-group scales)."""
@@ -141,7 +158,7 @@ def _q4_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[:] = acc_ref[:]
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _q8_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
@@ -158,7 +175,7 @@ def _q8_kernel(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref, *,
 
     @pl.when(k_idx == nk - 1)
     def _():
-        o_ref[:] = acc_ref[:]
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def _glu_combine(g: jnp.ndarray, u: jnp.ndarray, act: str) -> jnp.ndarray:
@@ -204,7 +221,8 @@ def _glu_kernel(x_ref, pg_ref, pu_ref, sg_ref, su_ref, m_refs, xg_ref,
 
     @pl.when(ki == nk - 1)
     def _():
-        o_ref[:] = _glu_combine(accg_ref[:], accu_ref[:], act)
+        o_ref[:] = _glu_combine(accg_ref[:], accu_ref[:], act).astype(
+            o_ref.dtype)
 
 
 def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
@@ -225,10 +243,11 @@ def _arrange_x_q4(x: jnp.ndarray, group: int, tk: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("fmt", "group", "k", "n", "tk", "tn", "rb", "interpret",
-                     "precision"),
+                     "precision", "out_dtype"),
 )
 def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n,
-                  tk, tn, rb, interpret, precision=None):
+                  tk, tn, rb, interpret, precision=None,
+                  out_dtype=jnp.float32):
     """``rb``: row-block size. Decode-sized batches run as one row block
     (rb == B, grid row axis of 1 — identical to the historical 2-D grid);
     big prefill/mixed steps (B*T in the thousands) tile rows so the
@@ -294,7 +313,7 @@ def _qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n,
         out_specs=pl.BlockSpec(
             (rb, tn), lambda bi, ni, ki: (bi, ni), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((rb, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -392,6 +411,7 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
         xp, lin.packed, lin.scales, lin.mins,
         fmt=lin.fmt, group=lin.group, k=k, n=n, tk=tk, tn=tn, rb=rb,
         interpret=interpret, precision=precision,
+        out_dtype=_out_dtype(precision),
     )
     if b_pad != b:
         y = y[:b]
@@ -406,10 +426,11 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
 @functools.partial(
     jax.jit,
     static_argnames=("fmt", "group", "k", "f", "tk", "tn", "rb", "act",
-                     "interpret", "precision"),
+                     "interpret", "precision", "out_dtype"),
 )
 def _qmatmul_glu_call(x, packed, scales, mins, *, fmt, group, k, f,
-                      tk, tn, rb, act, interpret, precision=None):
+                      tk, tn, rb, act, interpret, precision=None,
+                      out_dtype=jnp.float32):
     """packed/scales/mins hold the FUSED [gate | up] halves along N
     (ops.linear.fuse_linears order); grid covers F = one half. The packed
     array rides twice with index maps offset by F//tn — XLA dedups the
@@ -471,7 +492,7 @@ def _qmatmul_glu_call(x, packed, scales, mins, *, fmt, group, k, f,
         out_specs=pl.BlockSpec(
             (rb, tn), lambda bi, ni, ki: (bi, ni), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, f), out_dtype),
         scratch_shapes=[pltpu.VMEM((rb, tn), jnp.float32),
                         pltpu.VMEM((rb, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -511,6 +532,7 @@ def qmatmul_glu(x: jnp.ndarray, lin, act: str,
         xp, lin.packed, lin.scales, lin.mins,
         fmt=lin.fmt, group=lin.group, k=k, f=f, tk=tk, tn=tn, rb=rb,
         act=act, interpret=interpret, precision=precision,
+        out_dtype=_out_dtype(precision),
     )
     if b_pad != b:
         y = y[:b]

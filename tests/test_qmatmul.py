@@ -231,3 +231,54 @@ def test_pick_tiles_vmem_budgets():
     # qmatmul() pads b to a RB_MAX multiple before calling
     tk, tn, rb = _pick_tiles("q4", 32, 128, 256, b=RB_MAX * 3 + 8)
     assert tk == 0
+
+
+def test_qmatmul_bf16_epilogue_in_default_mode(rng):
+    """Kernel outputs emit bf16 when the effective matmul precision is
+    "default" (halving the activation traffic across the Pallas call
+    boundary — docs/ROOFLINE.md r3 'other' term); "highest" (parity mode)
+    and unset-ambient keep exact f32 outputs."""
+    lin = make_lin(GGMLType.Q4_K, 256, 512, rng)
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    want = np.asarray(_apply_quant_xla(x, lin))
+
+    y_plain = qmatmul(x, lin, interpret=True)
+    assert y_plain.dtype == jnp.float32  # no ambient: f32
+    y_hi = qmatmul(x, lin, interpret=True, precision="highest")
+    assert y_hi.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y_hi), want, rtol=1e-4, atol=1e-4)
+
+    y_def = qmatmul(x, lin, interpret=True, precision="default")
+    assert y_def.dtype == jnp.bfloat16
+    scale = max(float(np.abs(want).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(y_def, np.float32), want,
+                               rtol=2e-2, atol=2e-2 * scale)
+
+    # ambient context (what the runner sets) resolves the same way
+    with jax.default_matmul_precision("default"):
+        y_amb = qmatmul(x, lin, interpret=True)
+    assert y_amb.dtype == jnp.bfloat16
+    with jax.default_matmul_precision("highest"):
+        y_amb_hi = qmatmul(x, lin, interpret=True)
+    assert y_amb_hi.dtype == jnp.float32
+
+
+def test_qmatmul_glu_bf16_epilogue_in_default_mode(rng):
+    from llama_gguf_tpu.ops.linear import fuse_linears
+    from llama_gguf_tpu.ops.qmatmul import qmatmul_glu
+
+    k, f = 512, 256
+    gate = make_lin(GGMLType.Q4_K, f, k, rng)
+    up = make_lin(GGMLType.Q4_K, f, k, rng)
+    fused = fuse_linears([gate, up])
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    y_hi = qmatmul_glu(x, fused, "silu", interpret=True,
+                       precision="highest")
+    assert y_hi is not None and y_hi.dtype == jnp.float32
+    y_def = qmatmul_glu(x, fused, "silu", interpret=True,
+                        precision="default")
+    assert y_def is not None and y_def.dtype == jnp.bfloat16
+    want = np.asarray(y_hi)
+    scale = max(float(np.abs(want).max()), 1e-6)
+    np.testing.assert_allclose(np.asarray(y_def, np.float32), want,
+                               rtol=2e-2, atol=2e-2 * scale)
