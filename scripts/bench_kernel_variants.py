@@ -308,6 +308,84 @@ def main():
                 lambda xv: v6(_arrange_x_q4(xv, GROUP, tk), group_sums(xv),
                               packed, scales, mins))
 
+        # -- v8_w4a8: the REAL w4a8 chain (q4 only) -------------------------
+        # v7 proved the int8-dot STRUCTURE beats the f32 chain (928.9 vs
+        # 546.9 GB/s, floor 822.4, 2026-08-19); v8 measures the full
+        # production path with scales handled: per-column S_n = absmax of
+        # the scale panel / 127, u = round(s/S) int8 panel rides HBM in
+        # place of s; in-kernel the nibbles multiply u at i32 width and
+        # split into two int8 planes q*u = a + 128*b (a = pl & 127,
+        # b = pl >> 7 arithmetic — exact for signed u); four int8 MXU dots
+        # (lo/hi x a/b) accumulate in f32; the affine min term folds m/S so
+        # the epilogue is one per-column mult by S. x rides pre-quantized
+        # per-row int8 (t = absmax/127), quantization + group sums in XLA
+        # inside the timed scan. Approximation error = a8 noise + 7-bit
+        # scale quantization (same class as the bf16 scale panels).
+        if fmt == "q4":
+            sf32 = np.asarray(scales, dtype=np.float32)
+            S_col = np.maximum(np.abs(sf32).max(axis=0), 1e-12) / 127.0
+            u_i8 = jnp.asarray(np.round(sf32 / S_col).astype(np.int8))
+            m2 = jnp.asarray(
+                (np.asarray(mins, np.float32) / S_col).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            s8_full = jnp.asarray(
+                np.broadcast_to(S_col, (8, N)).astype(np.float32))
+
+            def v8_kern(xi_ref, xg2_ref, p_ref, u_ref, m_ref, s8_ref,
+                        o_ref, acc_ref):
+                ki = pl.program_id(1)
+
+                @pl.when(ki == 0)
+                def _():
+                    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+                w32 = p_ref[:].astype(jnp.int32)
+                urep = _repeat_rows(u_ref[:].astype(jnp.int32), GROUP // 2)
+                pl_lo = (w32 & 0x0F) * urep
+                pl_hi = (w32 >> 4) * urep
+                xi = xi_ref[:]
+                dims = (((1,), (0,)), ((), ()))
+
+                def idot(xpart, wplane):
+                    return jax.lax.dot_general(
+                        xpart, wplane, dims,
+                        preferred_element_type=jnp.int32)
+
+                da = idot(xi[:, : tk // 2], (pl_lo & 127).astype(jnp.int8))
+                da += idot(xi[:, tk // 2:], (pl_hi & 127).astype(jnp.int8))
+                db = idot(xi[:, : tk // 2], (pl_lo >> 7).astype(jnp.int8))
+                db += idot(xi[:, tk // 2:], (pl_hi >> 7).astype(jnp.int8))
+                acc_ref[:] += (da.astype(jnp.float32)
+                               + db.astype(jnp.float32) * 128.0)
+                acc_ref[:] -= jax.lax.dot_general(
+                    xg2_ref[:], m_ref[:].astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+                @pl.when(ki == pl.num_programs(1) - 1)
+                def _():
+                    o_ref[:] = acc_ref[:] * s8_ref[:]
+
+            s8_spec = pl.BlockSpec((8, tn), lambda ni, ki: (0, ni),
+                                   memory_space=pltpu.VMEM)
+            xi8_spec = pl.BlockSpec((B, tk), lambda ni, ki: (0, ki),
+                                    memory_space=pltpu.VMEM)
+            v8 = pallas(v8_kern,
+                        [xi8_spec, xg_spec, w_spec_q4, s_spec, s_spec,
+                         s8_spec])
+            from llama_gguf_tpu.ops.qmatmul import _arrange_x_q4 as _arr
+
+            def v8_one(xv):
+                t = jnp.max(jnp.abs(xv), axis=1) / 127.0
+                t = jnp.maximum(t, 1e-12)
+                xi = jnp.round(xv / t[:, None]).astype(jnp.int8)
+                xg2 = group_sums(xv) / t[None, :]
+                inner = v8(_arr(xi, GROUP, tk), xg2, packed, u_i8, m2,
+                           s8_full)
+                return inner * t[:, None]
+
+            variants["v8_w4a8"] = scan_of(v8_one)
+
         v7 = pallas(acc_wrap(v7_compute),
                     [xi_spec, w_spec_q8 if fmt == "q8" else w_spec_q4],
                     acc_dtype=jnp.int32)
@@ -345,17 +423,21 @@ def main():
                 return acc
             return run
 
-        # int8-dot feasibility pre-flight: drop v7 if Mosaic rejects it
-        try:
-            np.asarray(variants["v7_int8"](2)(xi8))
-        except Exception as e:  # lowering/compile failure = answer "no"
-            print(f"  v7_int8 UNSUPPORTED: {type(e).__name__}: "
-                  f"{str(e)[:160]}", flush=True)
-            del variants["v7_int8"]
+        # int8-dot feasibility pre-flight: drop v7/v8 if Mosaic rejects them
+        for tag, arg in (("v7_int8", xi8), ("v8_w4a8", x)):
+            if tag not in variants:
+                continue
+            try:
+                np.asarray(variants[tag](2)(arg))
+            except Exception as e:  # lowering/compile failure = answer "no"
+                print(f"  {tag} UNSUPPORTED: {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                del variants[tag]
 
-        # correctness gate first: v5 (and v6) must match v0
+        # correctness gate first: v5 must match v0 exactly; v8's rel-err is
+        # the w4a8 approximation budget (a8 + 7-bit scale quantization)
         want = np.asarray(variants["v0_full"](N1)(x))
-        for tag in ("v5_minfold", "v6_bf16"):
+        for tag in ("v5_minfold", "v6_bf16", "v8_w4a8"):
             if tag in variants:
                 got = np.asarray(variants[tag](N1)(x))
                 err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)

@@ -30,7 +30,24 @@ prefix == the verify pass's own argmax) is enforced by construction and
 tested exactly in tests/test_speculative_lora.py; run with
 --precision highest for cross-shape exactness on synthetic weights.
 
+--mode ceiling (VERDICT r3 task 4): bound speculation's REAL value on
+this chip without a real checkpoint. Two measurements in one process:
+
+  1. identical-model draft (draft == target weights, acceptance ~= 1 at
+     --precision highest): the machinery's measured BEST case — every
+     round costs draft(k) + verify(k+1) and yields k+1 tokens.
+  2. per-round component costs at each k: t_draft(k) (window step +
+     (k-1)-token scan + k-int fetch) and t_verify(k) (one (k+1)-wide
+     step + k-int fetch), vs t_plain (per-token cost of the production
+     scan). Speculation wins wall-clock iff
+         (t_draft + t_verify) / (a*k + 1) < t_plain
+     so the break-even acceptance is
+         X(k) = ((t_draft + t_verify) / t_plain - 1) / k
+     — the number PERFORMANCE.md quotes. Acceptance is a property of the
+     model/data distribution; X is a property of this chip + engine.
+
 Usage: python scripts/bench_speculative.py [--preset llama3-8b] [--tokens 96]
+           [--mode ab|ceiling]
 """
 
 import argparse
@@ -44,6 +61,84 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def ceiling(args, jnp, runner, params, cfg, prompt, N):
+    """Identical-model draft (the machinery's best case) + per-round cost
+    decomposition -> break-even acceptance X(k). See module docstring."""
+    import jax
+
+    from llama_gguf_tpu.engine.runner import ModelRunner
+    from llama_gguf_tpu.engine.speculative import SpeculativeDecoder
+
+    def med_of(fn, reps=3):
+        """Median of the durations fn RETURNS (fn times its own hot
+        section); one untimed warm-up call pays the compiles."""
+        fn()
+        vals = sorted(fn() for _ in range(reps))
+        return vals[len(vals) // 2]
+
+    # -- plain decode cost per token (production scan), prefill excluded --
+    def plain_decode():
+        kv = runner.init_kv()
+        logits, kv, pos = runner.prefill(prompt, kv)
+        cur = jnp.argmax(logits)[None].astype(jnp.int32)
+        t0 = time.time()
+        toks, kv = runner.greedy_decode(
+            cur, jnp.asarray([pos], jnp.int32), kv, steps=N - 1)
+        np.asarray(toks)
+        return time.time() - t0
+
+    t_plain = med_of(plain_decode)
+    t_plain_tok = t_plain / (N - 1)
+
+    # identical-model draft: same params (zero-copy), own KV cache
+    draft = ModelRunner(params, cfg, max_batch=1, max_seq=runner.max_seq,
+                        matmul_precision=args.precision,
+                        kv_dtype=jnp.bfloat16)
+
+    per_k = {}
+    for k in (int(x) for x in args.ks.split(",")):
+        dec = SpeculativeDecoder(runner, draft, num_draft=k)
+
+        def setup_only():
+            # prefill both caches + first token: the non-round overhead
+            t0 = time.time()
+            dec.generate_greedy(prompt, 1)
+            return time.time() - t0
+
+        def full_run():
+            dec.stats.__init__()
+            t0 = time.time()
+            dec.generate_greedy(prompt, N)
+            return time.time() - t0
+
+        t_setup = med_of(setup_only, reps=2)
+        t_full = med_of(full_run, reps=2)
+        rounds = max(dec.stats.rounds, 1)
+        per_round = max(t_full - t_setup, 1e-9) / rounds
+        a = dec.stats.acceptance_rate
+        # speculation wins iff per_round/(a*k+1) < t_plain_tok
+        x_break = (per_round / t_plain_tok - 1) / k
+        per_k[k] = {
+            "acceptance_observed": round(a, 3),
+            "rounds": dec.stats.rounds,
+            "tokens_per_round": round(dec.stats.tokens_per_round, 2),
+            "per_round_ms": round(per_round * 1e3, 2),
+            "round_over_plain_step": round(per_round / t_plain_tok, 2),
+            "breakeven_acceptance": round(x_break, 3),
+            "ceiling_speedup_at_a1": round(
+                (k + 1) * t_plain_tok / per_round, 2),
+            "measured_speedup": round(
+                t_plain / max(t_full - t_setup, 1e-9), 2),
+        }
+    print(json.dumps({
+        "mode": "ceiling", "preset": args.preset, "tokens": N,
+        "precision": args.precision,
+        "platform": jax.devices()[0].platform,
+        "plain_ms_per_token": round(t_plain_tok * 1e3, 2),
+        "per_k": per_k,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="llama3-8b")
@@ -51,6 +146,8 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--precision", default="default",
                     choices=("default", "highest"))
+    ap.add_argument("--mode", default="ab", choices=("ab", "ceiling"))
+    ap.add_argument("--ks", default="2,4,8,16")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +200,10 @@ def main():
             ts.append(time.time() - t0)
         ts.sort()
         return ts[len(ts) // 2], res
+
+    if args.mode == "ceiling":
+        ceiling(args, jnp, runner, params, cfg, prompt, N)
+        return
 
     # -- plain: production on-device greedy scan ---------------------------
     def plain():
