@@ -399,9 +399,15 @@ class BatchedEngine:
         t0 = time.time()
         # two-tier ragged read: a few long rows stop taxing the whole batch.
         # Under GSPMD the tier is grouped per data shard (cap per shard,
-        # shard-local gather/scatter — runner.pick_read_bound shards=)
+        # shard-local gather/scatter — runner.pick_read_bound shards=).
+        # prev= adds hysteresis: batch-composition drift re-picks every
+        # step, and each distinct config is a compile key (minutes on
+        # slow-compiling MoE models) — keep the last one while it stays
+        # within TIER_HYSTERESIS of the modeled optimum.
         rb = pick_read_bound(lengths, self.runner.max_seq,
-                             shards=self.runner.tier_shards)
+                             shards=self.runner.tier_shards,
+                             prev=getattr(self, "_last_rb", None))
+        self._last_rb = rb
         logits, self._kv = self.runner.step(
             np.asarray(toks), np.asarray(pos), np.asarray(lengths), self._kv,
             read_bound=rb, logit_positions=lp)

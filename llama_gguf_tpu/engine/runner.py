@@ -55,10 +55,12 @@ def read_bucket(n: int, max_seq: int) -> int:
 
 TIER_CAP_MAX = 8  # most rows the high tier will carry
 TIER_GAIN = 0.9  # tier only when it saves >=10% of attention reads
+TIER_HYSTERESIS = 1.3  # keep the previous config while within 1.3x optimum
 
 
-def pick_read_bound(lengths, max_seq: int,
-                    shards: int = 1) -> int | tuple[int, int, int]:
+def pick_read_bound(lengths, max_seq: int, shards: int = 1,
+                    prev: int | tuple[int, int, int] | None = None,
+                    ) -> int | tuple[int, int, int]:
     """Choose the decode-step KV read configuration for a ragged batch.
 
     ``lengths``: per-row live context (0 = empty slot). Returns either a
@@ -84,7 +86,10 @@ def pick_read_bound(lengths, max_seq: int,
     handful (caps cluster at 1-2, lo tracks the short-row mass), and the
     persistent compile cache makes each key a one-time cost per machine —
     but on slow-compiling models (MoE: 1-4+ min/key on this chip) a
-    long-lived server can still stall on a first-seen tier shape.
+    long-lived server can still stall on a first-seen tier shape. Callers
+    in a serving loop should pass their previous pick as ``prev``: it is
+    reused (no new compile key) while still correct for these lengths and
+    within TIER_HYSTERESIS of the modeled-optimal cost.
     """
     lens = [int(x) for x in lengths]
     b = len(lens)
@@ -103,6 +108,23 @@ def pick_read_bound(lengths, max_seq: int,
             if cost < TIER_GAIN * best_cost:
                 best_cost, best = cost, (lo, hi, cap)
         lo *= 2
+    # hysteresis: a serving loop re-picks every step as batch composition
+    # drifts, and each distinct (lo, hi, cap) is a fresh compile key (1-4+
+    # min on slow-compiling MoE models). Keep the caller's previous config
+    # while it is still CORRECT for these lengths and within
+    # TIER_HYSTERESIS of the modeled optimum.
+    if prev is not None and prev != best:
+        if isinstance(prev, tuple):
+            plo, phi, pcap = prev
+            over = max(sum(1 for n in lens[i * bl:(i + 1) * bl] if n > plo)
+                       for i in range(g))
+            if (max(lens) <= phi and over <= pcap <= bl
+                    and b * plo + g * pcap * phi
+                    <= TIER_HYSTERESIS * best_cost):
+                return prev
+        elif max(lens) <= prev <= max_seq \
+                and b * prev <= TIER_HYSTERESIS * best_cost:
+            return prev
     return best
 
 
@@ -120,6 +142,14 @@ class ModelRunner:
         sharded over it (parallel.sharding.shard_params); the KV cache and
         inputs are placed automatically and GSPMD inserts the collectives."""
         self.mesh = mesh
+        import os as _os_env
+        if (matmul_precision == "default"
+                and _os_env.environ.get("LLAMA_GGUF_W4A8") == "1"):
+            # opt-in w4a8 int8-MXU decode path (q4 weights): derive the
+            # int8 scale panels once per runner. Never in "highest" —
+            # that's the llama.cpp-parity mode. See ops/qmatmul.py.
+            from ..ops.qmatmul import attach_a8_panels
+            params = attach_a8_panels(params)
         self.params = params
         if kv_format is None:
             kv_format = "bf16" if kv_dtype == jnp.bfloat16 else "f32"

@@ -202,6 +202,38 @@ def test_pick_read_bound():
         (256, 2048, 1)
 
 
+def test_pick_read_bound_hysteresis():
+    """prev= is reused while still correct and within TIER_HYSTERESIS of
+    the modeled optimum — a serving loop's compile-key churn guard."""
+    lens = [200] * 31 + [2000]
+    base = pick_read_bound(lens, 2048)
+    assert base == (256, 2048, 1)
+    # drift: one short row grows past 256 -> fresh optimum would be
+    # (512, 2048, 1) or cap=2; the previous tuple still covers it if cap
+    # allows, else it re-picks
+    lens2 = [200] * 30 + [400, 2000]
+    fresh = pick_read_bound(lens2, 2048)
+    held = pick_read_bound(lens2, 2048, prev=base)
+    if held == base:  # held: prev must still be CORRECT (cap >= over-lo)
+        lo, hi, cap = base
+        assert sum(1 for n in lens2 if n > lo) <= cap
+    else:
+        assert held == fresh
+    # an invalid prev (straggler outgrew hi) is never reused
+    lens3 = [200] * 31 + [4000]
+    assert pick_read_bound(lens3, 8192, prev=base) != base
+    # batch went uniform short: prev's extra hi pass costs 1.25x optimum
+    # (32*256 + 2048 vs 32*256) — within hysteresis, so it is HELD (one
+    # wasted cap-row pass beats a recompile)
+    assert pick_read_bound([200] * 32, 2048, prev=base) == base
+    # a single-bucket prev one bucket up costs 2x optimum — dropped
+    # (adjacent buckets are 2x apart, always past TIER_HYSTERESIS)
+    assert pick_read_bound([200] * 32, 2048, prev=512) == 256
+    assert pick_read_bound([600] * 32, 2048, prev=512) == 1024
+    # identical pick: unchanged
+    assert pick_read_bound(lens, 2048, prev=base) == base
+
+
 def test_pick_read_bound_sharded():
     """Grouped (data-parallel) tier picking: cap covers the WORST shard's
     straggler count, and the modeled hi-tier cost scales with shards*cap."""
