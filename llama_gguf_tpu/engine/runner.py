@@ -142,14 +142,6 @@ class ModelRunner:
         sharded over it (parallel.sharding.shard_params); the KV cache and
         inputs are placed automatically and GSPMD inserts the collectives."""
         self.mesh = mesh
-        import os as _os_env
-        if (matmul_precision == "default"
-                and _os_env.environ.get("LLAMA_GGUF_W4A8") == "1"):
-            # opt-in w4a8 int8-MXU decode path (q4 weights): derive the
-            # int8 scale panels once per runner. Never in "highest" —
-            # that's the llama.cpp-parity mode. See ops/qmatmul.py.
-            from ..ops.qmatmul import attach_a8_panels
-            params = attach_a8_panels(params)
         self.params = params
         if kv_format is None:
             kv_format = "bf16" if kv_dtype == jnp.bfloat16 else "f32"

@@ -55,20 +55,16 @@ class QuantLinear:
     source_type: str = field(metadata=dict(static=True), default="")
     # output-slice boundaries of a fused projection (static metadata)
     splits: tuple | None = field(metadata=dict(static=True), default=None)
-    # optional w4a8 panels (u_i8 [K/g, N], m2 [K/g, N] | None, s_col [N]):
-    # int8-MXU decode path, see ops/qmatmul.qmatmul_w4a8 + make_a8_panels
-    a8: tuple | None = None
 
     def tree_flatten(self):
-        children = (self.packed, self.scales, self.mins, self.bias, self.a8)
+        children = (self.packed, self.scales, self.mins, self.bias)
         aux = (self.fmt, self.group, self.k, self.n, self.source_type,
                self.splits)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        packed, scales, mins, bias, a8 = children
-        return cls(packed, scales, mins, bias, *aux, a8=a8)
+        return cls(*children, *aux)
 
     @property
     def shape(self):

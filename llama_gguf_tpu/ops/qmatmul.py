@@ -397,10 +397,6 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
     b, k = x.shape
     assert k == lin.k, (k, lin.k)
     n = lin.n
-    if lin.a8 is not None:
-        y = qmatmul_w4a8(x, lin, interpret=interpret, precision=precision)
-        if y is not None:
-            return y
     # pad batch to the f32 sublane tile; big batches pad to a row-block
     # multiple so the grid can tile rows
     unit = 8 if b <= RB_MAX else RB_MAX
@@ -423,361 +419,16 @@ def qmatmul(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
 
 
 # ---------------------------------------------------------------------------
-# w4a8: int8-activation MXU path (q4 layout)
+# w4a8 (int8-activation MXU path): BUILT, MEASURED, DELETED in round 4.
+# The v7 structural probe (int8 dots, no scales) beats the f32 chain by up
+# to +51% — but every practical way to apply the per-group scales costs
+# more VPU passes than the int8 dot saves: the full production chain
+# (u = round(127*s/S) panel multiply + exact q*u = a + 128*b plane split +
+# four int8 dots) measured 0.68x of the f32 chain at decode shapes and a
+# wash at 512-row prefill (the integer dequant ate the 2x int8 MXU rate).
+# Implementation preserved in commit ef99fe2; measurements and the v9/v10
+# cost attribution in docs/ROOFLINE.md and scripts/bench_kernel_variants.py.
 # ---------------------------------------------------------------------------
-#
-# The f32 dequant chain is VPU-bound at ~73% of the HBM floor
-# (docs/ROOFLINE.md); the v7_int8 structural probe measured an int8-dot
-# chain at/above the floor (928.9 vs v0 546.9 GB/s, floor 822.4,
-# scripts/bench_kernel_variants.py, 2026-08-19). This is the production
-# form: per-column S_n = absmax_g(s_gn)/127 with an int8 scale panel
-# u = round(s/S) rides HBM in place of s; the kernel multiplies the
-# unpacked nibbles by u at i32 width and splits the product into two
-# nonneg int8 planes  q*u = a + 128*b  (a = pl & 127, b = pl >> 7 —
-# exact for signed u), runs four int8 MXU dots (lo/hi x a/b) into an
-# exact-integer f32 accumulator, and folds the affine min term with
-# m2 = m/S so the whole per-column epilogue y = t_b * S_n * acc happens
-# outside the kernel (XLA fuses it into the consumer). x rides
-# per-row-quantized int8 (t = absmax/127, quantization + group sums in
-# XLA). Approximation budget: a8 noise + 7-bit scale quantization
-# (~1% worst-element rel err vs the f32 chain — same class the bf16 MXU
-# pass already accepts in "default" mode; "highest" never takes this
-# path). Reference bar: the fused CUDA dequant-matvec family
-# (/root/reference/src/backend/cuda/kernels.rs:443-700) — this is its
-# int8-MXU TPU analogue.
-
-
-def make_a8_panels(scales, mins):
-    """Derive the w4a8 panels from the per-group scale/min panels:
-    (u int8 [K/g, N], m2 = m/S [K/g, N] | None, s_col f32 [N])."""
-    s32 = scales.astype(jnp.float32)
-    s_col = jnp.maximum(jnp.max(jnp.abs(s32), axis=0), 1e-12) / 127.0
-    u = jnp.round(s32 / s_col).astype(jnp.int8)
-    m2 = ((mins.astype(jnp.float32) / s_col).astype(jnp.bfloat16)
-          if mins is not None else None)
-    return (u, m2, s_col)
-
-
-def attach_a8_panels(params):
-    """Return a copy of a params pytree with w4a8 panels attached to every
-    q4 QuantLinear (idempotent; non-q4 leaves untouched)."""
-    import dataclasses
-
-    def walk(node):
-        if isinstance(node, QuantLinear):
-            if node.fmt == "q4" and node.a8 is None:
-                return dataclasses.replace(
-                    node, a8=make_a8_panels(node.scales, node.mins))
-            return node
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            t = type(node)
-            return t(walk(v) for v in node)
-        for attr in ("base",):  # LoraLinear wraps a base linear
-            if hasattr(node, attr) and isinstance(
-                    getattr(node, attr), QuantLinear):
-                return dataclasses.replace(
-                    node, **{attr: walk(getattr(node, attr))})
-        return node
-
-    return walk(params)
-
-
-def _q4a8_kernel(xi_ref, p_ref, u_ref, m2_ref, xg_ref, o_ref, acc_ref, *,
-                 group: int, tk: int, has_mins: bool, k_axis: int = 2):
-    """One (b, n, k) grid step of the w4a8 chain. xi_ref: [rb, tk] int8,
-    tile-arranged [lo-plane | hi-plane]; p_ref: [tk/2, tn] uint8;
-    u_ref: [tk/g, tn] int8; m2_ref: [tk/g, tn] (m/S); xg_ref: [tk/g, rb]
-    f32 per-group sums of the ORIGINAL x divided by t (exact min term).
-    o_ref holds S-and-t-unscaled accumulator values; the caller applies
-    y = t[:, None] * s_col[None, :] * o."""
-    ki = pl.program_id(k_axis)
-    nk = pl.num_programs(k_axis)
-
-    @pl.when(ki == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # f32 accumulator holds the integer sums exactly to 2^24 and to ~1e-8
-    # rel beyond — far under the a8 noise floor; i32 would overflow
-    # worst-case at 128 * (q*u) * x over full K
-    _q4a8_chain(acc_ref, xi_ref[:], p_ref, u_ref, m2_ref, xg_ref,
-                group=group, tk=tk, has_mins=has_mins)
-
-    @pl.when(ki == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("group", "k", "n", "tk", "tn", "rb", "interpret",
-                     "out_dtype"),
-)
-def _qmatmul_w4a8_call(x, packed, u, m2, s_col, *, group, k, n, tk, tn, rb,
-                       interpret, out_dtype=jnp.float32):
-    b = x.shape[0]
-    grid = (b // rb, n // tn, k // tk)
-    has_mins = m2 is not None
-
-    # activation quantization (XLA, fused): per-row absmax int8
-    t = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-12) / 127.0
-    xi = jnp.round(x / t[:, None]).astype(jnp.int8)
-
-    panel_spec = pl.BlockSpec((tk // group, tn), lambda bi, ni, ki: (ki, ni),
-                              memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((rb, tk), lambda bi, ni, ki: (bi, ki),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tk // 2, tn), lambda bi, ni, ki: (ki, ni),
-                     memory_space=pltpu.VMEM),
-        panel_spec,
-    ]
-    inputs = [_arrange_x_q4(xi, group, tk), packed, u]
-    kernel = functools.partial(_q4a8_kernel, group=group, tk=tk,
-                               has_mins=has_mins, k_axis=2)
-    if has_mins:
-        in_specs.append(panel_spec)
-        inputs.append(m2)
-        in_specs.append(pl.BlockSpec((tk // group, rb),
-                                     lambda bi, ni, ki: (ki, bi),
-                                     memory_space=pltpu.VMEM))
-        inputs.append((x.reshape(b, k // group, group).sum(-1)
-                       / t[:, None]).T.astype(jnp.float32))
-    else:
-        def _wrap(kern):
-            def inner(xi_ref, p_ref, u_ref, o_ref, acc_ref):
-                return kern(xi_ref, p_ref, u_ref, None, None, o_ref, acc_ref)
-            return inner
-        kernel = _wrap(kernel)
-
-    inner = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (rb, tn), lambda bi, ni, ki: (bi, ni), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((rb, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*inputs)
-    # the per-row / per-column epilogue: XLA fuses this into the consumer
-    return (inner * t[:, None] * s_col[None, :]).astype(out_dtype)
-
-
-def _w4a8_enabled() -> bool:
-    import os
-    return os.environ.get("LLAMA_GGUF_W4A8", "1") != "0"
-
-
-def qmatmul_w4a8(x: jnp.ndarray, lin: QuantLinear, interpret: bool = False,
-                 precision: str | None = None) -> jnp.ndarray | None:
-    """w4a8 fused path; None when it doesn't apply (caller falls back to
-    the f32 dequant chain). Applies only in "default" precision — "highest"
-    is the llama.cpp-parity mode and never trades accuracy for speed."""
-    eff = precision if precision is not None \
-        else jax.config.jax_default_matmul_precision
-    if (lin.a8 is None or lin.fmt != "q4" or eff != "default"
-            or not _w4a8_enabled()):
-        return None
-    b, k = x.shape
-    n = lin.n
-    unit = 8 if b <= RB_MAX else RB_MAX
-    b_pad = -(-max(b, 8) // unit) * unit
-    tk, tn, rb = _pick_tiles(lin.fmt, lin.group, k, n, b=b_pad)
-    if tk == 0 or n % tn != 0 or n % 128 != 0:
-        return None
-    xp = jnp.pad(x, ((0, b_pad - b), (0, 0))) if b_pad != b else x
-    u, m2, s_col = lin.a8
-    y = _qmatmul_w4a8_call(
-        xp, lin.packed, u, m2, s_col, group=lin.group, k=k, n=n,
-        tk=tk, tn=tn, rb=rb, interpret=interpret,
-        out_dtype=_out_dtype(precision))
-    if b_pad != b:
-        y = y[:b]
-    return y
-
-
-def _q4a8_chain(acc_ref, xi, p_ref, u_ref, m2_ref, xg_ref, *, group, tk,
-                has_mins):
-    """Accumulate one w4a8 tile (the shared body of the dense and GLU
-    kernels): q*u = a + 128*b plane split, four int8 MXU dots, min-fold."""
-    w32 = p_ref[:].astype(jnp.int32)
-    urep = _repeat_rows(u_ref[:].astype(jnp.int32), group // 2)
-    pl_lo = (w32 & 0x0F) * urep
-    pl_hi = (w32 >> 4) * urep
-    dims = (((1,), (0,)), ((), ()))
-
-    def idot(xpart, wplane):
-        return jax.lax.dot_general(xpart, wplane, dims,
-                                   preferred_element_type=jnp.int32)
-
-    da = idot(xi[:, : tk // 2], (pl_lo & 127).astype(jnp.int8))
-    da += idot(xi[:, tk // 2:], (pl_hi & 127).astype(jnp.int8))
-    db = idot(xi[:, : tk // 2], (pl_lo >> 7).astype(jnp.int8))
-    db += idot(xi[:, tk // 2:], (pl_hi >> 7).astype(jnp.int8))
-    acc_ref[:] += da.astype(jnp.float32) + db.astype(jnp.float32) * 128.0
-    if has_mins:
-        _min_dot(acc_ref, xg_ref, m2_ref, jax.lax.Precision.DEFAULT)
-
-
-def _q4a8_glu_kernel(xi_ref, t_ref, pg_ref, pu_ref, ug_ref, uu_ref,
-                     sg_ref, su_ref, m_refs, xg_ref, o_ref,
-                     accg_ref, accu_ref, *, group: int, tk: int,
-                     has_mins: bool, act: str):
-    """w4a8 fused gate/up + gated activation. Unlike the dense w4a8 kernel
-    (whose t*S epilogue rides XLA), the activation is NONLINEAR, so the
-    per-row t (t_ref [rb, 128] lane-broadcast) and per-column S halves
-    (sg/su [8, tn]) must be applied in-kernel before _glu_combine."""
-    ki = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _():
-        accg_ref[:] = jnp.zeros_like(accg_ref)
-        accu_ref[:] = jnp.zeros_like(accu_ref)
-
-    xi = xi_ref[:]
-    mg, mu = m_refs if has_mins else (None, None)
-    _q4a8_chain(accg_ref, xi, pg_ref, ug_ref, mg, xg_ref,
-                group=group, tk=tk, has_mins=has_mins)
-    _q4a8_chain(accu_ref, xi, pu_ref, uu_ref, mu, xg_ref,
-                group=group, tk=tk, has_mins=has_mins)
-
-    @pl.when(ki == nk - 1)
-    def _():
-        trow = t_ref[:, 0:1]  # [rb, 1] broadcasts over lanes
-        g = accg_ref[:] * trow * sg_ref[0:1, :]
-        u = accu_ref[:] * trow * su_ref[0:1, :]
-        o_ref[:] = _glu_combine(g, u, act).astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("group", "k", "f", "tk", "tn", "rb", "act",
-                     "interpret", "out_dtype"),
-)
-def _qmatmul_glu_w4a8_call(x, packed, u, m2, s_col, *, group, k, f,
-                           tk, tn, rb, act, interpret,
-                           out_dtype=jnp.float32):
-    """w4a8 twin of _qmatmul_glu_call: packed/u/m2/s_col hold the FUSED
-    [gate | up] halves along N; each rides twice with index maps offset by
-    F//tn (XLA dedups the buffer)."""
-    b = x.shape[0]
-    nk = k // tk
-    nf = f // tn
-    grid = (b // rb, nf, nk)
-    has_mins = m2 is not None
-
-    t = jnp.maximum(jnp.max(jnp.abs(x), axis=1), 1e-12) / 127.0
-    xi = jnp.round(x / t[:, None]).astype(jnp.int8)
-    t_arr = jnp.broadcast_to(t[:, None], (b, 128)).astype(jnp.float32)
-    s8 = jnp.broadcast_to(s_col[None, :], (8, 2 * f)).astype(jnp.float32)
-
-    def wblocks(rows):
-        return [
-            pl.BlockSpec((rows, tn), lambda bi, ni, ki: (ki, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, tn), lambda bi, ni, ki: (ki, ni + nf),
-                         memory_space=pltpu.VMEM),
-        ]
-
-    def sblocks():
-        return [
-            pl.BlockSpec((8, tn), lambda bi, ni, ki: (0, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tn), lambda bi, ni, ki: (0, ni + nf),
-                         memory_space=pltpu.VMEM),
-        ]
-
-    in_specs = [
-        pl.BlockSpec((rb, tk), lambda bi, ni, ki: (bi, ki),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((rb, 128), lambda bi, ni, ki: (bi, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    inputs = [_arrange_x_q4(xi, group, tk), t_arr, packed, packed, u, u,
-              s8, s8]
-    in_specs += wblocks(tk // 2) + wblocks(tk // group) + sblocks()
-
-    kernel = functools.partial(_q4a8_glu_kernel, group=group, tk=tk,
-                               has_mins=has_mins, act=act)
-    if has_mins:
-        inputs += [m2, m2,
-                   (x.reshape(b, k // group, group).sum(-1)
-                    / t[:, None]).T.astype(jnp.float32)]
-        in_specs += wblocks(tk // group)
-        in_specs.append(pl.BlockSpec((tk // group, rb),
-                                     lambda bi, ni, ki: (ki, bi),
-                                     memory_space=pltpu.VMEM))
-
-        def _wrap(kern):
-            def inner(xi_ref, t_ref, pg, pu, ug, uu, sg, su, mg, mu, xg,
-                      o_ref, ag, au):
-                return kern(xi_ref, t_ref, pg, pu, ug, uu, sg, su,
-                            (mg, mu), xg, o_ref, ag, au)
-            return inner
-    else:
-        def _wrap(kern):
-            def inner(xi_ref, t_ref, pg, pu, ug, uu, sg, su, o_ref, ag, au):
-                return kern(xi_ref, t_ref, pg, pu, ug, uu, sg, su,
-                            None, None, o_ref, ag, au)
-            return inner
-    kernel = _wrap(kernel)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (rb, tn), lambda bi, ni, ki: (bi, ni), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, f), out_dtype),
-        scratch_shapes=[pltpu.VMEM((rb, tn), jnp.float32),
-                        pltpu.VMEM((rb, tn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*inputs)
-    return out
-
-
-def qmatmul_glu_w4a8(x: jnp.ndarray, lin, act: str, interpret: bool = False,
-                     precision: str | None = None) -> jnp.ndarray | None:
-    """w4a8 GLU path; None when it doesn't apply."""
-    eff = precision if precision is not None \
-        else jax.config.jax_default_matmul_precision
-    if (getattr(lin, "a8", None) is None or lin.fmt != "q4"
-            or eff != "default" or not _w4a8_enabled()):
-        return None
-    if act not in GLU_ACTS or lin.bias is not None:
-        return None
-    splits = getattr(lin, "splits", None)
-    if not splits or len(splits) != 2 or splits[0] != splits[1]:
-        return None
-    b, k = x.shape
-    f = splits[0]
-    unit = 8 if b <= RB_MAX else RB_MAX
-    b_pad = -(-max(b, 8) // unit) * unit
-    tk, tn, rb = _pick_tiles(lin.fmt, lin.group, k, f, b=b_pad, deq_scale=2)
-    if tk == 0 or f % tn != 0 or f % 128 != 0:
-        return None
-    xp = jnp.pad(x, ((0, b_pad - b), (0, 0))) if b_pad != b else x
-    u, m2, s_col = lin.a8
-    y = _qmatmul_glu_w4a8_call(
-        xp, lin.packed, u, m2, s_col, group=lin.group, k=k, f=f,
-        tk=tk, tn=tn, rb=rb, act=act, interpret=interpret,
-        out_dtype=_out_dtype(precision))
-    if b_pad != b:
-        y = y[:b]
-    return y
-
 
 # ---------------------------------------------------------------------------
 # Fused gate/up + gated activation (GLU epilogue)
@@ -877,11 +528,6 @@ def qmatmul_glu(x: jnp.ndarray, lin, act: str,
     interpret = interpret or _INTERPRET
     if act not in GLU_ACTS or lin.bias is not None:
         return None
-    if getattr(lin, "a8", None) is not None:
-        y = qmatmul_glu_w4a8(x, lin, act, interpret=interpret,
-                             precision=precision)
-        if y is not None:
-            return y
     splits = getattr(lin, "splits", None)
     if not splits or len(splits) != 2 or splits[0] != splits[1]:
         return None

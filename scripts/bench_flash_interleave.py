@@ -28,7 +28,7 @@ L = 32
 BOUND = 256
 S = 2048
 KH, R, D = 8, 4, 128
-K, N = 4096, 4096
+K, N = 4096, 4096      # default panel; see --kn / --panels
 
 
 def _sync(x):
@@ -36,6 +36,22 @@ def _sync(x):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    # r3 ran 2 x 16.8 MB q8 panels and measured only +17 us/layer of
+    # interleave cost vs the +240 in the real 8B step. The lost-DMA-overlap
+    # hypothesis predicts the gap scales with per-layer weight bytes
+    # (~176 MB/layer at 8B: 176 MB / ~800 GB/s = ~220 us of stream that
+    # stops overlapping attention across the custom-call boundary).
+    # --kn 4096 44032 --panels 4 reproduces real scale (4 x 180 MB resident).
+    ap.add_argument("--kn", type=int, nargs=2, default=None)
+    ap.add_argument("--panels", type=int, default=2)
+    ap.add_argument("--iters", type=int, nargs=2, default=(10, 50))
+    args = ap.parse_args()
+    global K, N
+    if args.kn:
+        K, N = args.kn
+
     import jax
     import jax.numpy as jnp
 
@@ -56,14 +72,15 @@ def main():
 
     rng = np.random.default_rng(0)
     lins = []
-    for _ in range(2):  # two panels, alternate, so layers don't CSE
+    for _ in range(args.panels):  # distinct panels so layers don't CSE
         packed = jnp.asarray(rng.integers(-127, 127, size=(K, N),
                                           dtype=np.int8))
         scales = jnp.asarray((rng.normal(size=(K // 32, N)) * 0.01)
                              .astype(np.float32)).astype(jnp.bfloat16)
         lins.append(QuantLinear(packed, scales, None, None, fmt="q8",
                                 group=32, k=K, n=N, source_type="probe"))
-    wbytes = sum(p.packed.nbytes + p.scales.nbytes for p in lins) / 2 * L
+    wbytes = (sum(p.packed.nbytes + p.scales.nbytes for p in lins)
+              / len(lins) * L)
 
     keys = [jnp.asarray(rng.normal(size=(1, S, KH, D)).astype(np.float32))
             .astype(jnp.bfloat16) for _ in range(L)]
@@ -92,7 +109,8 @@ def main():
                     lena = jnp.full((1,), pos + 1, jnp.int32)
                     nks, nvs = [], []
                     for l in range(L):
-                        y = qmatmul(x, lins[l % 2], precision="default")
+                        y = qmatmul(x, lins[l % len(lins)],
+                                    precision="default")
                         x = x + y[:, :K] * 1e-6  # chain layers
                         if attn is not None:
                             o = attn(q, ks[l], vs[l], posa, lena)
@@ -129,7 +147,7 @@ def main():
     res = {}
     for label, attn in (("weights_only", None), ("weights_xla", attn_xla),
                         ("weights_flash", attn_flash)):
-        dt = timeit_diff(mk(attn), 10, 50)
+        dt = timeit_diff(mk(attn), *args.iters)
         res[label] = {"us_per_iter": dt * 1e6,
                       "gbps": wbytes / dt / 1e9}
         print(f"{label:14s} {dt*1e6:9.1f} us/iter  {wbytes/dt/1e9:7.1f} GB/s",

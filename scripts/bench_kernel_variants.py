@@ -386,6 +386,68 @@ def main():
 
             variants["v8_w4a8"] = scan_of(v8_one)
 
+        # -- v9/v10: v8 cost decomposition (q4 only, WRONG numerics) -------
+        # v9_mulcost = v7 + the u-mult (urep widen/repeat + 2 i32 muls,
+        # truncating i8 narrow — numerically wrong, cost-structure only):
+        # isolates the scale-multiply VPU cost. v10_4dot = v7 with four
+        # int8 dots (swapped operand pairs so Mosaic can't CSE): isolates
+        # the doubled MXU feed of the a+128b split. v8 - v7 should
+        # decompose into (v9 - v7) + (v10 - v7) + split-mask/shift passes.
+        if fmt == "q4":
+            def v9_compute(refs, acc_ref):
+                x_ref, p_ref, u_ref = refs
+                w32 = p_ref[:].astype(jnp.int32)
+                urep = _repeat_rows(u_ref[:].astype(jnp.int32), GROUP // 2)
+                lo8 = ((w32 & 0x0F) * urep).astype(jnp.int8)
+                hi8 = ((w32 >> 4) * urep).astype(jnp.int8)
+                xi = x_ref[:]
+                dims = (((1,), (0,)), ((), ()))
+                acc_ref[:] += jax.lax.dot_general(
+                    xi[:, : tk // 2], lo8, dims,
+                    preferred_element_type=jnp.int32)
+                acc_ref[:] += jax.lax.dot_general(
+                    xi[:, tk // 2:], hi8, dims,
+                    preferred_element_type=jnp.int32)
+
+            def v10_compute(refs, acc_ref):
+                x_ref, p_ref = refs
+                w32 = p_ref[:].astype(jnp.int32)
+                lo = (w32 & 0x0F).astype(jnp.int8)
+                hi = (w32 >> 4).astype(jnp.int8)
+                xi = x_ref[:]
+                dims = (((1,), (0,)), ((), ()))
+
+                def idot(a, b):
+                    return jax.lax.dot_general(
+                        a, b, dims, preferred_element_type=jnp.int32)
+
+                acc_ref[:] += idot(xi[:, : tk // 2], lo)
+                acc_ref[:] += idot(xi[:, tk // 2:], hi)
+                acc_ref[:] += idot(xi[:, : tk // 2], hi)  # swapped pairs:
+                acc_ref[:] += idot(xi[:, tk // 2:], lo)   # no CSE
+
+            v9 = pallas(acc_wrap(v9_compute),
+                        [xi8_spec, w_spec_q4, s_spec], acc_dtype=jnp.int32)
+            v10 = pallas(acc_wrap(v10_compute),
+                         [xi8_spec, w_spec_q4], acc_dtype=jnp.int32)
+
+            def mk_int8(vfn, *extra):
+                def mk(iters):
+                    seeds = jnp.arange(1, iters + 1, dtype=jnp.int8)
+
+                    @jax.jit
+                    def run(xq):
+                        def body(acc, s):
+                            return acc + vfn(xq ^ s, *extra), None
+                        acc, _ = jax.lax.scan(
+                            body, jnp.zeros((B, N), jnp.float32), seeds)
+                        return acc
+                    return run
+                return mk
+
+            variants["v9_mulcost"] = mk_int8(v9, packed, u_i8)
+            variants["v10_4dot"] = mk_int8(v10, packed)
+
         v7 = pallas(acc_wrap(v7_compute),
                     [xi_spec, w_spec_q8 if fmt == "q8" else w_spec_q4],
                     acc_dtype=jnp.int32)
@@ -424,7 +486,8 @@ def main():
             return run
 
         # int8-dot feasibility pre-flight: drop v7/v8 if Mosaic rejects them
-        for tag, arg in (("v7_int8", xi8), ("v8_w4a8", x)):
+        for tag, arg in (("v7_int8", xi8), ("v8_w4a8", x),
+                         ("v9_mulcost", xi8), ("v10_4dot", xi8)):
             if tag not in variants:
                 continue
             try:
@@ -456,7 +519,8 @@ def main():
         for r in range(ROUNDS):
             for tag, (f1, f2) in built.items():
                 args = ((packed, scales, mins) if tag == "floor"
-                        else (xi8,) if tag == "v7_int8" else (x,))
+                        else (xi8,) if tag in ("v7_int8", "v9_mulcost",
+                                               "v10_4dot") else (x,))
                 t1 = timeit(f1, *args)
                 t2 = timeit(f2, *args)
                 dts[tag].append(max(t2 - t1, 1e-9) / (N2 - N1))

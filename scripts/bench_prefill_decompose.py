@@ -181,8 +181,10 @@ def main():
         return run
 
     kv_fresh = runner.init_kv()
-    dt = timeit_diff(mk_step_scan, lambda: (params, toks, pos, kv_fresh),
-                     n1, n2)
+    # runner.params, not the raw load: the runner may have attached w4a8
+    # panels (LLAMA_GGUF_W4A8=1) — measure what the engine actually runs
+    dt = timeit_diff(mk_step_scan,
+                     lambda: (runner.params, toks, pos, kv_fresh), n1, n2)
     results["step_scan"] = {"ms": dt * 1e3, "tok_s": T / dt,
                             "mfu_pct": (wflops_tok * T + attn_flops)
                             / dt / 197e12 * 100}
@@ -191,6 +193,9 @@ def main():
           file=sys.stderr, flush=True)
 
     # ---- weights: qmatmul chain at M = T ----------------------------------
+    # re-walk from runner.params so attached w4a8 panels (if any) ride along
+    quant_leaves.clear()
+    walk(runner.params)
     xs = {q.k: jnp.ones((T, q.k), jnp.float32) for q in quant_leaves}
 
     def mk_weights(iters):

@@ -283,116 +283,3 @@ def test_qmatmul_glu_bf16_epilogue_in_default_mode(rng):
     np.testing.assert_allclose(np.asarray(y_def, np.float32), want,
                                rtol=2e-2, atol=2e-2 * scale)
 
-
-# ---------------------------------------------------------------------------
-# w4a8 int8-MXU path
-# ---------------------------------------------------------------------------
-
-
-def _attach(lin):
-    from llama_gguf_tpu.ops.qmatmul import attach_a8_panels
-    return attach_a8_panels({"w": lin})["w"]
-
-
-@pytest.mark.parametrize("t,b,k,n", [
-    (GGMLType.Q4_K, 4, 512, 256),      # affine (mins + min-fold)
-    (GGMLType.Q4_0, 8, 512, 128),      # legacy q4
-    (GGMLType.Q4_K, 2, 10240, 256),    # K-TILED: integer acc across tiles
-], ids=lambda c: str(c))
-def test_qmatmul_w4a8_error_budget(t, b, k, n, rng):
-    """The w4a8 chain (int8 activations + 7-bit scale panel + int8 MXU
-    dots) must stay inside its approximation budget vs the exact f32
-    dequant chain: ~1% worst-element class (docs/ROOFLINE.md)."""
-    from llama_gguf_tpu.ops.qmatmul import qmatmul_w4a8
-
-    lin = _attach(make_lin(t, n, k, rng))
-    assert lin.a8 is not None
-    u, m2, s_col = lin.a8
-    assert u.dtype == jnp.int8 and s_col.shape == (n,)
-    assert (m2 is None) == (lin.mins is None)
-    x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32))
-    want = np.asarray(_apply_quant_xla(x, lin))
-    y = qmatmul_w4a8(x, lin, interpret=True, precision="default")
-    assert y is not None and y.dtype == jnp.bfloat16
-    got = np.asarray(y, np.float32)
-    scale = max(float(np.abs(want).max()), 1e-6)
-    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2 * scale)
-    # and qmatmul() dispatches to it when panels are attached
-    via = np.asarray(qmatmul(x, lin, interpret=True, precision="default"),
-                     np.float32)
-    np.testing.assert_allclose(via, got, rtol=0, atol=0)
-
-
-def test_qmatmul_w4a8_never_in_highest_mode(rng):
-    """"highest" is the llama.cpp-parity mode: the w4a8 path must refuse,
-    and qmatmul must stay bit-identical to the un-attached kernel."""
-    from llama_gguf_tpu.ops.qmatmul import qmatmul_w4a8
-
-    base = make_lin(GGMLType.Q4_K, 256, 512, rng)
-    lin = _attach(base)
-    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
-    assert qmatmul_w4a8(x, lin, interpret=True, precision="highest") is None
-    assert qmatmul_w4a8(x, lin, interpret=True) is None  # no ambient
-    got = np.asarray(qmatmul(x, lin, interpret=True, precision="highest"))
-    want = np.asarray(qmatmul(x, base, interpret=True, precision="highest"))
-    np.testing.assert_allclose(got, want, rtol=0, atol=0)
-
-
-def test_qmatmul_w4a8_row_tiled_big_batch(rng):
-    """rb grid tiling (prefill/mixed-step shapes) through the w4a8 path."""
-    from llama_gguf_tpu.ops.qmatmul import qmatmul_w4a8
-
-    lin = _attach(make_lin(GGMLType.Q4_K, 256, 512, rng))
-    x = jnp.asarray(rng.standard_normal((600, 512)).astype(np.float32))
-    want = np.asarray(_apply_quant_xla(x, lin))
-    y = qmatmul_w4a8(x, lin, interpret=True, precision="default")
-    assert y is not None and y.shape == (600, 256)
-    got = np.asarray(y, np.float32)
-    scale = max(float(np.abs(want).max()), 1e-6)
-    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2 * scale)
-
-
-def test_attach_a8_panels_walks_and_is_idempotent(rng):
-    from llama_gguf_tpu.ops.qmatmul import attach_a8_panels
-
-    q4 = make_lin(GGMLType.Q4_K, 128, 512, rng)
-    q8 = make_lin(GGMLType.Q8_0, 128, 512, rng)
-    params = {"layers": [{"attn": q4, "ffn": (q8, q4)}], "x": 3}
-    out = attach_a8_panels(params)
-    assert out["layers"][0]["attn"].a8 is not None
-    assert out["layers"][0]["ffn"][0].a8 is None      # q8: untouched
-    assert out["layers"][0]["ffn"][1].a8 is not None
-    assert out["x"] == 3
-    again = attach_a8_panels(out)
-    assert again["layers"][0]["attn"].a8 is out["layers"][0]["attn"].a8
-
-
-def test_qmatmul_glu_w4a8_error_budget(rng):
-    """The w4a8 GLU path (in-kernel t*S scaling before the nonlinearity)
-    vs the exact two-step XLA oracle."""
-    from llama_gguf_tpu.ops.linear import fuse_linears
-    from llama_gguf_tpu.ops.qmatmul import qmatmul_glu, qmatmul_glu_w4a8
-
-    k, f = 512, 256
-    gate = make_lin(GGMLType.Q4_K, f, k, rng)
-    up = make_lin(GGMLType.Q4_K, f, k, rng)
-    fused = _attach(fuse_linears([gate, up]))
-    assert fused.a8 is not None
-    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
-    want = np.asarray(qmatmul_glu(x, fuse_linears([gate, up]), "silu",
-                                  interpret=True, precision="highest"),
-                      np.float32)
-    y = qmatmul_glu_w4a8(x, fused, "silu", interpret=True,
-                         precision="default")
-    assert y is not None and y.dtype == jnp.bfloat16
-    got = np.asarray(y, np.float32)
-    scale = max(float(np.abs(want).max()), 1e-6)
-    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2 * scale)
-    # dispatch: qmatmul_glu takes the w4a8 path when panels are attached
-    via = np.asarray(qmatmul_glu(x, fused, "silu", interpret=True,
-                                 precision="default"), np.float32)
-    np.testing.assert_allclose(via, got, rtol=0, atol=0)
-    # and refuses in highest mode (bit-exact with the un-attached kernel)
-    hi = qmatmul_glu_w4a8(x, fused, "silu", interpret=True,
-                          precision="highest")
-    assert hi is None
