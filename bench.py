@@ -15,7 +15,8 @@ nothing on stdout because the headline printed only after all presets).
 The 8B result and all detail go to stderr as JSON lines.
 
 Budget discipline: total wall-clock budget from $LLAMA_GGUF_BENCH_BUDGET_S
-(default 1500 s — r2's passing artifact took 565 s; r3 died past ~30 min).
+(default 1650 s — r2's passing artifact took 565 s; r3 died past ~30 min;
+r4 measured warm envelopes: TL ~743 s, 8B ~733 s).
 The 8B preset runs only if the measured-remaining budget fits its
 warm-cache estimate; otherwise it emits an honest
 {"llama3-8b": {"skipped": "budget"}} instead of hanging. The 8B synthetic
@@ -68,13 +69,13 @@ PRESETS = {
     "tinyllama-1.1b": {
         "metric": "decode_tokens_per_s_tinyllama-1.1b_q4km",
         "baseline_tps": 1.5, "reps": 4, "max_ctx": 2048,
-        "mixed": {"b": 32, "steps": 64}, "est_warm_s": 420,
+        "mixed": {"b": 32, "steps": 64}, "est_warm_s": 700,
         "gguf": "bench_tinyllama_11b_q4km.gguf",
     },
     "llama3-8b": {
         "metric": "decode_tokens_per_s_llama3-8b_q4km",
         "baseline_tps": 0.3, "reps": 3, "max_ctx": 2048,
-        "mixed": {"b": 16, "steps": 32}, "est_warm_s": 520,
+        "mixed": {"b": 16, "steps": 32}, "est_warm_s": 750,
         "gguf": "llama3-8b-q4km.gguf",
     },
 }
@@ -559,7 +560,11 @@ def main():
     elif env_preset:
         presets = env_preset.split(",")
 
-    total_budget = float(os.environ.get("LLAMA_GGUF_BENCH_BUDGET_S", 1500))
+    # measured warm envelopes (r4, quiet host): TL ~743 s, 8B ~733 s; the
+    # driver's outer timeout is believed ~1800 s (r3 died "past ~30 min").
+    # 1650 fits both presets with margin; a squeezed 8B budget degrades
+    # gracefully (bench_single skips detail phases by its own deadline).
+    total_budget = float(os.environ.get("LLAMA_GGUF_BENCH_BUDGET_S", 1650))
     t_start = time.time()
 
     def remaining():

@@ -147,28 +147,6 @@ class ModelRunner:
             kv_format = "bf16" if kv_dtype == jnp.bfloat16 else "f32"
         import dataclasses
 
-        # per-row ragged decode attention: OPT-IN (LLAMA_GGUF_FLASH_DECODE=1).
-        # The kernel is correct and fast in isolation (~4 us/layer), but in
-        # real models it carries a ~240 us/layer interaction cost with the
-        # fused weight stream that no micro-bench reproduces — measured on
-        # both 8B B=1 (54 vs 94 tok/s) and TinyLlama B=32 ragged batches,
-        # where even its best case (mixed 10.3 ms/step) loses to the XLA
-        # bucket path paying the full long bucket (9.3 ms). See
-        # docs/ROOFLINE.md. Single-device only (GSPMD cannot partition the
-        # pallas_call); interpret mode is opt-in for tests via
-        # ops.flash_decode.set_interpret.
-        import os as _os
-
-        from ..ops import flash_decode as FD
-
-        try:
-            plat = jax.devices()[0].platform
-        except Exception:
-            plat = "cpu"
-        opt_in = (_os.environ.get("LLAMA_GGUF_FLASH_DECODE") == "1"
-                  or FD.interpret_mode())
-        fd = (opt_in and mesh is None and kv_format in ("f32", "bf16")
-              and (plat in ("tpu", "axon") or FD.interpret_mode()))
         # two-tier ragged reads under GSPMD: the tier gather/scatter is
         # grouped per data shard (shard-local by construction), so it needs
         # the static shard count baked into the traced forward
@@ -179,7 +157,6 @@ class ModelRunner:
                 tier_shards = nd
         self.tier_shards = tier_shards
         self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format,
-                                             flash_decode=fd,
                                              tier_shards=tier_shards)
         self.max_batch = max_batch
         self.max_seq = max_seq or cfg.max_seq_len

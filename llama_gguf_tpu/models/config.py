@@ -145,10 +145,6 @@ class ModelConfig:
     # runtime KV-cache storage format: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
     # (static — baked into the jitted step; set by the runner, not the GGUF)
     kv_format: str = "f32"
-    # per-row ragged decode attention via the Pallas flash-decode kernel
-    # (ops/flash_decode.py). Static; set by the runner on single-device
-    # TPU runs (GSPMD cannot partition the pallas_call on a mesh).
-    flash_decode: bool = False
     # data-parallel batch shards for two-tier ragged decode: the tier
     # top_k/gather/scatter runs GROUPED per contiguous batch shard so each
     # operation stays shard-local under GSPMD (no cross-shard collectives).

@@ -267,28 +267,6 @@ def attention(layer: dict, cfg: ModelConfig, x: jnp.ndarray,
         tier = read_bound if isinstance(read_bound, tuple) else None
         if tier is not None:
             read_bound = tier[1]  # hi bound: what single-tier would read
-        if (cfg.flash_decode and t == 1 and b > 1 and not cfg.uses_alibi
-                and window >= 0 and cfg.kv_format in ("f32", "bf16")
-                and hd % 8 == 0 and vd % 8 == 0):
-            # b > 1: at B=1 the kernel's interaction with the fused-qmatmul
-            # stream measured a 42% whole-step LOSS at 8B (18.4 vs 10.7 ms,
-            # scripts/bench_decode_decompose.py r3) while the XLA bucket
-            # read it replaces costs ~76 us — per-row ragged reads only pay
-            # off when multiple rows share a bucket (see docs/ROOFLINE.md)
-            # per-row ragged decode: each batch row's attention reads only
-            # its own live KV blocks (the XLA path reads the batch-global
-            # bucket for every row)
-            from ..ops import flash_decode as FD
-
-            k_cache = kv["k"][cache_idx]
-            bound = min(read_bound or k_cache.shape[1], k_cache.shape[1])
-            if (bound % FD._pick_block(bound) == 0
-                    and k_cache.shape[2] <= FD.MAX_KV_HEADS):
-                ctx = FD.flash_decode(
-                    qg, k_cache, kv["v"][cache_idx], positions, lengths,
-                    scale=cfg.attention_scale or hd**-0.5, bound=bound,
-                    softcap=cfg.attn_logit_softcap, sliding_window=window,
-                    sinks=sinks, interpret=FD.interpret_mode())
         if ctx is None:
             from ..ops.attention import attention_scores, tiered_attention
 

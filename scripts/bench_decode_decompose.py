@@ -246,17 +246,11 @@ def main():
           f"({kv_bytes/1e6:.1f} MB @ bucket {S})", file=sys.stderr,
           flush=True)
 
-    # ---- step: the real greedy-decode step (tg128 protocol), measured
-    # with the flash-decode attention kernel AND the XLA bucket path (the
-    # per-call cost of 32 Pallas custom calls per step is a suspect) ------
-    import dataclasses as _dc
-
-    def measure_step(flash: bool) -> float:
+    # ---- step: the real greedy-decode step (tg128 protocol) -------------
+    def measure_step() -> float:
         runner = ModelRunner(params, cfg, max_batch=1, max_seq=2048,
                              matmul_precision="default",
                              kv_dtype=jnp.bfloat16)
-        if not flash:
-            runner.cfg = _dc.replace(runner.cfg, flash_decode=False)
         kv = runner.init_kv()
         rng = np.random.default_rng(0)
         prompt = rng.integers(0, cfg.vocab_size, size=32).tolist()
@@ -276,23 +270,21 @@ def main():
         ts.sort()
         return ts[len(ts) // 2] / args.steps
 
-    for label, flash in (("step", True), ("step_noflash", False)):
-        dt = measure_step(flash)
-        results[label] = {"us": dt * 1e6,
-                          "tok_s": 1.0 / dt,
-                          "gguf_gbps": gguf_bytes / dt / 1e9,
-                          "device_read_gbps": device_read / dt / 1e9}
-        print(f"{label:13s} {dt*1e6:9.1f} us  {1/dt:7.1f} tok/s  "
-              f"{gguf_bytes/dt/1e9:.1f} GB/s-of-gguf-bytes  "
-              f"{device_read/dt/1e9:.1f} GB/s-device-read", file=sys.stderr,
-              flush=True)
+    dt = measure_step()
+    results["step"] = {"us": dt * 1e6,
+                       "tok_s": 1.0 / dt,
+                       "gguf_gbps": gguf_bytes / dt / 1e9,
+                       "device_read_gbps": device_read / dt / 1e9}
+    print(f"step          {dt*1e6:9.1f} us  {1/dt:7.1f} tok/s  "
+          f"{gguf_bytes/dt/1e9:.1f} GB/s-of-gguf-bytes  "
+          f"{device_read/dt/1e9:.1f} GB/s-device-read", file=sys.stderr,
+          flush=True)
 
     other = results["step"]["us"] - results["weights"]["us"] - \
         results["attn"]["us"]
     results["other_us"] = other
     results["summary"] = {
         "step_us": round(results["step"]["us"], 1),
-        "step_noflash_us": round(results["step_noflash"]["us"], 1),
         "weights_us": round(results["weights"]["us"], 1),
         "attn_us": round(results["attn"]["us"], 1),
         "other_us": round(other, 1),

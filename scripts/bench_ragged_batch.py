@@ -13,7 +13,6 @@ configurations on TinyLlama:
 
 Per-row ragged reads => mixed ~= short; batch-global reads => mixed ~=
 long. Prints one JSON line with the three per-step times and the ratio.
-Flash-decode can be disabled for A/B with LLAMA_GGUF_NO_FLASH_DECODE=1.
 """
 
 import json
@@ -58,8 +57,6 @@ def main():
     params, cfg, _ = load_model(path, mode="quant", scale_dtype="bfloat16")
     runner = ModelRunner(params, cfg, max_batch=B, max_seq=2048,
                          matmul_precision="default", kv_dtype=jnp.bfloat16)
-    if os.environ.get("LLAMA_GGUF_NO_FLASH_DECODE") == "1":
-        runner.cfg = dataclasses.replace(runner.cfg, flash_decode=False)
     rng = np.random.default_rng(0)
 
     def fill_rows(lengths):
@@ -100,7 +97,6 @@ def main():
     # where mixed lands between short (0.0) and long (1.0)
     frac = (mixed - short) / max(longt - short, 1e-9)
     print(json.dumps({
-        "flash_decode": bool(runner.cfg.flash_decode),
         "batch": B,
         "short_ms_per_step": round(short * 1e3, 3),
         "mixed_ms_per_step": round(mixed * 1e3, 3),
