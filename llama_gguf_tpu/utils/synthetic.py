@@ -34,6 +34,12 @@ PRESETS = {
 MOE_PRESETS = {
     "tiny-moe": (512, 128, 2, 4, 2, 256, 256, 4, 2),
     "mixtral-8x7b": (32000, 4096, 32, 32, 8, 14336, 32768, 8, 2),
+    # Real Mixtral-8x7B PER-LAYER geometry, 8 of 32 layers: the full model
+    # is ~26 GB at Q4_K_M and cannot fit one 16 GB v5e chip, but every
+    # kernel shape, the expert-dispatch cost, and the per-layer byte
+    # traffic are layer-local, so an 8-layer slice measures the real
+    # thing and extrapolates linearly (scripts/bench_serving_configs.py).
+    "mixtral-8x7b-l8": (32000, 4096, 8, 32, 8, 14336, 32768, 8, 2),
 }
 
 # Qwen3Next-style hybrid (gated full attention every 4th layer, DeltaNet

@@ -66,6 +66,30 @@ def test_oob_positions_dropped():
     assert np.all(np.asarray(ko[0, 1:]) == 0)
 
 
+def test_single_token_write_matches_scatter():
+    """The B=1/T=1 decode write takes the dynamic-slice fast path
+    (kv._set_at_positions); it must be bit-identical to the general
+    scatter, including the OOB-drop semantics the segmented greedy scan
+    relies on past the cache end (runner.plan_segments)."""
+    rng = np.random.default_rng(3)
+    val = jnp.asarray(rng.normal(size=(1, 1, 2, 8)).astype(np.float32))
+    for pos, fmt in [(0, "f32"), (2, "f32"), (3, "f32"), (4, "f32"),
+                     (99, "f32"), (2, "bf16"), (99, "bf16"),
+                     (2, "i8"), (99, "i8")]:
+        kv_f = KV.init_cache(1, 1, 4, 2, 8, fmt=fmt)
+        kv_f = KV.write(kv_f, 0, val * 0 + 1.0, val * 0 + 1.0,
+                        jnp.asarray([[1]], np.int32))  # pre-fill slot 1
+        kv_s = {k: tuple(v) for k, v in kv_f.items()}
+        p_fast = jnp.asarray([[pos]], np.int32)          # (1,1): fast path
+        p_scat = jnp.asarray([[pos, 99]], np.int32)      # (1,2): scatter
+        val2 = jnp.concatenate([val, val], axis=1)
+        out_f = KV.write(kv_f, 0, val, val, p_fast)
+        out_s = KV.write(kv_s, 0, val2, val2, p_scat)
+        for key in out_f:
+            a, b = np.asarray(out_f[key][0]), np.asarray(out_s[key][0])
+            assert a.dtype == b.dtype and np.array_equal(a, b), (pos, fmt, key)
+
+
 @pytest.mark.parametrize("fmt", ["i8", "f8_e4m3", "bf16"])
 def test_generation_with_quantized_kv(model_path, fmt):
     """Quantized-KV greedy output stays close to f32-KV output (and the
