@@ -148,16 +148,19 @@ class ModelRunner:
         import dataclasses
 
         # two-tier ragged reads under GSPMD: the tier gather/scatter is
-        # grouped per data shard (shard-local by construction), so it needs
-        # the static shard count baked into the traced forward
+        # grouped per data shard (shard-local by construction), so the
+        # static shard count must be baked into the traced forward. It is
+        # deployment geometry, NOT model config — kept runner-local and
+        # threaded into forward via the (lo, hi, cap, shards) read_bound
+        # tuple, so two runners over the same ModelConfig with different
+        # meshes never interfere (VERDICT r4 #7).
         tier_shards = 1
         if mesh is not None:
             nd = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
             if nd > 1 and max_batch % nd == 0:
                 tier_shards = nd
         self.tier_shards = tier_shards
-        self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format,
-                                             tier_shards=tier_shards)
+        self.cfg = cfg = dataclasses.replace(cfg, kv_format=kv_format)
         self.max_batch = max_batch
         self.max_seq = max_seq or cfg.max_seq_len
         self.kv_dtype = kv_dtype
@@ -250,9 +253,10 @@ class ModelRunner:
         at 512-token chunks this skips ~99.8% of the vocab matmul)."""
         b, t = tokens.shape
         if isinstance(read_bound, tuple):
-            lo, hi, cap = read_bound
+            lo, hi, cap = read_bound[:3]
             hi = min(hi, self.max_seq)
-            read_bound = (lo, hi, cap) if lo < hi else hi
+            read_bound = ((lo, hi, cap, self.tier_shards) if lo < hi
+                          else hi)
         elif read_bound is not None:
             read_bound = min(read_bound, self.max_seq)
         gather = logit_positions is not None and t > 1
@@ -358,6 +362,8 @@ class ModelRunner:
                 # pick_read_bound's hi for the max row == the plan's bound)
                 bound = pick_read_bound(lens0 + done + chunk, self.max_seq,
                                         shards=self.tier_shards)
+                if isinstance(bound, tuple):
+                    bound = (*bound, self.tier_shards)
             fn = self._get_greedy_scan(b, bound)
             if self.mesh is not None:
                 with self.mesh:

@@ -145,11 +145,6 @@ class ModelConfig:
     # runtime KV-cache storage format: f32 | bf16 | i8 | f8_e4m3 | f8_e5m2
     # (static — baked into the jitted step; set by the runner, not the GGUF)
     kv_format: str = "f32"
-    # data-parallel batch shards for two-tier ragged decode: the tier
-    # top_k/gather/scatter runs GROUPED per contiguous batch shard so each
-    # operation stays shard-local under GSPMD (no cross-shard collectives).
-    # Static; set by the runner from the mesh's "data" axis (1 = unsharded).
-    tier_shards: int = 1
     arch_info: ArchInfo | None = None
     # per-layer kind for hybrid models ("attn" | "deltanet" | "mamba");
     # empty tuple = all attention. Static — used to specialize the jitted step.

@@ -299,7 +299,7 @@ def read(kv: dict[str, Any], layer: int, compute_dtype=jnp.float32,
     ``rows``: optional int32 batch-row gather (two-tier ragged decode:
     only the long rows' cache bytes leave HBM for the high bucket). Either
     [C] global indices or [G, C] GROUP-LOCAL indices (G contiguous batch
-    groups, matching ModelConfig.tier_shards — each group's gather stays
+    groups, matching ModelRunner.tier_shards — each group's gather stays
     inside its own batch shard under GSPMD); result is [C or G*C, ...].
     Out-of-range indices clamp — callers drop those rows at the scatter."""
     fmt = cache_format(kv, head_dim=head_dim)

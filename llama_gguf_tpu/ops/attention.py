@@ -222,7 +222,8 @@ def tiered_attention(read_fn, qg, positions, lengths, lo: int, hi: int,
     TPU equivalent, chosen over the Pallas flash-decode kernel whose
     real-model interaction cost measured ~240 us/layer, docs/ROOFLINE.md).
 
-    G matches the mesh's data-axis shard count (ModelConfig.tier_shards),
+    G matches the mesh's data-axis shard count (ModelRunner.tier_shards,
+    threaded via the read_bound tuple),
     so under GSPMD every take/scatter is shard-local by construction
     (group_take); G=1 is the single-device case.
 

@@ -269,7 +269,7 @@ def test_tiered_ragged_mesh_matches_single_device(tmp_path, rng):
     batch with one long straggler, decoded over a (data=2, model=2) mesh,
     must produce exactly the tokens the single-device tiered decode
     produces. The tier top_k/gather/scatter is grouped per data shard
-    (ModelConfig.tier_shards), so every index op stays inside its own
+    (ModelRunner.tier_shards), so every index op stays inside its own
     batch shard — GSPMD partitions it without cross-shard collectives
     (the reference never taxes other sequences either: per-sequence
     caches, /root/reference/src/engine_batched.rs:373)."""
@@ -307,6 +307,8 @@ def test_tiered_ragged_mesh_matches_single_device(tmp_path, rng):
     sp = shard_params(params, mesh)
     runner_m = ModelRunner(sp, cfg, max_batch=b, max_seq=ctx, mesh=mesh)
     assert runner_m.tier_shards == 2
-    assert runner_m.cfg.tier_shards == 2
+    # deployment geometry stays off ModelConfig (VERDICT r4 #7): a second
+    # runner on the same cfg with a different mesh must not see this
+    assert not hasattr(runner_m.cfg, "tier_shards")
     got = decode(runner_m)
     np.testing.assert_array_equal(got, want)
