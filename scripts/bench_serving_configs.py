@@ -162,7 +162,8 @@ def run_config(name: str, budget_s: float) -> None:
         out["decode_tps"] = round(bench.STEPS / med, 1)
         out["effective_gbps_active"] = round(
             active_bytes / med * bench.STEPS / 1e9, 1)
-        out["kernel_probe_gbps"] = round(probe_gbps, 1)
+        out["kernel_probe_gbps"] = (round(probe_gbps, 1)
+                                    if probe_gbps else None)
         out["decode_rounds"] = rounds
         if c.get("full_layers"):
             # linear per-layer extrapolation to the full-depth model: the
