@@ -77,21 +77,28 @@ def moe_kernel_parity_check(rtol: float = 2e-2, atol: float = 2e-2) -> int:
         scales=jnp.asarray(np.stack(scales)),
         mins=jnp.asarray(np.stack(mins)) if mins[0] is not None else None,
         fmt=fmt, group=group, k=K, n=N)
-    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
-    idx = jnp.asarray([0, 1, 1, 0], jnp.int32)
-    # default precision: "highest" multi-pass dots balloon the Mosaic
-    # compile of this kernel from minutes to tens of minutes on-device
-    got = moe_qmatmul(x, stack, idx)
-    if got is None:
-        raise AssertionError("moe_qmatmul declined a tileable shape")
-    got = np.asarray(got)
-    w_sel = np.asarray(stack.gather_dequant(idx))
-    want = np.einsum("ek,ekn->en", np.asarray(x), w_sel)
-    scale = max(float(np.abs(want).max()), 1e-6)
-    err = float(np.abs(got - want).max()) / scale
-    if not np.allclose(got, want, rtol=max(rtol, 5e-2),
-                       atol=max(atol, 5e-2) * scale):
-        raise AssertionError(
-            f"Pallas moe_qmatmul diverges from gathered-dequant oracle: "
-            f"max rel err {err:.2e}")
-    return 1
+    from .qmatmul import MOE_GROUPED_MIN_SLOTS
+
+    checks = 0
+    # slot-major (decode-sized S) AND grouped (prefill-sized S) kernels:
+    # both lowerings gate here, with real Mosaic compiles
+    for s_slots in (4, MOE_GROUPED_MIN_SLOTS + 5):
+        x = jnp.asarray(rng.standard_normal((s_slots, K)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, E, size=s_slots), jnp.int32)
+        # default precision: "highest" multi-pass dots balloon the Mosaic
+        # compile of this kernel from minutes to tens of minutes on-device
+        got = moe_qmatmul(x, stack, idx)
+        if got is None:
+            raise AssertionError("moe_qmatmul declined a tileable shape")
+        got = np.asarray(got)
+        w_sel = np.asarray(stack.gather_dequant(idx))
+        want = np.einsum("ek,ekn->en", np.asarray(x), w_sel)
+        scale = max(float(np.abs(want).max()), 1e-6)
+        err = float(np.abs(got - want).max()) / scale
+        if not np.allclose(got, want, rtol=max(rtol, 5e-2),
+                           atol=max(atol, 5e-2) * scale):
+            raise AssertionError(
+                f"Pallas moe_qmatmul (S={s_slots}) diverges from "
+                f"gathered-dequant oracle: max rel err {err:.2e}")
+        checks += 1
+    return checks

@@ -561,26 +561,34 @@ def qmatmul_glu(x: jnp.ndarray, lin, act: str,
     static_argnames=("fmt", "group", "k", "n", "tk", "tn", "interpret",
                      "precision"),
 )
-def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
-                      interpret, precision=None):
-    """x [E, K] (one input row per routed expert slot); packed/scales/mins
-    [E, ...] gathered compressed blocks -> [E, N].
+def _moe_qmatmul_call(x, idx, packed, scales, mins, *, fmt, group, k, n,
+                      tk, tn, interpret, precision=None):
+    """x [S, K] (one input row per routed expert slot), idx [S] int32
+    expert ids; packed/scales/mins are the FULL compressed expert stacks
+    [E, ...] -> [S, N].
 
-    Grid (E, N-tiles, K-tiles): each e runs the same fused dequant-dot as
-    the 2-D kernel on its own expert's blocks — HBM reads stay at the
-    quantized width, the TPU analogue of the reference's CUDA expert
-    streaming (gpu_only.rs MoE path / moe.rs:321-416)."""
-    e = x.shape[0]
-    grid = (e, n // tn, k // tk)
+    Grid (S, N-tiles, K-tiles) with ``idx`` as a SCALAR-PREFETCH operand:
+    each slot's weight blocks are DMA'd straight out of the full stack via
+    the prefetched index (BlockSpec index_map reads idx_ref) — no gather,
+    no HBM materialization of selected experts. The previous design
+    (jnp.take of the packed stacks before the kernel) tripled decode
+    traffic (gather read + write + kernel read) and allocated
+    slots x expert-bytes of temps — a 32-row prefill chunk on 8-layer
+    Mixtral Q4_K needed 19 GB of HBM and OOM'd (r5). This is the TPU
+    analogue of the reference's CUDA expert streaming (moe.rs:321-416),
+    done as in-kernel indexed DMA."""
+    s_slots = x.shape[0]
+    grid = (s_slots, n // tn, k // tk)
     prec = _PREC[precision]
     has_mins = mins is not None
     scale_spec = pl.BlockSpec((None, tk // group, tn),
-                              lambda ei, ni, ki: (ei, ki, ni),
+                              lambda si, ni, ki, idx_ref: (idx_ref[si], ki, ni),
                               memory_space=pltpu.VMEM)
-    # x as [E, 8, K] with rows 1-7 zero: the f32 sublane tile is 8, so a
+    # x as [S, 8, K] with rows 1-7 zero: the f32 sublane tile is 8, so a
     # 1-row block would be padded to 8 sublanes by Mosaic anyway; the zero
     # rows cost nothing — the kernel is bound by the packed-weight reads
-    x_spec = pl.BlockSpec((None, 8, tk), lambda ei, ni, ki: (ei, 0, ki),
+    x_spec = pl.BlockSpec((None, 8, tk),
+                          lambda si, ni, ki, idx_ref: (si, 0, ki),
                           memory_space=pltpu.VMEM)
 
     if fmt == "q4":
@@ -588,7 +596,8 @@ def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
                                    has_mins=has_mins, k_axis=2)
         in_specs = [
             x_spec,
-            pl.BlockSpec((None, tk // 2, tn), lambda ei, ni, ki: (ei, ki, ni),
+            pl.BlockSpec((None, tk // 2, tn),
+                         lambda si, ni, ki, idx_ref: (idx_ref[si], ki, ni),
                          memory_space=pltpu.VMEM),
             scale_spec,
         ]
@@ -599,7 +608,8 @@ def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
                                    has_mins=has_mins, k_axis=2)
         in_specs = [
             x_spec,
-            pl.BlockSpec((None, tk, tn), lambda ei, ni, ki: (ei, ki, ni),
+            pl.BlockSpec((None, tk, tn),
+                         lambda si, ni, ki, idx_ref: (idx_ref[si], ki, ni),
                          memory_space=pltpu.VMEM),
             scale_spec,
         ]
@@ -608,30 +618,38 @@ def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
     if has_mins:
         in_specs.append(scale_spec)
         inputs.append(mins)
-        # transposed per-slot group sums [E, K/g, 8] (rows 1-7 of the padded
+        # transposed per-slot group sums [S, K/g, 8] (rows 1-7 of the padded
         # x are zero, so only column 0 of xg is nonzero — the min dot's
         # extra columns cost nothing)
         in_specs.append(pl.BlockSpec((None, tk // group, 8),
-                                     lambda ei, ni, ki: (ei, ki, 0),
+                                     lambda si, ni, ki, idx_ref: (si, ki, 0),
                                      memory_space=pltpu.VMEM))
-        xg = x.reshape(e, k // group, group).sum(-1)  # [E, K/g]
+        xg = x.reshape(s_slots, k // group, group).sum(-1)  # [S, K/g]
         inputs.append(jnp.pad(xg[:, :, None], ((0, 0), (0, 0), (0, 7)))
                       .astype(jnp.float32))
+        kern = kernel
+
+        def kernel(idx_ref, x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref,
+                   acc_ref):
+            return kern(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref)
     else:
-        def _wrap(kern):
-            def inner(x_ref, p_ref, s_ref, o_ref, acc_ref):
-                return kern(x_ref, p_ref, s_ref, None, None, o_ref, acc_ref)
-            return inner
-        kernel = _wrap(kernel)
+        kern = kernel
+
+        def kernel(idx_ref, x_ref, p_ref, s_ref, o_ref, acc_ref):
+            return kern(x_ref, p_ref, s_ref, None, None, o_ref, acc_ref)
 
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, 8, tn), lambda ei, ni, ki: (ei, 0, ni),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((e, 8, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, tn), jnp.float32)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (None, 8, tn), lambda si, ni, ki, idx_ref: (si, 0, ni),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((8, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_slots, 8, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             # all-"arbitrary": measured 50s vs 238s Mosaic compile for the
             # ("parallel","parallel","arbitrary") marking on this chip —
@@ -640,27 +658,179 @@ def _moe_qmatmul_call(x, packed, scales, mins, *, fmt, group, k, n, tk, tn,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(*inputs)
+    )(jnp.asarray(idx, jnp.int32), *inputs)
     return out[:, 0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "group", "k", "n", "tk", "tn", "c_rows",
+                     "interpret", "precision"),
+)
+def _moe_qmatmul_grouped_call(xs, eg, packed, scales, mins, *, fmt, group,
+                              k, n, tk, tn, c_rows, interpret,
+                              precision=None):
+    """Grouped (megablocks-style) MoE matmul: xs [G, C, K] holds the slot
+    input rows SORTED by expert and padded into G blocks of C rows, every
+    block single-expert; eg [G] int32 is each block's expert id (scalar
+    prefetch). packed/scales/mins are the full compressed stacks [E, ...].
+    Returns [G, C, N].
+
+    Grid (G, N-tiles, K-tiles): each block DMAs its expert's quantized
+    tiles straight from the stack (indexed via the prefetched eg) and
+    runs the same fused dequant-dot as the dense kernel on C rows at
+    once. Weight traffic is ceil(S/C)+E expert-sweeps instead of the
+    slot-major kernel's S sweeps — the difference between 114 GB and
+    0.7 GB of HBM reads per Mixtral layer at a 4096-slot prefill chunk.
+    Dummy padding blocks (expert-imbalance headroom) read expert 0's
+    tiles and compute garbage rows that the caller's inverse map never
+    touches."""
+    g_blocks = xs.shape[0]
+    grid = (g_blocks, n // tn, k // tk)
+    prec = _PREC[precision]
+    has_mins = mins is not None
+    x2 = xs.reshape(g_blocks * c_rows, k)
+    scale_spec = pl.BlockSpec((None, tk // group, tn),
+                              lambda gi, ni, ki, eg_ref: (eg_ref[gi], ki, ni),
+                              memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((None, c_rows, tk),
+                          lambda gi, ni, ki, eg_ref: (gi, 0, ki),
+                          memory_space=pltpu.VMEM)
+    if fmt == "q4":
+        kernel = functools.partial(_q4_kernel, group=group, tk=tk, prec=prec,
+                                   has_mins=has_mins, k_axis=2)
+        w_spec = pl.BlockSpec((None, tk // 2, tn),
+                              lambda gi, ni, ki, eg_ref: (eg_ref[gi], ki, ni),
+                              memory_space=pltpu.VMEM)
+        xin = _arrange_x_q4(x2, group, tk)
+    else:
+        kernel = functools.partial(_q8_kernel, group=group, tk=tk, prec=prec,
+                                   has_mins=has_mins, k_axis=2)
+        w_spec = pl.BlockSpec((None, tk, tn),
+                              lambda gi, ni, ki, eg_ref: (eg_ref[gi], ki, ni),
+                              memory_space=pltpu.VMEM)
+        xin = x2
+    in_specs = [x_spec, w_spec, scale_spec]
+    inputs = [xin.reshape(g_blocks, c_rows, k), packed, scales]
+    if has_mins:
+        in_specs.append(scale_spec)
+        inputs.append(mins)
+        # transposed per-row group sums [G, K/g, C] (lanes = C)
+        in_specs.append(pl.BlockSpec((None, tk // group, c_rows),
+                                     lambda gi, ni, ki, eg_ref: (gi, ki, 0),
+                                     memory_space=pltpu.VMEM))
+        xg = xs.reshape(g_blocks, c_rows, k // group, group).sum(-1)
+        inputs.append(xg.transpose(0, 2, 1).astype(jnp.float32))
+        kern = kernel
+
+        def kernel(eg_ref, x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref,
+                   acc_ref):
+            return kern(x_ref, p_ref, s_ref, m_ref, xg_ref, o_ref, acc_ref)
+    else:
+        kern = kernel
+
+        def kernel(eg_ref, x_ref, p_ref, s_ref, o_ref, acc_ref):
+            return kern(x_ref, p_ref, s_ref, None, None, o_ref, acc_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (None, c_rows, tn),
+                lambda gi, ni, ki, eg_ref: (gi, 0, ni),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((c_rows, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((g_blocks, c_rows, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(eg, jnp.int32), *inputs)
+
+
+def _moe_group_plan(idx: jnp.ndarray, e_num: int, c_rows: int,
+                    g_blocks: int):
+    """Static-shape dispatch plan for the grouped MoE kernel: sort slots
+    by expert, cut each expert's run into C-row blocks (last block of each
+    expert padded), and build the inverse map. EXACT routing — no token
+    dropping; imbalance is absorbed by the E extra padding blocks in
+    ``g_blocks`` (the static worst case sum(ceil(c_e/C)) <= ceil(S/C)+E).
+    Returns (eg [G], rows [G, C] slot ids with S as the padding sentinel,
+    flat [S] inverse index into the [G*C, N] kernel output)."""
+    s = idx.shape[0]
+    idx = idx.astype(jnp.int32)
+    order = jnp.argsort(idx, stable=True)                       # [S]
+    counts = jnp.bincount(idx, length=e_num)                    # [E]
+    starts = jnp.cumsum(counts) - counts                        # excl [E]
+    nb = -(-counts // c_rows)                                   # ceil [E]
+    bend = jnp.cumsum(nb)                                       # [E]
+    bstart = bend - nb
+    gids = jnp.arange(g_blocks)
+    # owner of block g: first e with bend[e] > g; dummy blocks -> expert 0
+    eg = jnp.searchsorted(bend, gids, side="right").astype(jnp.int32)
+    live = eg < e_num
+    eg = jnp.where(live, eg, 0)
+    bi = gids - bstart[eg]                                       # [G]
+    pos = starts[eg][:, None] + bi[:, None] * c_rows \
+        + jnp.arange(c_rows)[None, :]                            # [G, C]
+    valid = live[:, None] & (pos < (starts[eg] + counts[eg])[:, None])
+    rows = jnp.where(valid, order[jnp.clip(pos, 0, s - 1)], s)
+    # inverse: slot -> (block, row-in-block) flattened
+    rank = jnp.zeros((s,), jnp.int32).at[order].set(
+        jnp.arange(s, dtype=jnp.int32))                          # [S]
+    off = rank - starts[idx]
+    flat = (bstart[idx] + off // c_rows) * c_rows + off % c_rows
+    return eg, rows, flat
+
+
+# slot-major kernel below this many slots; grouped above. The crossover is
+# where ceil(S/C)+E expert-weight sweeps beat S sweeps — with the E-block
+# padding and the activation sort/gather overhead, decode-sized S stays
+# slot-major and prefill/mixed steps go grouped.
+MOE_GROUPED_MIN_SLOTS = 32
+MOE_GROUP_ROWS = 256  # C: rows per single-expert block
 
 
 def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
                 interpret: bool = False,
                 precision: str | None = None) -> jnp.ndarray | None:
-    """Fused MoE dispatch: per-slot input rows [E, K] times the SELECTED
-    experts' quantized weights -> [E, N]; only the routed experts' packed
-    bytes leave HBM. Returns None when the shapes don't tile (caller falls
-    back to QuantExpertStack.gather_dequant + einsum)."""
-    e, k = x_rows.shape
+    """Fused MoE dispatch: per-slot input rows [S, K] times the SELECTED
+    experts' quantized weights -> [S, N]; only routed experts' packed
+    bytes leave HBM via in-kernel indexed DMA (scalar prefetch — no
+    gathered weight copies; the old jnp.take pre-gather allocated
+    slots x expert-bytes of temps and OOM'd 8-layer Mixtral prefill at
+    19 GB). Decode-sized S runs the slot-major kernel; larger S sorts
+    slots by expert and runs C-row single-expert blocks so each routed
+    expert's weights stream from HBM ~once instead of once per slot.
+    Returns None when the shapes don't tile (caller falls back to
+    QuantExpertStack.gather_dequant + einsum)."""
+    s_slots, k = x_rows.shape
     assert k == stack.k, (k, stack.k)
     n = stack.n
+    e_num = stack.packed.shape[0]
+    if s_slots >= MOE_GROUPED_MIN_SLOTS:
+        c_rows = min(MOE_GROUP_ROWS, max(8, 1 << (s_slots - 1).bit_length()))
+        tk, tn, rb = _pick_tiles(stack.fmt, stack.group, k, n, b=c_rows)
+        if tk and rb == c_rows and n % tn == 0 and n % 128 == 0:
+            g_blocks = -(-s_slots // c_rows) + e_num
+            eg, rows, flat = _moe_group_plan(idx_flat, e_num, c_rows,
+                                             g_blocks)
+            xz = jnp.concatenate(
+                [x_rows, jnp.zeros((1, k), x_rows.dtype)], axis=0)
+            xs = xz[rows]                                   # [G, C, K]
+            out = _moe_qmatmul_grouped_call(
+                xs, eg, stack.packed, stack.scales, stack.mins,
+                fmt=stack.fmt, group=stack.group, k=k, n=n, tk=tk, tn=tn,
+                c_rows=c_rows, interpret=interpret, precision=precision)
+            return out.reshape(g_blocks * c_rows, n)[flat]
     tk, tn, _ = _pick_tiles(stack.fmt, stack.group, k, n)
     if tk == 0 or n % tn != 0 or n % 128 != 0:
         return None
-    packed = jnp.take(stack.packed, idx_flat, axis=0)
-    scales = jnp.take(stack.scales, idx_flat, axis=0)
-    mins = (jnp.take(stack.mins, idx_flat, axis=0)
-            if stack.mins is not None else None)
     return _moe_qmatmul_call(
-        x_rows, packed, scales, mins, fmt=stack.fmt, group=stack.group,
+        x_rows, idx_flat, stack.packed, stack.scales, stack.mins,
+        fmt=stack.fmt, group=stack.group,
         k=k, n=n, tk=tk, tn=tn, interpret=interpret, precision=precision)

@@ -159,6 +159,24 @@ def test_moe_qmatmul_matches_gather_dequant():
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=2e-5, atol=2e-5)
 
+        # GROUPED path (prefill-scale S): sorted C-row single-expert
+        # blocks, exact routing with heavy imbalance (expert 2 takes half
+        # the slots, expert 1 none) and a non-multiple-of-C slot count
+        from llama_gguf_tpu.ops import qmatmul as qm
+
+        s_big = qm.MOE_GROUPED_MIN_SLOTS + 13
+        xb = jnp.asarray(rng.standard_normal((s_big, K)), jnp.float32)
+        idxb = jnp.asarray(
+            np.where(np.arange(s_big) % 2 == 0, 2,
+                     rng.integers(0, E, size=s_big)), jnp.int32)
+        idxb = jnp.where(idxb == 1, 3, idxb)  # expert 1 gets zero slots
+        got_b = moe_qmatmul(xb, stack, idxb, interpret=True,
+                            precision="highest")
+        w_sel = np.asarray(stack.gather_dequant(idxb))
+        want_b = np.einsum("ek,ekn->en", np.asarray(xb), w_sel)
+        np.testing.assert_allclose(np.asarray(got_b), want_b,
+                                   rtol=2e-5, atol=2e-5)
+
 
 @pytest.mark.parametrize("t,act", [
     (GGMLType.Q4_K, "silu"),        # affine: min panels ride both halves
