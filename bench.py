@@ -467,7 +467,13 @@ def bench_single(preset: str, budget_s: float) -> None:
         )
 
         kernel_parity_check(params)
-        moe_kernel_parity_check()
+        # The MoE gate pays two Mosaic kernel compiles (~200-400 s in slow
+        # tunnel-compile windows); one run per bench invocation is enough
+        # to catch a lowering regression — the parent sets the skip for
+        # presets after the first (r5: the gate cost 670 s across both
+        # children in one window).
+        if not os.environ.get("LLAMA_GGUF_SKIP_MOE_PARITY"):
+            moe_kernel_parity_check()
     mark("parity_gate")
 
     probe_gbps = measure_kernel_gbps(jax, jnp)
@@ -736,6 +742,7 @@ def main():
             print(json.dumps({preset: results[preset]}), file=sys.stderr,
                   flush=True)
             continue
+        os.environ["LLAMA_GGUF_SKIP_MOE_PARITY"] = "1"  # gate ran in preset 1
         res, why = _run_preset(preset, remaining())
         if res is None:
             res = {"metric": p["metric"], "error": why}
