@@ -335,6 +335,35 @@ class ModelRunner:
             done += chunk
         return plan
 
+    # Measured full-bound policy (r5, scripts/bench_bound_sweep.py): at
+    # B=1 on SMALL caches the slice-free bound==max_seq decode program is
+    # ~5% faster per step than any sliced bucket — 256/512/1024 bounds
+    # time within 0.7% of each other (the cost is NOT the bytes read) and
+    # only the identity read avoids a per-step XLA scheduling overhead
+    # that scales with total cache size (~2 us/MB). The win region is
+    # bounded by the same data: at 8B-scale caches (268 MB) the extra
+    # dead-position bytes of a full read exceed the overhead (paired
+    # long/short 1.07), and on a 4096-slot cache the full read blows up
+    # 65%. Hence the conservative gate below; LLAMA_GGUF_NO_FULL_BOUND=1
+    # opts out. Exactness is unconditional — bound only caps what masked
+    # attention may read.
+    FULL_BOUND_MAX_SEQ = 2048
+    FULL_BOUND_MAX_CACHE_BYTES = 96 << 20
+
+    def _prefer_full_bound(self, b: int) -> bool:
+        if b != 1 or self.max_seq > self.FULL_BOUND_MAX_SEQ \
+                or self.ring_slots > 0:
+            return False
+        import os
+
+        if os.environ.get("LLAMA_GGUF_NO_FULL_BOUND"):
+            return False
+        cache_bytes = (self.cfg.num_layers * self.max_seq
+                       * self.cfg.cache_kv_heads
+                       * (self.cfg.cache_k_dim + self.cfg.cache_v_dim)
+                       * jnp.dtype(self.kv_dtype).itemsize)
+        return cache_bytes <= self.FULL_BOUND_MAX_CACHE_BYTES
+
     def greedy_decode(self, tokens0, pos0, kv, steps: int):
         """Run ``steps`` greedy decode steps on device. tokens0/pos0: [B]
         arrays (the last sampled token and its position per sequence).
@@ -343,7 +372,9 @@ class ModelRunner:
         The scan is segmented at KV read-bucket boundaries (plan_segments):
         per-step cost tracks the LIVE context, and calls that cross a
         boundary reuse the compiled per-bucket scans instead of recompiling
-        one monolithic scan per (start, steps) combination."""
+        one monolithic scan per (start, steps) combination. Single-stream
+        small-cache models override every segment's bound to max_seq (see
+        _prefer_full_bound — measured faster AND fewer compile keys)."""
         tokens0 = jnp.asarray(tokens0, jnp.int32)
         pos0 = jnp.asarray(pos0, jnp.int32)
         b = tokens0.shape[0]
@@ -353,10 +384,13 @@ class ModelRunner:
             from ..parallel.sharding import replicate_inputs
 
             tokens0, pos0 = replicate_inputs(self.mesh, tokens0, pos0)
+        full_bound = self._prefer_full_bound(b)
         outs = []
         done = 0
         for chunk, bound in self.plan_segments(start, steps, self.max_seq):
-            if b > 1:
+            if full_bound:
+                bound = self.max_seq
+            elif b > 1:
                 # ragged batch: two-tier bound from the segment-END lengths
                 # (each row's live context grows by `chunk` inside the scan;
                 # pick_read_bound's hi for the max row == the plan's bound)

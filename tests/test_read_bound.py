@@ -132,9 +132,11 @@ def test_greedy_decode_segmented_matches_stepwise(tmp_path, rng):
     # cur0 at p, same as decode_one(cur, p). Exact match required.
     assert got == want
 
+    # B=1 small-cache models take the measured full-bound program (r5
+    # policy, runner._prefer_full_bound): every segment compiles at the
+    # max_seq bound — one scan key regardless of boundary crossings
     scan_keys = {k for k in runner._steps if k[0] == "greedy_scan"}
-    assert ("greedy_scan", 1, 256) in scan_keys
-    assert ("greedy_scan", 1, 512) in scan_keys
+    assert scan_keys == {("greedy_scan", 1, CTX)}
     # a second call from a different position crossing the same boundary
     # must NOT create new scan entries (chunk variants live inside jit)
     kv2 = runner.init_kv()
@@ -142,6 +144,39 @@ def test_greedy_decode_segmented_matches_stepwise(tmp_path, rng):
     toks2, kv2 = runner.greedy_decode(cur0, jnp.asarray([p2], jnp.int32),
                                       kv2, steps=70)
     assert {k for k in runner._steps if k[0] == "greedy_scan"} == scan_keys
+
+
+def test_greedy_decode_bucket_lattice_with_policy_off(tmp_path, rng,
+                                                      monkeypatch):
+    """With the full-bound policy opted out, greedy_decode keeps the
+    per-bucket scan lattice AND still matches the policy-on tokens (the
+    bound is invisible to the math, only to the schedule)."""
+    monkeypatch.setenv("LLAMA_GGUF_NO_FULL_BOUND", "1")
+    path = str(tmp_path / "tiny2.gguf")
+    make_tiny_model(path, arch="qwen2", vocab=97, hidden=64, layers=2,
+                    heads=4, kv_heads=2, ffn=128, ctx=CTX, seed=7)
+    params, cfg, _ = load_model(path, mode="dequant")
+    runner = ModelRunner(params, cfg, max_batch=1, max_seq=CTX)
+    assert not runner._prefer_full_bound(1)
+    ids = rng.integers(0, 97, size=250).tolist()
+    kv = runner.init_kv()
+    logits, kv, p = runner.prefill(ids, kv)
+    cur0 = jnp.asarray([int(np.argmax(np.asarray(logits)))], jnp.int32)
+    toks, kv = runner.greedy_decode(cur0, jnp.asarray([p], jnp.int32), kv,
+                                    steps=20)
+    scan_keys = {k for k in runner._steps if k[0] == "greedy_scan"}
+    assert ("greedy_scan", 1, 256) in scan_keys
+    assert ("greedy_scan", 1, 512) in scan_keys
+
+    monkeypatch.delenv("LLAMA_GGUF_NO_FULL_BOUND")
+    runner2 = ModelRunner(params, cfg, max_batch=1, max_seq=CTX)
+    assert runner2._prefer_full_bound(1)
+    kv2 = runner2.init_kv()
+    logits2, kv2, p2 = runner2.prefill(ids, kv2)
+    toks2, kv2 = runner2.greedy_decode(
+        jnp.asarray([int(np.argmax(np.asarray(logits2)))], jnp.int32),
+        jnp.asarray([p2], jnp.int32), kv2, steps=20)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
 
 
 def test_runner_auto_bound_matches_prefill(tmp_path, rng):
