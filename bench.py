@@ -355,7 +355,7 @@ def run_decode_rounds(runner, cur0, kv, pos, jax, jnp, reps, weight_bytes,
 
 
 def run_decode_paired(runner, cur0, kv, pos_short, pos_long, jax, jnp, reps,
-                      weight_bytes, probe_gbps):
+                      weight_bytes, probe_gbps, time_left=None):
     """Interleaved short/long decode (VERDICT r4 #4): each round runs
     `reps` short-context reps immediately followed by `reps` long-context
     reps in the SAME window, so long/short is a PAIRED ratio instead of
@@ -389,7 +389,11 @@ def run_decode_paired(runner, cur0, kv, pos_short, pos_long, jax, jnp, reps,
         if rnd >= 1 and (probe_gbps is None
                          or eff / probe_gbps >= PLAUSIBLE_RATIO):
             break
-        if rnd >= 1:  # degraded short round: refresh the probe and retry
+        if time_left is not None and time_left() < 90:
+            break  # budget squeeze: ship what we have, skip extra rounds
+        if 1 <= rnd < MAX_ROUNDS - 1:
+            # degraded short round: refresh the probe and retry (pointless
+            # on the final round — nothing would consume the new value)
             p2 = measure_kernel_gbps(jax, jnp)
             if p2 is not None:
                 probe_gbps = max(probe_gbps, p2)
@@ -505,7 +509,7 @@ def bench_single(preset: str, budget_s: float) -> None:
     pos_long = runner.max_seq - STEPS - 8
     paired, best_times, long_best, probe_gbps, kv = run_decode_paired(
         runner, cur0, kv, pos, pos_long, jax, jnp, reps, weight_bytes,
-        probe_gbps)
+        probe_gbps, time_left=remaining)
     mark("decode_paired")
 
     times = best_times
@@ -718,9 +722,12 @@ def main():
 
     # Preset 1 — the headline. Print its metric line to stdout IMMEDIATELY:
     # nothing downstream (the 8B preset, the summary) may delay or gate it.
+    # The floor is preset 1's own warm envelope: the headline outranks the
+    # reserve (a starved headline child that dies before printing is the
+    # r3 failure mode; an honest 8B budget-skip is the lesser harm).
     first = presets[0]
     budget1 = min(PRESETS[first]["est_warm_s"] * 2.0,
-                  max(remaining() - reserve, 300))
+                  max(remaining() - reserve, PRESETS[first]["est_warm_s"]))
     headline, why = _run_preset(first, budget1)
     results[first] = headline
     if headline is None:
@@ -744,7 +751,12 @@ def main():
             print(json.dumps({preset: results[preset]}), file=sys.stderr,
                   flush=True)
             continue
-        os.environ["LLAMA_GGUF_SKIP_MOE_PARITY"] = "1"  # gate ran in preset 1
+        if results[first] is not None:
+            # the gate ran inside preset 1's child; don't re-pay its two
+            # Mosaic compiles. If preset 1 DIED the gate may never have
+            # run — keep it on so the invocation still validates the MoE
+            # lowerings somewhere.
+            os.environ["LLAMA_GGUF_SKIP_MOE_PARITY"] = "1"
         res, why = _run_preset(preset, remaining())
         if res is None:
             res = {"metric": p["metric"], "error": why}

@@ -351,8 +351,13 @@ class ModelRunner:
     FULL_BOUND_MAX_CACHE_BYTES = 96 << 20
 
     def _prefer_full_bound(self, b: int) -> bool:
+        # dense-float caches only: the sweep measured bf16 KV, where the
+        # read cost is bound-insensitive; quantized formats (i8/f8/tq*)
+        # pay per-position dequant work that DOES scale with the bound,
+        # so the premise does not transfer
         if b != 1 or self.max_seq > self.FULL_BOUND_MAX_SEQ \
-                or self.ring_slots > 0:
+                or self.ring_slots > 0 \
+                or self.kv_format not in ("bf16", "f32"):
             return False
         import os
 
@@ -385,12 +390,23 @@ class ModelRunner:
 
             tokens0, pos0 = replicate_inputs(self.mesh, tokens0, pos0)
         full_bound = self._prefer_full_bound(b)
+        if full_bound:
+            # one bound for the whole call: pure pow2 chunking (the same
+            # compile-key lattice), no bucket-boundary segmentation — a
+            # per-bucket plan would emit extra scan dispatches only to
+            # have every segment's bound overridden to max_seq anyway
+            plan = []
+            left = steps
+            while left:
+                chunk = 1 << (left.bit_length() - 1)
+                plan.append((chunk, self.max_seq))
+                left -= chunk
+        else:
+            plan = self.plan_segments(start, steps, self.max_seq)
         outs = []
         done = 0
-        for chunk, bound in self.plan_segments(start, steps, self.max_seq):
-            if full_bound:
-                bound = self.max_seq
-            elif b > 1:
+        for chunk, bound in plan:
+            if b > 1:
                 # ragged batch: two-tier bound from the segment-END lengths
                 # (each row's live context grows by `chunk` inside the scan;
                 # pick_read_bound's hi for the max row == the plan's bound)

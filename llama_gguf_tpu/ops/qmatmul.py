@@ -812,11 +812,16 @@ def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
     assert k == stack.k, (k, stack.k)
     n = stack.n
     e_num = stack.packed.shape[0]
-    if s_slots >= MOE_GROUPED_MIN_SLOTS:
-        c_rows = min(MOE_GROUP_ROWS, max(8, 1 << (s_slots - 1).bit_length()))
+    c_rows = min(MOE_GROUP_ROWS, max(8, 1 << (s_slots - 1).bit_length()))
+    g_blocks = -(-s_slots // c_rows) + e_num
+    # grouped only when its weight traffic (ceil(S/C)+E expert sweeps,
+    # dummy blocks included) actually undercuts the slot-major kernel's S
+    # sweeps — high-expert-count stacks (deepseek-v3 E=256, qwen3moe
+    # E=128) at decode-sized S would otherwise pay E padding sweeps for
+    # nothing
+    if s_slots >= MOE_GROUPED_MIN_SLOTS and g_blocks < s_slots:
         tk, tn, rb = _pick_tiles(stack.fmt, stack.group, k, n, b=c_rows)
         if tk and rb == c_rows and n % tn == 0 and n % 128 == 0:
-            g_blocks = -(-s_slots // c_rows) + e_num
             eg, rows, flat = _moe_group_plan(idx_flat, e_num, c_rows,
                                              g_blocks)
             xz = jnp.concatenate(

@@ -98,10 +98,14 @@ def test_plan_segments():
     assert p[-1][1] == 2048 and sum(c for c, _ in p) == 64
 
 
-def test_greedy_decode_segmented_matches_stepwise(tmp_path, rng):
+def test_greedy_decode_segmented_matches_stepwise(tmp_path, rng,
+                                                   monkeypatch):
     """greedy_decode crossing bucket boundaries == per-step greedy chain
     (exact token match), and the compiled scans are shared across calls
     with different start positions (the lattice property)."""
+    # the ambient environment may have opted out of the full-bound policy;
+    # this test asserts the policy-ON key set
+    monkeypatch.delenv("LLAMA_GGUF_NO_FULL_BOUND", raising=False)
     path = str(tmp_path / "tiny.gguf")
     make_tiny_model(path, arch="qwen2", vocab=97, hidden=64, layers=2,
                     heads=4, kv_heads=2, ffn=128, ctx=CTX, seed=7)
