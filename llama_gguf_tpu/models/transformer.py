@@ -432,6 +432,10 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         g = moe_qmatmul(xr, ex["gate"], idx)
         u = moe_qmatmul(xr, ex["up"], idx) if g is not None else None
         if u is not None:
+            # the kernels emit bf16 in default-precision mode (boundary
+            # traffic only) — activation math stays f32 like the dense
+            # path's GLU epilogue
+            g, u = g.astype(jnp.float32), u.astype(jnp.float32)
             if "gate_bias" in ex:  # gpt-oss per-expert biases
                 g = g + jnp.take(ex["gate_bias"], idx, axis=0)
             if "up_bias" in ex:
@@ -439,6 +443,7 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
             act = _glu(g, u, cfg.hidden_act)  # [N*k, F]
             dn = moe_qmatmul(act, ex["down"], idx)
             if dn is not None:
+                dn = dn.astype(jnp.float32)
                 if "down_bias" in ex:
                     dn = dn + jnp.take(ex["down_bias"], idx, axis=0)
                 if cfg.moe_weight_before_ffn:  # input already scaled

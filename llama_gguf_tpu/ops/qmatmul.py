@@ -559,10 +559,11 @@ def qmatmul_glu(x: jnp.ndarray, lin, act: str,
 @functools.partial(
     jax.jit,
     static_argnames=("fmt", "group", "k", "n", "tk", "tn", "interpret",
-                     "precision"),
+                     "precision", "out_dtype"),
 )
 def _moe_qmatmul_call(x, idx, packed, scales, mins, *, fmt, group, k, n,
-                      tk, tn, interpret, precision=None):
+                      tk, tn, interpret, precision=None,
+                      out_dtype=jnp.float32):
     """x [S, K] (one input row per routed expert slot), idx [S] int32
     expert ids; packed/scales/mins are the FULL compressed expert stacks
     [E, ...] -> [S, N].
@@ -649,7 +650,7 @@ def _moe_qmatmul_call(x, idx, packed, scales, mins, *, fmt, group, k, n,
                 memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((8, tn), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((s_slots, 8, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s_slots, 8, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             # all-"arbitrary": measured 50s vs 238s Mosaic compile for the
             # ("parallel","parallel","arbitrary") marking on this chip —
@@ -665,11 +666,11 @@ def _moe_qmatmul_call(x, idx, packed, scales, mins, *, fmt, group, k, n,
 @functools.partial(
     jax.jit,
     static_argnames=("fmt", "group", "k", "n", "tk", "tn", "c_rows",
-                     "interpret", "precision"),
+                     "interpret", "precision", "out_dtype"),
 )
 def _moe_qmatmul_grouped_call(xs, eg, packed, scales, mins, *, fmt, group,
                               k, n, tk, tn, c_rows, interpret,
-                              precision=None):
+                              precision=None, out_dtype=jnp.float32):
     """Grouped (megablocks-style) MoE matmul: xs [G, C, K] holds the slot
     input rows SORTED by expert and padded into G blocks of C rows, every
     block single-expert; eg [G] int32 is each block's expert id (scalar
@@ -744,7 +745,7 @@ def _moe_qmatmul_grouped_call(xs, eg, packed, scales, mins, *, fmt, group,
                 memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((c_rows, tn), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((g_blocks, c_rows, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_blocks, c_rows, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -830,7 +831,8 @@ def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
             out = _moe_qmatmul_grouped_call(
                 xs, eg, stack.packed, stack.scales, stack.mins,
                 fmt=stack.fmt, group=stack.group, k=k, n=n, tk=tk, tn=tn,
-                c_rows=c_rows, interpret=interpret, precision=precision)
+                c_rows=c_rows, interpret=interpret, precision=precision,
+                out_dtype=_out_dtype(precision))
             return out.reshape(g_blocks * c_rows, n)[flat]
     tk, tn, _ = _pick_tiles(stack.fmt, stack.group, k, n)
     if tk == 0 or n % tn != 0 or n % 128 != 0:
@@ -838,4 +840,5 @@ def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
     return _moe_qmatmul_call(
         x_rows, idx_flat, stack.packed, stack.scales, stack.mins,
         fmt=stack.fmt, group=stack.group,
-        k=k, n=n, tk=tk, tn=tn, interpret=interpret, precision=precision)
+        k=k, n=n, tk=tk, tn=tn, interpret=interpret, precision=precision,
+        out_dtype=_out_dtype(precision))
