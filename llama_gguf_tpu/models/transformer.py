@@ -420,7 +420,7 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         # fused path: per-slot fused dequant-matvec Pallas kernels — only
         # the routed experts' PACKED bytes leave HBM (no f32 expert
         # materialization); falls back below when shapes don't tile
-        from ..ops.qmatmul import moe_qmatmul
+        from ..ops.qmatmul import moe_qmatmul, moe_qmatmul_glu
 
         nt = xf.shape[0]
         idx = topi.reshape(-1)  # [N*k]
@@ -429,9 +429,28 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         if cfg.moe_weight_before_ffn:  # llama4: scale the expert INPUT
             xr = xr * topv[:, :, None]
         xr = xr.reshape(-1, h)
-        g = moe_qmatmul(xr, ex["gate"], idx)
-        u = moe_qmatmul(xr, ex["up"], idx) if g is not None else None
-        if u is not None:
+        act = None
+        if "gate_bias" not in ex and "up_bias" not in ex:
+            # fused gate/up + activation epilogue (prefill/mixed-scale
+            # slot counts): one sorted-activation gather, the [S, 2F]
+            # intermediate stays in VMEM
+            act = moe_qmatmul_glu(xr, ex["gate"], ex["up"], idx,
+                                  cfg.hidden_act.value)
+        if act is not None:
+            act = act.astype(jnp.float32)
+            dn = moe_qmatmul(act, ex["down"], idx)
+            if dn is not None:
+                dn = dn.astype(jnp.float32)
+                if "down_bias" in ex:
+                    dn = dn + jnp.take(ex["down_bias"], idx, axis=0)
+                if cfg.moe_weight_before_ffn:  # input already scaled
+                    y = dn.reshape(nt, k, h).sum(axis=1)
+                else:
+                    y = (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
+            else:
+                fused = False
+        elif (g := moe_qmatmul(xr, ex["gate"], idx)) is not None and \
+                (u := moe_qmatmul(xr, ex["up"], idx)) is not None:
             # the kernels emit bf16 in default-precision mode (boundary
             # traffic only) — activation math stays f32 like the dense
             # path's GLU epilogue

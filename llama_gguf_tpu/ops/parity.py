@@ -101,4 +101,24 @@ def moe_kernel_parity_check(rtol: float = 2e-2, atol: float = 2e-2) -> int:
                 f"Pallas moe_qmatmul (S={s_slots}) diverges from "
                 f"gathered-dequant oracle: max rel err {err:.2e}")
         checks += 1
-    return checks
+
+    # grouped gate/up + GLU epilogue lowering (prefill-scale MoE path)
+    from .qmatmul import moe_qmatmul_glu
+
+    s_slots = MOE_GROUPED_MIN_SLOTS + 5
+    x = jnp.asarray(rng.standard_normal((s_slots, K)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, E, size=s_slots), jnp.int32)
+    got = moe_qmatmul_glu(x, stack, stack, idx, "silu")
+    if got is None:
+        raise AssertionError("moe_qmatmul_glu declined a tileable shape")
+    got = np.asarray(got, np.float32)
+    w_sel = np.asarray(stack.gather_dequant(idx))
+    gg = np.einsum("ek,ekn->en", np.asarray(x), w_sel)
+    want = gg / (1.0 + np.exp(-gg)) * gg  # silu(gate)*up with gate==up
+    scale = max(float(np.abs(want).max()), 1e-6)
+    if not np.allclose(got, want, rtol=max(rtol, 5e-2),
+                       atol=max(atol, 5e-2) * scale):
+        err = float(np.abs(got - want).max()) / scale
+        raise AssertionError(
+            f"Pallas moe_qmatmul_glu diverges: max rel err {err:.2e}")
+    return checks + 1

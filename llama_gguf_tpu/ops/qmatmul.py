@@ -796,6 +796,129 @@ MOE_GROUPED_MIN_SLOTS = 32
 MOE_GROUP_ROWS = 256  # C: rows per single-expert block
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "group", "k", "n", "tk", "tn", "c_rows", "act",
+                     "interpret", "precision", "out_dtype"),
+)
+def _moe_glu_grouped_call(xs, eg, pg, sg, mg, pu, su, mu, *, fmt, group,
+                          k, n, tk, tn, c_rows, act, interpret,
+                          precision=None, out_dtype=jnp.float32):
+    """Grouped MoE gate/up + gated-activation epilogue: one kernel reads
+    BOTH expert stacks' tiles (indexed via the prefetched eg) and writes
+    act(gate) * up — the [G, C, 2F] intermediate never leaves VMEM, and
+    the [G, C, K] sorted-activation gather is paid once instead of twice.
+    Same grid/plan contract as _moe_qmatmul_grouped_call."""
+    g_blocks = xs.shape[0]
+    grid = (g_blocks, n // tn, k // tk)
+    prec = _PREC[precision]
+    has_mins = mg is not None
+    x2 = xs.reshape(g_blocks * c_rows, k)
+
+    def wspec(rows):
+        return pl.BlockSpec((None, rows, tn),
+                            lambda gi, ni, ki, eg_ref: (eg_ref[gi], ki, ni),
+                            memory_space=pltpu.VMEM)
+
+    x_spec = pl.BlockSpec((None, c_rows, tk),
+                          lambda gi, ni, ki, eg_ref: (gi, 0, ki),
+                          memory_space=pltpu.VMEM)
+    if fmt == "q4":
+        xin = _arrange_x_q4(x2, group, tk)
+        wrows = tk // 2
+    else:
+        xin = x2
+        wrows = tk
+    in_specs = [x_spec, wspec(wrows), wspec(wrows),
+                wspec(tk // group), wspec(tk // group)]
+    inputs = [xin.reshape(g_blocks, c_rows, k), pg, pu, sg, su]
+
+    kernel = functools.partial(_glu_kernel, fmt=fmt, group=group, tk=tk,
+                               prec=prec, has_mins=has_mins, act=act)
+    if has_mins:
+        in_specs += [wspec(tk // group),
+                     wspec(tk // group),
+                     pl.BlockSpec((None, tk // group, c_rows),
+                                  lambda gi, ni, ki, eg_ref: (gi, ki, 0),
+                                  memory_space=pltpu.VMEM)]
+        xg = xs.reshape(g_blocks, c_rows, k // group, group).sum(-1)
+        inputs += [mg, mu, xg.transpose(0, 2, 1).astype(jnp.float32)]
+
+        def _wrap(kern):
+            def inner(eg_ref, x_ref, pgr, pur, sgr, sur, mgr, mur, xg_ref,
+                      o_ref, ag, au):
+                return kern(x_ref, pgr, pur, sgr, sur, (mgr, mur), xg_ref,
+                            o_ref, ag, au)
+            return inner
+    else:
+        def _wrap(kern):
+            def inner(eg_ref, x_ref, pgr, pur, sgr, sur, o_ref, ag, au):
+                return kern(x_ref, pgr, pur, sgr, sur, None, None, o_ref,
+                            ag, au)
+            return inner
+    kernel = _wrap(kernel)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (None, c_rows, tn),
+                lambda gi, ni, ki, eg_ref: (gi, 0, ni),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((c_rows, tn), jnp.float32),
+                            pltpu.VMEM((c_rows, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((g_blocks, c_rows, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(eg, jnp.int32), *inputs)
+
+
+def moe_qmatmul_glu(x_rows: jnp.ndarray, gate_stack, up_stack,
+                    idx_flat: jnp.ndarray, act: str,
+                    interpret: bool = False,
+                    precision: str | None = None) -> jnp.ndarray | None:
+    """act(x @ W_gate[e]) * (x @ W_up[e]) for routed expert slots, fused in
+    one grouped kernel (prefill/mixed-scale S only — decode-sized S keeps
+    the two slot-major calls, where the intermediate is negligible).
+    Returns None when the fusion doesn't apply; caller falls back to the
+    separate gate/up dispatches."""
+    interpret = interpret or _INTERPRET
+    s_slots, k = x_rows.shape
+    g_st, u_st = gate_stack, up_stack
+    if act not in GLU_ACTS:
+        return None
+    if (g_st.fmt != u_st.fmt or g_st.group != u_st.group
+            or g_st.k != k or u_st.k != k or g_st.n != u_st.n
+            or (g_st.mins is None) != (u_st.mins is None)):
+        return None
+    n = g_st.n
+    e_num = g_st.packed.shape[0]
+    c_rows = min(MOE_GROUP_ROWS, max(8, 1 << (s_slots - 1).bit_length()))
+    g_blocks = -(-s_slots // c_rows) + e_num
+    if not (s_slots >= MOE_GROUPED_MIN_SLOTS and g_blocks < s_slots):
+        return None
+    tk, tn, rb = _pick_tiles(g_st.fmt, g_st.group, k, n, b=c_rows,
+                             deq_scale=2)
+    if not (tk and rb == c_rows and n % tn == 0 and n % 128 == 0):
+        return None
+    eg, rows, flat = _moe_group_plan(idx_flat, e_num, c_rows, g_blocks)
+    xz = jnp.concatenate([x_rows, jnp.zeros((1, k), x_rows.dtype)], axis=0)
+    xs = xz[rows]
+    out = _moe_glu_grouped_call(
+        xs, eg, g_st.packed, g_st.scales, g_st.mins,
+        u_st.packed, u_st.scales, u_st.mins,
+        fmt=g_st.fmt, group=g_st.group, k=k, n=n, tk=tk, tn=tn,
+        c_rows=c_rows, act=act, interpret=interpret, precision=precision,
+        out_dtype=_out_dtype(precision))
+    return out.reshape(g_blocks * c_rows, n)[flat]
+
+
 def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
                 interpret: bool = False,
                 precision: str | None = None) -> jnp.ndarray | None:

@@ -177,6 +177,18 @@ def test_moe_qmatmul_matches_gather_dequant():
         np.testing.assert_allclose(np.asarray(got_b), want_b,
                                    rtol=2e-5, atol=2e-5)
 
+        # fused gate/up + silu epilogue (grouped): act(x@Wg[e]) * (x@Wu[e])
+        # against the two-call reference, same routing
+        from llama_gguf_tpu.ops.qmatmul import moe_qmatmul_glu
+
+        got_glu = moe_qmatmul_glu(xb, stack, stack, idxb, "silu",
+                                  interpret=True, precision="highest")
+        assert got_glu is not None
+        gg = np.asarray(got_b, np.float32)
+        want_glu = gg / (1.0 + np.exp(-gg)) * gg
+        np.testing.assert_allclose(np.asarray(got_glu), want_glu,
+                                   rtol=3e-5, atol=3e-5)
+
 
 @pytest.mark.parametrize("t,act", [
     (GGMLType.Q4_K, "silu"),        # affine: min panels ride both halves
