@@ -429,6 +429,21 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
         if cfg.moe_weight_before_ffn:  # llama4: scale the expert INPUT
             xr = xr * topv[:, :, None]
         xr = xr.reshape(-1, h)
+
+        def down_combine(act):
+            # shared epilogue of both fused variants: down projection +
+            # optional per-expert bias + routing-weight combine. Returns
+            # None when the down shapes don't tile (caller unfuses).
+            dn = moe_qmatmul(act, ex["down"], idx)
+            if dn is None:
+                return None
+            dn = dn.astype(jnp.float32)
+            if "down_bias" in ex:
+                dn = dn + jnp.take(ex["down_bias"], idx, axis=0)
+            if cfg.moe_weight_before_ffn:  # input already scaled
+                return dn.reshape(nt, k, h).sum(axis=1)
+            return (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
+
         act = None
         if "gate_bias" not in ex and "up_bias" not in ex:
             # fused gate/up + activation epilogue (prefill/mixed-scale
@@ -436,20 +451,8 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
             # intermediate stays in VMEM
             act = moe_qmatmul_glu(xr, ex["gate"], ex["up"], idx,
                                   cfg.hidden_act.value)
-        if act is not None:
-            act = act.astype(jnp.float32)
-            dn = moe_qmatmul(act, ex["down"], idx)
-            if dn is not None:
-                dn = dn.astype(jnp.float32)
-                if "down_bias" in ex:
-                    dn = dn + jnp.take(ex["down_bias"], idx, axis=0)
-                if cfg.moe_weight_before_ffn:  # input already scaled
-                    y = dn.reshape(nt, k, h).sum(axis=1)
-                else:
-                    y = (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
-            else:
-                fused = False
-        elif (g := moe_qmatmul(xr, ex["gate"], idx)) is not None and \
+        if act is None and \
+                (g := moe_qmatmul(xr, ex["gate"], idx)) is not None and \
                 (u := moe_qmatmul(xr, ex["up"], idx)) is not None:
             # the kernels emit bf16 in default-precision mode (boundary
             # traffic only) — activation math stays f32 like the dense
@@ -460,17 +463,9 @@ def moe_layer(ffn: dict, cfg: ModelConfig, x: jnp.ndarray) -> jnp.ndarray:
             if "up_bias" in ex:
                 u = u + jnp.take(ex["up_bias"], idx, axis=0)
             act = _glu(g, u, cfg.hidden_act)  # [N*k, F]
-            dn = moe_qmatmul(act, ex["down"], idx)
-            if dn is not None:
-                dn = dn.astype(jnp.float32)
-                if "down_bias" in ex:
-                    dn = dn + jnp.take(ex["down_bias"], idx, axis=0)
-                if cfg.moe_weight_before_ffn:  # input already scaled
-                    y = dn.reshape(nt, k, h).sum(axis=1)
-                else:
-                    y = (dn.reshape(nt, k, h) * topv[:, :, None]).sum(axis=1)
-            else:
-                fused = False
+        if act is not None:
+            y = down_combine(act.astype(jnp.float32))
+            fused = y is not None
         else:
             fused = False
     if not fused:

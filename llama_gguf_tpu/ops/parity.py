@@ -102,19 +102,36 @@ def moe_kernel_parity_check(rtol: float = 2e-2, atol: float = 2e-2) -> int:
                 f"gathered-dequant oracle: max rel err {err:.2e}")
         checks += 1
 
-    # grouped gate/up + GLU epilogue lowering (prefill-scale MoE path)
+    # grouped gate/up + GLU epilogue lowering (prefill-scale MoE path).
+    # DISTINCT up stack: silu(g)*u is asymmetric, so a half-swap
+    # regression in the kernel wiring fails this gate
     from .qmatmul import moe_qmatmul_glu
 
+    up_packs, up_scales, up_mins = [], [], []
+    for _ in range(E):
+        wu = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+        rwu = repack(quantize(wu, GGMLType.Q4_K).tobytes(), GGMLType.Q4_K,
+                     (N, K))
+        up_packs.append(rwu.packed)
+        up_scales.append(rwu.scales)
+        up_mins.append(rwu.mins)
+    up_stack = QuantExpertStack(
+        packed=jnp.asarray(np.stack(up_packs)),
+        scales=jnp.asarray(np.stack(up_scales)),
+        mins=jnp.asarray(np.stack(up_mins)),
+        fmt=fmt, group=group, k=K, n=N)
     s_slots = MOE_GROUPED_MIN_SLOTS + 5
     x = jnp.asarray(rng.standard_normal((s_slots, K)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, E, size=s_slots), jnp.int32)
-    got = moe_qmatmul_glu(x, stack, stack, idx, "silu")
+    got = moe_qmatmul_glu(x, stack, up_stack, idx, "silu")
     if got is None:
         raise AssertionError("moe_qmatmul_glu declined a tileable shape")
     got = np.asarray(got, np.float32)
-    w_sel = np.asarray(stack.gather_dequant(idx))
-    gg = np.einsum("ek,ekn->en", np.asarray(x), w_sel)
-    want = gg / (1.0 + np.exp(-gg)) * gg  # silu(gate)*up with gate==up
+    gg = np.einsum("ek,ekn->en", np.asarray(x),
+                   np.asarray(stack.gather_dequant(idx)))
+    uu = np.einsum("ek,ekn->en", np.asarray(x),
+                   np.asarray(up_stack.gather_dequant(idx)))
+    want = gg / (1.0 + np.exp(-gg)) * uu
     scale = max(float(np.abs(want).max()), 1e-6)
     if not np.allclose(got, want, rtol=max(rtol, 5e-2),
                        atol=max(atol, 5e-2) * scale):

@@ -895,6 +895,7 @@ def moe_qmatmul_glu(x_rows: jnp.ndarray, gate_stack, up_stack,
         return None
     if (g_st.fmt != u_st.fmt or g_st.group != u_st.group
             or g_st.k != k or u_st.k != k or g_st.n != u_st.n
+            or g_st.packed.shape[0] != u_st.packed.shape[0]
             or (g_st.mins is None) != (u_st.mins is None)):
         return None
     n = g_st.n
@@ -932,6 +933,7 @@ def moe_qmatmul(x_rows: jnp.ndarray, stack, idx_flat: jnp.ndarray,
     expert's weights stream from HBM ~once instead of once per slot.
     Returns None when the shapes don't tile (caller falls back to
     QuantExpertStack.gather_dequant + einsum)."""
+    interpret = interpret or _INTERPRET
     s_slots, k = x_rows.shape
     assert k == stack.k, (k, stack.k)
     n = stack.n

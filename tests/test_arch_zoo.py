@@ -564,6 +564,95 @@ def test_quantized_expert_stack_matches_dense(tmp_path, rng):
     np.testing.assert_allclose(got, dense, rtol=2e-4, atol=2e-4)
 
 
+def test_fused_moe_pallas_path_matches_dense(tmp_path, rng):
+    """The FUSED Pallas MoE path of moe_layer (grouped gate/up+GLU kernel
+    at prefill slot counts, slot-major kernels + down-combine glue) must
+    match the dense-f32 oracle logits. Runs the kernels in interpret mode
+    on CPU (tests/test_sharding.py pattern) — without this, the fused
+    branch's glue (topv combine, routing) had no CI coverage and was only
+    exercised by on-device Mixtral runs (r5 review finding)."""
+    from llama_gguf_tpu.gguf.constants import GGMLType
+    from llama_gguf_tpu.ops import qmatmul as QM
+    from llama_gguf_tpu.ops.linear import QuantExpertStack, set_use_pallas
+    from llama_gguf_tpu.quant.quantize import quantize
+
+    # shapes sized so every fused kernel TILES (n % 128 == 0 both ways):
+    # prefill of 24 tokens x top-2 = 48 slots >= MOE_GROUPED_MIN_SLOTS
+    # exercises the grouped-GLU kernel; the follow-up single-token decode
+    # (2 slots) exercises the slot-major kernel
+    c = dict(vocab=64, hidden=128, layers=1, heads=4, kv_heads=2, ffn=128,
+             ctx=64, experts=4, topk=2)
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "llama")
+    w.add_metadata("llama.embedding_length", c["hidden"])
+    w.add_metadata("llama.block_count", c["layers"])
+    w.add_metadata("llama.attention.head_count", c["heads"])
+    w.add_metadata("llama.attention.head_count_kv", c["kv_heads"])
+    w.add_metadata("llama.feed_forward_length", c["ffn"])
+    w.add_metadata("llama.context_length", c["ctx"])
+    w.add_metadata("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_metadata("llama.rope.freq_base", 10000.0)
+    w.add_metadata("llama.expert_count", c["experts"])
+    w.add_metadata("llama.expert_used_count", c["topk"])
+    w.add_metadata("llama.vocab_size", c["vocab"])
+
+    def t(name, shape, scale=0.05):
+        arr = rng.normal(size=shape).astype(np.float32) * scale
+        w.add_tensor_np(name, arr)
+        return arr
+
+    t("token_embd.weight", (c["vocab"], c["hidden"]))
+    p = "blk.0"
+    t(f"{p}.attn_q.weight", (c["hidden"], c["hidden"]))
+    t(f"{p}.attn_k.weight", (c["kv_heads"] * 32, c["hidden"]))
+    t(f"{p}.attn_v.weight", (c["kv_heads"] * 32, c["hidden"]))
+    t(f"{p}.attn_output.weight", (c["hidden"], c["hidden"]))
+    w.add_tensor_np(f"{p}.attn_norm.weight", np.ones(c["hidden"], np.float32))
+    w.add_tensor_np(f"{p}.ffn_norm.weight", np.ones(c["hidden"], np.float32))
+    t(f"{p}.ffn_gate_inp.weight", (c["experts"], c["hidden"]))
+    for nm, shape in ((f"{p}.ffn_gate_exps.weight",
+                       (c["experts"], c["ffn"], c["hidden"])),
+                      (f"{p}.ffn_up_exps.weight",
+                       (c["experts"], c["ffn"], c["hidden"])),
+                      (f"{p}.ffn_down_exps.weight",
+                       (c["experts"], c["hidden"], c["ffn"]))):
+        arr = rng.normal(size=shape).astype(np.float32) * 0.05
+        raw = quantize(arr, GGMLType.Q8_0)
+        w.add_tensor_raw(nm, tuple(reversed(shape)), GGMLType.Q8_0,
+                         raw.tobytes())
+    w.add_tensor_np("output_norm.weight", np.ones(c["hidden"], np.float32))
+    t("output.weight", (c["vocab"], c["hidden"]))
+    path = str(tmp_path / "moe_fused.gguf")
+    w.write_to_path(path)
+
+    tokens = rng.integers(0, c["vocab"], size=24).tolist()
+    dense = run_ours(path, tokens, c["ctx"])  # mode=dequant oracle
+
+    params, cfg, _ = load_model(path, mode="quant")
+    assert isinstance(params["layers"][0]["ffn"]["experts"]["gate"],
+                      QuantExpertStack)
+    import jax.numpy as jnp
+
+    QM.set_interpret(True)
+    set_use_pallas(True)
+    try:
+        r = ModelRunner(params, cfg, max_batch=1, max_seq=c["ctx"])
+        kv = r.init_kv()
+        n = len(tokens)
+        logits, kv = r.step(jnp.asarray([tokens], jnp.int32),
+                            jnp.asarray([list(range(n))], jnp.int32),
+                            jnp.asarray([n], jnp.int32), kv)
+        got = np.asarray(logits[0])
+        # decode step: slot-major kernels (2 slots)
+        lg2, kv = r.decode_one(int(np.argmax(got[-1])), n, kv)
+        got2 = np.asarray(lg2)
+    finally:
+        QM.set_interpret(False)
+        set_use_pallas(None)
+    np.testing.assert_allclose(got, dense, rtol=2e-4, atol=2e-4)
+    assert np.isfinite(got2).all()
+
+
 # -- phi3 (combined QKV projection) -------------------------------------------------
 
 P3 = dict(vocab=96, hidden=64, layers=2, heads=4, kv_heads=2, ffn=96, ctx=64)

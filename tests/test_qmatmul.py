@@ -177,15 +177,33 @@ def test_moe_qmatmul_matches_gather_dequant():
         np.testing.assert_allclose(np.asarray(got_b), want_b,
                                    rtol=2e-5, atol=2e-5)
 
-        # fused gate/up + silu epilogue (grouped): act(x@Wg[e]) * (x@Wu[e])
-        # against the two-call reference, same routing
+        # fused gate/up + silu epilogue (grouped) with DISTINCT gate and
+        # up stacks — silu(g)*u is asymmetric, so a half-swap regression
+        # (reading the gate stack for both dots) fails loudly here
         from llama_gguf_tpu.ops.qmatmul import moe_qmatmul_glu
 
-        got_glu = moe_qmatmul_glu(xb, stack, stack, idxb, "silu",
+        up_packs, up_scales, up_mins = [], [], []
+        up_ws = []
+        for e in range(E):
+            wu = rng.standard_normal((N, K)).astype(np.float32) * 0.1
+            up_ws.append(wu)
+            rwu = repack(quantize(wu, t).tobytes(), t, (N, K))
+            up_packs.append(rwu.packed)
+            up_scales.append(rwu.scales)
+            up_mins.append(rwu.mins)
+        up_stack = QuantExpertStack(
+            packed=jnp.asarray(np.stack(up_packs)),
+            scales=jnp.asarray(np.stack(up_scales)),
+            mins=jnp.asarray(np.stack(up_mins)) if has_mins else None,
+            fmt=fmt, group=group, k=K, n=N,
+        )
+        got_glu = moe_qmatmul_glu(xb, stack, up_stack, idxb, "silu",
                                   interpret=True, precision="highest")
         assert got_glu is not None
         gg = np.asarray(got_b, np.float32)
-        want_glu = gg / (1.0 + np.exp(-gg)) * gg
+        uu = np.einsum("ek,ekn->en", np.asarray(xb),
+                       np.asarray(up_stack.gather_dequant(idxb)))
+        want_glu = gg / (1.0 + np.exp(-gg)) * uu
         np.testing.assert_allclose(np.asarray(got_glu), want_glu,
                                    rtol=3e-5, atol=3e-5)
 
