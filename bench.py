@@ -262,7 +262,7 @@ def measure_mixed_batch(jax, jnp, params, cfg, max_ctx, b, steps):
     runner's KV allocs can pessimize absolutes on this chip — CLAUDE.md);
     the mixed/short RATIO is internally consistent, and the JSON carries a
     same_process note so absolutes aren't over-read."""
-    from llama_gguf_tpu.engine.runner import ModelRunner
+    from llama_gguf_tpu.engine.runner import ModelRunner, read_bucket
 
     rng = np.random.default_rng(1)
     runner = ModelRunner(params, cfg, max_batch=b, max_seq=max_ctx,
@@ -276,11 +276,28 @@ def measure_mixed_batch(jax, jnp, params, cfg, max_ctx, b, steps):
         # tokens = 8192 rows OOM'd 18.3 GB HBM at 8B (f32 hidden temps,
         # r5; same family as the r3 65k-row prefill OOM)
         chunk = max(64, 4096 // b)
+        ids = [rng.integers(0, cfg.vocab_size, size=n) for n in lengths]
+        # common prefix: fill ALL rows per step call — per-row prefill
+        # dispatched ~100 host round-trips per run (~100 s over the
+        # tunnel); the batched fill pays len(common)/chunk calls total
+        common = min(lengths)
+        for off in range(0, common, chunk):
+            t = min(chunk, common - off)
+            toks = np.zeros((b, t), np.int32)
+            pos = np.full((b, t), runner.max_seq, np.int32)  # OOB -> drop
+            for i in range(b):
+                toks[i, :t] = ids[i][off: off + t]
+                pos[i, :t] = off + np.arange(t)
+            lens_now = np.full((b,), off + t, np.int32)
+            _, kv = runner.step(
+                jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(lens_now),
+                kv, read_bound=read_bucket(off + t, runner.max_seq),
+                logit_positions=np.full((b,), t - 1, np.int32))
+        # per-row tails (the stragglers beyond the common prefix)
         for i, n in enumerate(lengths):
-            ids = rng.integers(0, cfg.vocab_size, size=n).tolist()
-            for off in range(0, n, chunk):
-                _, kv, _ = runner.prefill(ids[off: off + chunk], kv,
-                                          batch_idx=i, start_pos=off)
+            for off in range(common, n, chunk):
+                _, kv, _ = runner.prefill(ids[i][off: off + chunk].tolist(),
+                                          kv, batch_idx=i, start_pos=off)
         print(f"bench: mixed_batch prefill({max(lengths)}) "
               f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
         toks0 = jnp.asarray(rng.integers(0, cfg.vocab_size, size=b),
